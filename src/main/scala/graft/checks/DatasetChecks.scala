@@ -1,0 +1,604 @@
+package graft.checks
+
+import graft.core.CheckUtils._
+import graft.rules.DatasetCheck
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-level checks (SURVEY §2.2): each returns a [[DatasetCheck]] whose
+  * `applyFn` adds hidden metric columns (windows/joins/aggregations) and whose
+  * `condition` (message-or-null) reads them. Temp columns carry a UUID suffix
+  * so checks compose; the engine's final projection drops them.
+  *
+  * Scale notes (100 TB targets):
+  *  - global aggregates go through `select(agg).limit(1)` + broadcast crossJoin,
+  *    never `Window.partitionBy()` with no keys (single-partition collapse) —
+  *    matching the reference's deliberate choice (check_funcs.py:4361-4373);
+  *  - grouped aggregates use one window shuffle when the aggregate is
+  *    window-compatible, two-stage groupBy+join only for DISTINCT aggregates
+  *    (check_funcs.py:4338-4356);
+  *  - FK joins dedup the reference side first so Catalyst/AQE can broadcast it
+  *    (check_funcs.py:2005).
+  */
+object DatasetChecks {
+
+  // ---------------------------------------------------------------- is_unique
+
+  /** D2 (check_funcs.py:1822): duplicate detection over a (composite) key via a
+    * partition-pruned window count. `nullsDistinct`: rows with any NULL key
+    * component never count as duplicates (SQL UNIQUE NULLS DISTINCT semantics).
+    */
+  def isUnique(columns: Seq[String], nullsDistinct: Boolean = true,
+               rowFilter: Option[String] = None): DatasetCheck = {
+    val id = uniqueSuffix()
+    val cntCol = s"__dq_unique_count_$id"
+    val filterC = rowFilter.map(expr).getOrElse(lit(true))
+    val keyCols = columns.map(col)
+    val applyFn = (df: DataFrame) => {
+      val w = Window.partitionBy(keyCols: _*)
+      df.withColumn(cntCol, sum(when(filterC, lit(1)).otherwise(lit(0))).over(w))
+    }
+    val keysNotNull = keyCols.map(_.isNotNull).reduce(_ && _)
+    val dupCond = col(cntCol) > 1 && filterC && (if (nullsDistinct) keysNotNull else lit(true))
+    val keyText = concat_ws(", ", keyCols.map(valueText): _*)
+    DatasetCheck(applyFn,
+      makeCondition(dupCond,
+        concat(lit(s"Value '"), keyText,
+          lit(s"' in column '${columns.mkString(", ")}' is not unique, found "),
+          col(cntCol).cast("string"), lit(" duplicates"))))
+  }
+
+  // -------------------------------------------------------------- foreign_key
+
+  /** D3 (check_funcs.py:1919): FK existence against a reference dataset.
+    * Reference side is deduped before the join (broadcast-friendly).
+    * `negate`: key must NOT exist in the reference.
+    */
+  def foreignKey(columns: Seq[String], refColumns: Seq[String], refDf: DataFrame,
+                 negate: Boolean = false, nullSafe: Boolean = false,
+                 rowFilter: Option[String] = None): DatasetCheck = {
+    require(columns.length == refColumns.length, "columns and ref_columns must align")
+    val id = uniqueSuffix()
+    val matchedCol = s"__dq_fk_matched_$id"
+    val filterC = rowFilter.map(expr).getOrElse(lit(true))
+    val keyCols = columns.map(col)
+    val applyFn = (df: DataFrame) => {
+      val renamedRef = refColumns.map(rc => s"__dq_fk_ref_${rc}_$id")
+      val ref = refDf.select(refColumns.zip(renamedRef).map { case (rc, nn) => col(rc).as(nn) }: _*).distinct()
+      val joinCond =
+        if (nullSafe) nullSafeJoinCondition(keyCols, renamedRef.map(col))
+        else equalityJoinCondition(keyCols, renamedRef.map(col)) && keyCols.map(_.isNotNull).reduce(_ && _)
+      df.join(ref, joinCond, "left")
+        .withColumn(matchedCol, renamedRef.map(col(_).isNotNull).reduce(_ && _))
+        .drop(renamedRef: _*)
+    }
+    val keysPresent = if (nullSafe) lit(true) else keyCols.map(_.isNotNull).reduce(_ && _)
+    val violation =
+      if (negate) filterC && keysPresent && col(matchedCol)
+      else filterC && keysPresent && !col(matchedCol)
+    val keyText = concat_ws(", ", keyCols.map(valueText): _*)
+    DatasetCheck(applyFn,
+      makeCondition(violation,
+        concat(lit(s"Value '"), keyText, lit(s"' in column '${columns.mkString(", ")}' "),
+          lit(if (negate) "found in reference" else "not found in reference"))))
+  }
+
+  // --------------------------------------------------- aggregate compare core
+
+  sealed abstract class AggrOp(val text: String)
+  object AggrOp {
+    case object NotGreaterThan extends AggrOp("greater than")
+    case object NotLessThan extends AggrOp("less than")
+    case object Equal extends AggrOp("not equal to")
+    case object NotEqual extends AggrOp("equal to")
+  }
+
+  /** Aggregates that cannot run as window functions (check_funcs.py:78-81). */
+  private val windowIncompatible = Set("count_distinct")
+
+  /** Curated aggregate registry (check_funcs.py:52-73) + by-name fallback via
+    * `expr` for any other Spark SQL aggregate.
+    */
+  def buildAggrExpr(aggrType: String, c: Column, isStar: Boolean, params: Map[String, Any] = Map.empty): Column =
+    aggrType match {
+      case "count" => if (isStar) count(lit(1)) else count(c)
+      case "sum" => sum(c)
+      case "avg" | "mean" => avg(c)
+      case "min" => min(c)
+      case "max" => max(c)
+      case "count_distinct" => countDistinct(c)
+      case "approx_count_distinct" => approx_count_distinct(c)
+      case "count_if" => count(when(c, lit(1)))
+      case "stddev" | "stddev_samp" => stddev(c)
+      case "stddev_pop" => stddev_pop(c)
+      case "variance" | "var_samp" => var_samp(c)
+      case "var_pop" => var_pop(c)
+      case "median" => expr(s"median(${c.toString})")
+      case "mode" => expr(s"mode(${c.toString})")
+      case "skewness" => skewness(c)
+      case "kurtosis" => kurtosis(c)
+      case "percentile" =>
+        val p = params.getOrElse("percentile", 0.5).toString
+        expr(s"percentile(${c.toString}, $p)")
+      case "approx_percentile" =>
+        val p = params.getOrElse("percentile", 0.5).toString
+        expr(s"approx_percentile(${c.toString}, $p)")
+      case other => expr(s"$other(${c.toString})") // non-curated by-name fallback (check_funcs.py:4101)
+    }
+
+  /** Shared machinery for D5-D8 (check_funcs.py:4234-4403). Adds a metric
+    * column holding the aggregate (global or per-group), then compares it to
+    * `limit` with the given op. The engine-visible failure is row-level: every
+    * row of an offending group carries the message.
+    */
+  def aggrCompare(column: String, aggrType: String, limit: Any, op: AggrOp,
+                  groupBy: Seq[String] = Seq.empty, rowFilter: Option[String] = None,
+                  absTolerance: Double = 0.0, relTolerance: Double = 0.0,
+                  aggrParams: Map[String, Any] = Map.empty): DatasetCheck = {
+    val id = uniqueSuffix()
+    val metricCol = s"__dq_aggr_$id"
+    val isStar = column == "*"
+    val baseCol = if (isStar) lit(1) else col(column)
+    val filterC = rowFilter.map(expr)
+    // Filter folded INTO the aggregate (conditional aggregation), preserving
+    // row-level granularity (check_funcs.py:4324-4333).
+    val aggInput = filterC match {
+      case Some(f) if aggrType == "count" && isStar => when(f, lit(1))
+      case Some(f) if aggrType == "count_if" => f && baseCol
+      case Some(f) => when(f, baseCol)
+      case None if aggrType == "count" && isStar => baseCol
+      case None => baseCol
+    }
+    val aggExpr = buildAggrExpr(aggrType, aggInput,
+      isStar = isStar && filterC.isEmpty, params = aggrParams)
+
+    val applyFn = (df: DataFrame) => {
+      if (groupBy.nonEmpty && !windowIncompatible.contains(aggrType)) {
+        df.withColumn(metricCol, aggExpr.over(Window.partitionBy(groupBy.map(col): _*)))
+      } else if (groupBy.nonEmpty) {
+        // two-stage groupBy + null-safe join back (DISTINCT aggregates)
+        val renamed = groupBy.map(g => s"__dq_grp_${g}_$id")
+        val aggDf = df.groupBy(groupBy.zip(renamed).map { case (g, nn) => col(g).as(nn) }: _*)
+          .agg(aggExpr.as(metricCol))
+        df.join(aggDf, nullSafeJoinCondition(groupBy.map(col), renamed.map(col)), "left")
+          .drop(renamed: _*)
+      } else {
+        // global scalar: 1-row aggregate broadcast via crossJoin
+        val aggDf = df.select(aggExpr.as(metricCol)).limit(1)
+        df.crossJoin(broadcast(aggDf))
+      }
+    }
+
+    val limitC = limitExpr(limit)
+    val m = col(metricCol)
+    val tolBand = lit(absTolerance) + lit(relTolerance) * abs(limitC)
+    val failCond = op match {
+      case AggrOp.NotGreaterThan => m > limitC
+      case AggrOp.NotLessThan => m < limitC
+      case AggrOp.Equal => // must equal limit (within tolerance); fail when outside
+        if (absTolerance > 0 || relTolerance > 0) abs(m - limitC) > tolBand
+        else !(m <=> limitC)
+      case AggrOp.NotEqual => // must differ from limit; fail when (approximately) equal
+        if (absTolerance > 0 || relTolerance > 0) abs(m - limitC) <= tolBand
+        else m <=> limitC
+    }
+    val groupText = if (groupBy.isEmpty) lit("")
+      else concat(lit(" per group of "), concat_ws(", ", groupBy.map(g => valueText(col(g))): _*))
+    DatasetCheck(applyFn,
+      makeCondition(failCond,
+        concat(lit(s"$aggrType(${column})"), groupText, lit(s" value "),
+          valueText(m), lit(s" is ${op.text} limit ${limitText(limit)}"))))
+  }
+
+  /** D5 (check_funcs.py:2179) */
+  def isAggrNotGreaterThan(column: String, limit: Any, aggrType: String = "count",
+                           groupBy: Seq[String] = Seq.empty, rowFilter: Option[String] = None,
+                           aggrParams: Map[String, Any] = Map.empty): DatasetCheck =
+    aggrCompare(column, aggrType, limit, AggrOp.NotGreaterThan, groupBy, rowFilter, aggrParams = aggrParams)
+
+  /** D6 (check_funcs.py:2224) */
+  def isAggrNotLessThan(column: String, limit: Any, aggrType: String = "count",
+                        groupBy: Seq[String] = Seq.empty, rowFilter: Option[String] = None,
+                        aggrParams: Map[String, Any] = Map.empty): DatasetCheck =
+    aggrCompare(column, aggrType, limit, AggrOp.NotLessThan, groupBy, rowFilter, aggrParams = aggrParams)
+
+  /** D7 (check_funcs.py:2269) */
+  def isAggrEqual(column: String, limit: Any, aggrType: String = "count",
+                  groupBy: Seq[String] = Seq.empty, rowFilter: Option[String] = None,
+                  absTolerance: Double = 0.0, relTolerance: Double = 0.0): DatasetCheck =
+    aggrCompare(column, aggrType, limit, AggrOp.Equal, groupBy, rowFilter, absTolerance, relTolerance)
+
+  /** D8 (check_funcs.py:2320) */
+  def isAggrNotEqual(column: String, limit: Any, aggrType: String = "count",
+                     groupBy: Seq[String] = Seq.empty, rowFilter: Option[String] = None,
+                     absTolerance: Double = 0.0, relTolerance: Double = 0.0): DatasetCheck =
+    aggrCompare(column, aggrType, limit, AggrOp.NotEqual, groupBy, rowFilter, absTolerance, relTolerance)
+
+  // ---------------------------------------------------------- aggr outliers
+
+  /** D9 (check_funcs.py:2374): time-series sigma-band anomaly on a per-bucket
+    * aggregate. Buckets the time column to `timeInterval` grains, aggregates
+    * per (groupBy, grain), compares each bucket to the rolling mean/stddev of
+    * the previous `lookback` buckets, flags |cur-mean| > sigma*stddev. Rows of
+    * the offending bucket fail. `warmup` buckets are required before flagging.
+    */
+  def hasNoAggrOutliers(column: String, timeColumn: String, aggrType: String = "count",
+                        sigma: Double = 3.0, lookback: Int = 10, warmup: Int = 3,
+                        timeInterval: String = "1 day", groupBy: Seq[String] = Seq.empty,
+                        rowFilter: Option[String] = None): DatasetCheck = {
+    val id = uniqueSuffix()
+    val grainCol = s"__dq_grain_$id"
+    val outlierCol = s"__dq_outlier_$id"
+    val curCol = s"__dq_cur_$id"
+    val meanCol = s"__dq_mean_$id"
+    val isStar = column == "*"
+    val filterC = rowFilter.map(expr)
+    val aggInput = (filterC, isStar) match {
+      case (Some(f), true) => when(f, lit(1))
+      case (Some(f), false) => when(f, col(column))
+      case (None, true) => lit(1)
+      case (None, false) => col(column)
+    }
+    val aggExpr = buildAggrExpr(aggrType, aggInput, isStar = isStar && filterC.isEmpty)
+    val grain = window(col(timeColumn), timeInterval).getField("start")
+
+    val applyFn = (df: DataFrame) => {
+      val bucketed = df
+        .groupBy((groupBy.map(col) :+ grain.as(grainCol)): _*)
+        .agg(aggExpr.as(curCol))
+      val wPrev = Window.partitionBy(groupBy.map(col): _*).orderBy(col(grainCol))
+        .rowsBetween(-lookback, -1)
+      val stats = bucketed
+        .withColumn(meanCol, avg(col(curCol)).over(wPrev))
+        .withColumn(s"__dq_std_$id", stddev_pop(col(curCol)).over(wPrev))
+        .withColumn(s"__dq_n_$id", count(col(curCol)).over(wPrev))
+        .withColumn(outlierCol,
+          col(s"__dq_n_$id") >= warmup && col(s"__dq_std_$id").isNotNull &&
+            abs(col(curCol) - col(meanCol)) > lit(sigma) * col(s"__dq_std_$id"))
+      val renamedGroups = groupBy.map(g => s"__dq_og_${g}_$id")
+      val flags = stats.select(
+        (groupBy.zip(renamedGroups).map { case (g, nn) => col(g).as(nn) } :+
+          col(grainCol) :+ col(outlierCol) :+ col(curCol) :+ col(meanCol)): _*)
+      val joinCond = nullSafeJoinCondition(
+        groupBy.map(col) :+ grain, renamedGroups.map(col) :+ col(grainCol))
+      df.join(flags, joinCond, "left").drop(renamedGroups: _*)
+    }
+    DatasetCheck(applyFn,
+      makeCondition(coalesce(col(outlierCol), lit(false)),
+        concat(lit(s"$aggrType(${column}) per $timeInterval value "), valueText(col(curCol)),
+          lit(" is an outlier vs rolling mean "), valueText(col(meanCol)),
+          lit(s" (sigma=$sigma)"))))
+  }
+
+  // ---------------------------------------------------- aggr_matches_dataset
+
+  /** D10 (check_funcs.py:2610): aggregate of the input equals the same (or a
+    * named) aggregate of a reference dataset, per group or global, with
+    * tolerances. Null-safe compare: group missing on either side mismatches.
+    */
+  def aggrMatchesDataset(column: String, refDf: DataFrame, refColumn: String,
+                         aggrType: String = "count", groupBy: Seq[String] = Seq.empty,
+                         refGroupBy: Seq[String] = Seq.empty,
+                         rowFilter: Option[String] = None, refRowFilter: Option[String] = None,
+                         absTolerance: Double = 0.0, relTolerance: Double = 0.0): DatasetCheck = {
+    val refGroups = if (refGroupBy.nonEmpty) refGroupBy else groupBy
+    require(groupBy.length == refGroups.length, "group_by and ref_group_by must align")
+    val id = uniqueSuffix()
+    val metricCol = s"__dq_am_cur_$id"
+    val refMetricCol = s"__dq_am_ref_$id"
+    def aggOf(colName: String, filter: Option[String]): Column = {
+      val isStar = colName == "*"
+      val base = if (isStar) lit(1) else col(colName)
+      val in = filter.map(f => when(expr(f), base)).getOrElse(base)
+      buildAggrExpr(aggrType, in, isStar = isStar && filter.isEmpty)
+    }
+    val applyFn = (df: DataFrame) => {
+      if (groupBy.nonEmpty) {
+        val renamed = refGroups.map(g => s"__dq_amg_${g}_$id")
+        val refAgg = refDf.groupBy(refGroups.zip(renamed).map { case (g, nn) => col(g).as(nn) }: _*)
+          .agg(aggOf(refColumn, refRowFilter).as(refMetricCol))
+        val cur = df.withColumn(metricCol,
+          aggOf(column, rowFilter).over(Window.partitionBy(groupBy.map(col): _*)))
+        cur.join(refAgg, nullSafeJoinCondition(groupBy.map(col), renamed.map(col)), "left")
+          .drop(renamed: _*)
+      } else {
+        val refAgg = refDf.select(aggOf(refColumn, refRowFilter).as(refMetricCol)).limit(1)
+        val curAgg = df.select(aggOf(column, rowFilter).as(metricCol)).limit(1)
+        df.crossJoin(broadcast(curAgg)).crossJoin(broadcast(refAgg))
+      }
+    }
+    val m = col(metricCol); val r = col(refMetricCol)
+    val tolBand = lit(absTolerance) + lit(relTolerance) * abs(r)
+    val mismatch =
+      if (absTolerance > 0 || relTolerance > 0)
+        (m.isNull =!= r.isNull) || abs(m - r) > tolBand
+      else !(m <=> r)
+    DatasetCheck(applyFn,
+      makeCondition(mismatch,
+        concat(lit(s"$aggrType(${column}) value "), valueText(m),
+          lit(s" does not match reference $aggrType(${refColumn}) value "), valueText(r))))
+  }
+
+  // -------------------------------------------------------- compare_datasets
+
+  /** D11 (check_funcs.py:2785): full dataset diff keyed on `columns` /
+    * `refColumns`: missing rows (in ref, not in input — only when
+    * `checkMissingRecords`, which switches to a full-outer join and APPENDS
+    * those rows), extra rows (in input, not in ref), and per-column value
+    * changes with numeric tolerance. Map-type columns are skipped.
+    */
+  def compareDatasets(columns: Seq[String], refColumns: Seq[String], refDf: DataFrame,
+                      checkMissingRecords: Boolean = false,
+                      excludeColumns: Seq[String] = Seq.empty,
+                      nullSafeRowMatching: Boolean = true,
+                      nullSafeColumnValueMatching: Boolean = true,
+                      absTolerance: Double = 0.0, relTolerance: Double = 0.0): DatasetCheck = {
+    require(columns.length == refColumns.length, "columns and ref_columns must align")
+    val id = uniqueSuffix()
+    val missingCol = s"__dq_cmp_missing_$id"
+    val extraCol = s"__dq_cmp_extra_$id"
+    val changedCol = s"__dq_cmp_changed_$id"
+    val applyFn = (df: DataFrame) => {
+      val dfCols = df.columns.toSeq
+      val refPrefix = s"__dq_ref_${id}_"
+      val ref = refDf.select(refDf.columns.map(c => col(c).as(refPrefix + c)): _*)
+      val leftKeys = columns.map(col)
+      val rightKeys = refColumns.map(c => col(refPrefix + c))
+      val joinCond =
+        if (nullSafeRowMatching) nullSafeJoinCondition(leftKeys, rightKeys)
+        else equalityJoinCondition(leftKeys, rightKeys)
+      val joinType = if (checkMissingRecords) "full_outer" else "left_outer"
+      val joined = df.join(ref, joinCond, joinType)
+      // present-markers: any key column non-null on that side
+      val leftPresent = leftKeys.map(_.isNotNull).reduce(_ || _)
+      val rightPresent = rightKeys.map(_.isNotNull).reduce(_ || _)
+      // columns compared by matching name, minus keys and exclusions and maps
+      val refNames = refDf.columns.toSet
+      val skipTypes = refDf.schema.fields.filter(_.dataType.typeName == "map").map(_.name).toSet ++
+        df.schema.fields.filter(_.dataType.typeName == "map").map(_.name).toSet
+      val compared = dfCols.filter(c => refNames.contains(c) &&
+        !columns.contains(c) && !excludeColumns.contains(c) && !skipTypes.contains(c))
+      def colDiff(c: String): Column = {
+        val a = col(c); val b = col(refPrefix + c)
+        val dt = df.schema(c).dataType
+        val same = dt match {
+          case _: org.apache.spark.sql.types.NumericType if absTolerance > 0 || relTolerance > 0 =>
+            (a.isNull && b.isNull) ||
+              (a.isNotNull && b.isNotNull &&
+                abs(a.cast("double") - b.cast("double")) <= lit(absTolerance) + lit(relTolerance) * abs(b.cast("double")))
+          case _ => if (nullSafeColumnValueMatching) a <=> b else a === b
+        }
+        !same
+      }
+      val changedMap =
+        if (compared.isEmpty) lit(null).cast("map<string,string>")
+        else map_filter(
+          map(compared.flatMap(c => Seq(lit(c),
+            when(colDiff(c), concat_ws(" -> ", valueText(col(c)), valueText(col(refPrefix + c))))
+          )): _*),
+          (_, v) => v.isNotNull)
+      // For full-outer missing rows the input columns are NULL: coalesce PKs so
+      // downstream sees the key (check_funcs.py:2941 coalesced PK output).
+      val keyFixed = columns.zip(refColumns).foldLeft(joined) { case (d, (c, rc)) =>
+        d.withColumn(c, coalesce(col(c), col(refPrefix + rc)))
+      }
+      keyFixed
+        .withColumn(missingCol, !leftPresent && rightPresent)
+        .withColumn(extraCol, leftPresent && !rightPresent)
+        .withColumn(changedCol, when(leftPresent && rightPresent, changedMap))
+        .drop(refDf.columns.map(refPrefix + _): _*)
+    }
+    val anyChanged = coalesce(size(map_keys(col(changedCol))) > 0, lit(false))
+    val failCond = col(missingCol) || col(extraCol) || anyChanged
+    DatasetCheck(applyFn,
+      makeCondition(failCond,
+        to_json(struct(
+          col(missingCol).as("row_missing"),
+          col(extraCol).as("row_extra"),
+          col(changedCol).as("changed")))))
+  }
+
+  // ------------------------------------------------------------ time windows
+
+  /** D12 (check_funcs.py:2948): per-tumbling-window arrival count must reach
+    * `minRecordsPerWindow`. Null timestamps are coalesced to a 1900-01-01
+    * sentinel window. Only windows within `lookbackWindows` of `curTimestamp`
+    * are checked when set.
+    */
+  def isDataFreshPerTimeWindow(column: String, windowMinutes: Int, minRecordsPerWindow: Long,
+                               lookbackWindows: Option[Int] = None,
+                               rowFilter: Option[String] = None,
+                               curTimestamp: Option[Column] = None): DatasetCheck = {
+    val id = uniqueSuffix()
+    val cntCol = s"__dq_fresh_cnt_$id"
+    val winCol = s"__dq_fresh_win_$id"
+    val filterC = rowFilter.map(expr).getOrElse(lit(true))
+    val ts = coalesce(col(column), lit("1900-01-01 00:00:00").cast("timestamp"))
+    val win = window(ts, s"$windowMinutes minutes")
+    val applyFn = (df: DataFrame) => {
+      val withWin = df.withColumn(winCol, win.getField("start"))
+      val w = Window.partitionBy(col(winCol))
+      withWin.withColumn(cntCol, sum(when(filterC, lit(1)).otherwise(lit(0))).over(w))
+    }
+    val now = curTimestamp.getOrElse(current_timestamp())
+    val inLookback = lookbackWindows match {
+      case Some(n) => col(winCol) >= to_timestamp(from_unixtime(
+        unix_timestamp(now) - n.toLong * windowMinutes * 60))
+      case None => lit(true)
+    }
+    DatasetCheck(applyFn,
+      makeCondition(inLookback && col(cntCol) < minRecordsPerWindow,
+        concat(lit(s"Time window starting "), valueText(col(winCol)),
+          lit(s" has "), col(cntCol).cast("string"),
+          lit(s" records, fewer than $minRecordsPerWindow"))))
+  }
+
+  /** D13 (check_funcs.py:3062): missing tumbling windows in a time series.
+    * Occupied windows per group are ranked; a gap exists when the next occupied
+    * window starts more than one window-length after the current. Rows in the
+    * bucket immediately before a gap fail.
+    */
+  def hasNoGapsPerTimeWindow(column: String, windowMinutes: Int,
+                             groupBy: Seq[String] = Seq.empty,
+                             trailingGapMinutes: Option[Int] = None,
+                             curTimestamp: Option[Column] = None): DatasetCheck = {
+    val id = uniqueSuffix()
+    val winCol = s"__dq_gap_win_$id"
+    val gapCol = s"__dq_gap_flag_$id"
+    val nextCol = s"__dq_gap_next_$id"
+    val win = window(col(column), s"$windowMinutes minutes").getField("start")
+    val applyFn = (df: DataFrame) => {
+      val withWin = df.withColumn(winCol, win)
+      val occupied = withWin.select((groupBy.map(col) :+ col(winCol)): _*).distinct()
+      val wLead = Window.partitionBy(groupBy.map(col): _*).orderBy(col(winCol))
+      val now = curTimestamp.getOrElse(current_timestamp())
+      val flagged = occupied
+        .withColumn(nextCol, lead(col(winCol), 1).over(wLead))
+        .withColumn(gapCol,
+          (col(nextCol).isNotNull &&
+            unix_timestamp(col(nextCol)) - unix_timestamp(col(winCol)) > windowMinutes * 60L) ||
+          (col(nextCol).isNull && trailingGapMinutes.exists(_ > 0) &&
+            unix_timestamp(now) - unix_timestamp(col(winCol)) > trailingGapMinutes.getOrElse(0) * 60L))
+      val renamed = groupBy.map(g => s"__dq_gg_${g}_$id")
+      val flags = flagged.select(
+        (groupBy.zip(renamed).map { case (g, nn) => col(g).as(nn) } :+
+          col(winCol).as(s"${winCol}_f") :+ col(gapCol) :+ col(nextCol)): _*)
+      val joinCond = nullSafeJoinCondition(
+        groupBy.map(col) :+ col(winCol), renamed.map(col) :+ col(s"${winCol}_f"))
+      withWin.join(flags, joinCond, "left").drop((renamed :+ s"${winCol}_f"): _*)
+    }
+    DatasetCheck(applyFn,
+      makeCondition(coalesce(col(gapCol), lit(false)),
+        concat(lit("Gap after time window starting "), valueText(col(winCol)),
+          lit(", next occupied window "), valueText(col(nextCol)))))
+  }
+
+  // ------------------------------------------------------------ MAD outliers
+
+  /** D1 (check_funcs.py:1743): MAD outlier band — median ± factor·MAD computed
+    * via two driver-side actions, then a per-row band predicate with
+    * literal-folded bounds. `exact=true` uses exact percentile (oracle-stable);
+    * default approx matches the reference (percentile_approx).
+    * Batch-only (driver actions) — gate for streaming.
+    */
+  def hasNoOutliers(column: String, factor: Double = 3.5, exact: Boolean = false,
+                    rowFilter: Option[String] = None): DatasetCheck = {
+    val id = uniqueSuffix()
+    val loCol = s"__dq_mad_lo_$id"
+    val hiCol = s"__dq_mad_hi_$id"
+    val pct = if (exact) "percentile" else "approx_percentile"
+    val applyFn = (df: DataFrame) => {
+      val base = rowFilter.map(df.filter).getOrElse(df)
+      val medianRow = base.select(expr(s"$pct($column, 0.5)").as("m")).first()
+      if (medianRow.isNullAt(0)) {
+        df.withColumn(loCol, lit(null).cast("double")).withColumn(hiCol, lit(null).cast("double"))
+      } else {
+        val med = medianRow.getDouble(0)
+        val madRow = base.select(expr(s"$pct(abs($column - $med), 0.5)").as("mad")).first()
+        val mad = if (madRow.isNullAt(0)) 0.0 else madRow.getDouble(0)
+        val lo = med - factor * mad
+        val hi = med + factor * mad
+        df.withColumn(loCol, lit(lo)).withColumn(hiCol, lit(hi))
+      }
+    }
+    val filterC = rowFilter.map(expr).getOrElse(lit(true))
+    DatasetCheck(applyFn,
+      makeCondition(filterC && col(loCol).isNotNull && col(column).isNotNull &&
+        (col(column) < col(loCol) || col(column) > col(hiCol)),
+        concat(lit(s"Value '"), valueText(col(column)),
+          lit(s"' in column '$column' is outside MAD band ["),
+          valueText(col(loCol)), lit(", "), valueText(col(hiCol)), lit("]"))))
+  }
+
+  // ---------------------------------------------------------------- sql_query
+
+  /** D4 (check_funcs.py:2048): arbitrary SQL over an `{{input_view}}`
+    * placeholder (+ optional reference views); the boolean `conditionColumn` of
+    * the result is deduped per `mergeColumns` and joined back null-safely.
+    */
+  def sqlQuery(query: String, mergeColumns: Seq[String], conditionColumn: String,
+               negate: Boolean = false, inputPlaceholder: String = "input_view",
+               refDfs: Map[String, DataFrame] = Map.empty,
+               rowFilter: Option[String] = None): DatasetCheck = {
+    requireSafeSql(query, "SQL query")
+    require(mergeColumns.nonEmpty, "merge_columns must not be empty")
+    val id = uniqueSuffix()
+    val condCol = s"__dq_sql_cond_$id"
+    val applyFn = (df: DataFrame) => {
+      val spark = df.sparkSession
+      val viewName = s"__dq_input_view_$id"
+      df.createOrReplaceTempView(viewName)
+      refDfs.foreach { case (n, rdf) => rdf.createOrReplaceTempView(n) }
+      val sql = query.replace(s"{{$inputPlaceholder}}", viewName)
+      val result = spark.sql(sql)
+      // dedup to one row per merge key (check_funcs.py:2157)
+      val renamed = mergeColumns.map(m => s"__dq_sqlm_${m}_$id")
+      val deduped = result.groupBy(mergeColumns.zip(renamed).map { case (m, nn) => col(m).as(nn) }: _*)
+        .agg(max(col(conditionColumn)).as(condCol))
+      df.join(deduped, nullSafeJoinCondition(mergeColumns.map(col), renamed.map(col)), "left")
+        .drop(renamed: _*)
+    }
+    val filterC = rowFilter.map(expr).getOrElse(lit(true))
+    val raw = coalesce(col(condCol).cast("boolean"), lit(false))
+    val failCond = if (negate) !raw else raw
+    DatasetCheck(applyFn,
+      makeCondition(filterC && failCond,
+        lit(s"Row flagged by SQL query check on condition column '$conditionColumn'")))
+  }
+
+  // ------------------------------------------------------------- valid schema
+
+  /** D14 (check_funcs.py:3218): schema compatibility — strict (exact names,
+    * types, order) or permissive (expected fields present with compatible,
+    * possibly wider, types). Driver-side metadata compare; the per-row result
+    * is a literal.
+    */
+  def hasValidSchema(expectedDdl: String, strict: Boolean = false,
+                     columns: Seq[String] = Seq.empty,
+                     excludeColumns: Seq[String] = Seq.empty): DatasetCheck = {
+    val id = uniqueSuffix()
+    val okCol = s"__dq_schema_ok_$id"
+    val msgCol = s"__dq_schema_msg_$id"
+    val expected = org.apache.spark.sql.types.StructType.fromDDL(expectedDdl)
+    import org.apache.spark.sql.types._
+    def compatible(actual: DataType, exp: DataType): Boolean = (actual, exp) match {
+      case (a, e) if a == e => true
+      case (a: StructType, e: StructType) =>
+        e.fields.forall(ef => a.fields.find(_.name == ef.name).exists(af => compatible(af.dataType, ef.dataType)))
+      case (a: ArrayType, e: ArrayType) => compatible(a.elementType, e.elementType)
+      case (a: MapType, e: MapType) => compatible(a.keyType, e.keyType) && compatible(a.valueType, e.valueType)
+      // atomic widening (check_funcs.py:3669)
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    val applyFn = (df: DataFrame) => {
+      val sel = if (columns.nonEmpty) columns else df.columns.toSeq
+      val fields = df.schema.fields.filter(f => sel.contains(f.name) && !excludeColumns.contains(f.name))
+      val expFields = expected.fields.filterNot(f => excludeColumns.contains(f.name))
+      val (ok, msg) =
+        if (strict) {
+          val a = fields.map(f => (f.name, f.dataType)).toSeq
+          val e = expFields.map(f => (f.name, f.dataType)).toSeq
+          if (a == e) (true, "") else (false, s"Schema mismatch (strict): actual ${a.mkString(",")} vs expected ${e.mkString(",")}")
+        } else {
+          val actualMap = fields.map(f => f.name -> f.dataType).toMap
+          val problems = expFields.flatMap { ef =>
+            actualMap.get(ef.name) match {
+              case None => Some(s"missing column ${ef.name}")
+              case Some(at) if !compatible(at, ef.dataType) =>
+                Some(s"column ${ef.name}: incompatible type $at vs ${ef.dataType}")
+              case _ => None
+            }
+          }
+          (problems.isEmpty, problems.mkString("; "))
+        }
+      df.withColumn(okCol, lit(ok)).withColumn(msgCol, lit(if (msg.isEmpty) null else msg))
+    }
+    DatasetCheck(applyFn,
+      makeCondition(!col(okCol), coalesce(col(msgCol), lit("Schema mismatch"))))
+  }
+}

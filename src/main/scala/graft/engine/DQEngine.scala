@@ -1,0 +1,153 @@
+package graft.engine
+
+import graft.core._
+import graft.rules._
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+import scala.util.{Failure, Success, Try}
+
+/** The rule-compiler engine (reference dqx/engine.py:120-619): given a
+  * DataFrame and N rules, produce the same DataFrame plus `_errors` /
+  * `_warnings` result columns — each an `array<struct>` of failed-check
+  * descriptors, NULL when clean — in ONE pass over the data. Row checks
+  * compile into a single projection; each dataset check contributes its
+  * joins/windows upstream in the same Catalyst plan.
+  */
+object DQEngine {
+
+  private final case class Compiled(rule: DQRule, condition: Column, skipped: Option[String])
+
+  /** Apply rules, returning df + result columns (original columns preserved,
+    * temp metric columns dropped).
+    */
+  def applyChecks(df: DataFrame, rules: Seq[DQRule], extra: ExtraParams = ExtraParams()): DataFrame = {
+    val originalCols = df.columns.toSeq
+    val runTime: Column = extra.runTimeOverwrite.map(t => lit(t).cast("timestamp"))
+      .getOrElse(current_timestamp())
+    val runId: String = extra.runIdOverwrite.getOrElse(java.util.UUID.randomUUID().toString)
+    val ruleSetFp = Fingerprint.ruleSetFingerprint(rules.map(_.fingerprint))
+
+    // Sequential fold of dataset-check applies; row checks are plan-time only.
+    var current = df
+    val compiled: Seq[Compiled] = rules.map {
+      case r: DQRowRule =>
+        // plan-time resolution probe — analysis only, no job (manager.py:323-345)
+        probe(df, r.check, r.filter) match {
+          case None => Compiled(r, r.check, None)
+          case Some(err) => Compiled(r, lit(null).cast("string"), Some(err))
+        }
+      case r: DQDatasetRule =>
+        Try {
+          val next = r.check.applyFn(current)
+          next.select(r.check.condition) // force analysis of the condition
+          next
+        } match {
+          case Success(next) =>
+            current = next
+            Compiled(r, r.check.condition, None)
+          case Failure(e: org.apache.spark.sql.AnalysisException) =>
+            Compiled(r, lit(null).cast("string"), Some(s"Check skipped: ${firstLine(e.getMessage)}"))
+          case Failure(e) => throw e
+        }
+    }
+
+    def resultStruct(c: Compiled): Column = {
+      val r = c.rule
+      val meta = extra.userMetadata ++ r.userMetadata
+      val metadataCol =
+        if (meta.isEmpty) lit(null).cast("map<string,string>")
+        else map(meta.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      def mkStruct(message: Column, skipped: Boolean): Column = struct(
+        lit(r.resolvedName).as("name"),
+        message.as("message"),
+        (if (r.columns.isEmpty) lit(null).cast("array<string>")
+         else array(r.columns.map(lit): _*)).as("columns"),
+        r.filter.map(lit(_)).getOrElse(lit(null).cast("string")).as("filter"),
+        lit(r.function).as("function"),
+        runTime.as("run_time"),
+        lit(runId).as("run_id"),
+        metadataCol.as("user_metadata"),
+        lit(r.fingerprint).as("rule_fingerprint"),
+        lit(ruleSetFp).as("rule_set_fingerprint"),
+        lit(skipped).as("skipped"))
+      c.skipped match {
+        case Some(msg) =>
+          if (extra.suppressSkipped) lit(null).cast(DQSchemas.resultItem)
+          else mkStruct(lit(msg), skipped = true)
+        case None =>
+          val filterC = r.filter.map(f => expr(f)).getOrElse(lit(true))
+          when(filterC && c.condition.isNotNull, mkStruct(c.condition, skipped = false))
+            .otherwise(lit(null).cast(DQSchemas.resultItem))
+      }
+    }
+
+    def resultArray(cs: Seq[Compiled]): Column =
+      if (cs.isEmpty) lit(null).cast(DQSchemas.resultArray)
+      else {
+        val arr = array_compact(array(cs.map(resultStruct): _*))
+        when(size(arr) > 0, arr).otherwise(lit(null).cast(DQSchemas.resultArray))
+      }
+
+    val (errs, warns) = compiled.partition(_.rule.criticality == Criticality.Error)
+    val names = extra.resultColumnNames
+    current.select(
+      (originalCols.map(col) :+
+        resultArray(errs).as(names.errors) :+
+        resultArray(warns).as(names.warnings)): _*)
+  }
+
+  /** Plan-time analysis probe: None if the condition+filter resolve against df,
+    * Some(reason) otherwise. Retries unresolved plain names as backtick-quoted
+    * (manager.py:323-356).
+    */
+  private def probe(df: DataFrame, cond: Column, filter: Option[String]): Option[String] =
+    Try {
+      df.select(cond)
+      filter.foreach(f => df.select(expr(f)))
+    } match {
+      case Success(_) => None
+      case Failure(e: org.apache.spark.sql.AnalysisException) => Some(s"Check skipped: ${firstLine(e.getMessage)}")
+      case Failure(e) => throw e
+    }
+
+  private def firstLine(s: String): String =
+    Option(s).map(_.linesIterator.next()).getOrElse("analysis error")
+
+  /** Good/bad quarantine split (engine.py:200-234, :345-372). Good rows have no
+    * errors (warnings allowed) and drop the result columns; bad rows have
+    * errors or warnings and keep them.
+    */
+  def applyChecksAndSplit(df: DataFrame, rules: Seq[DQRule],
+                          extra: ExtraParams = ExtraParams()): (DataFrame, DataFrame) = {
+    val checked = applyChecks(df, rules, extra)
+    (getValid(checked, extra), getInvalid(checked, extra))
+  }
+
+  def getValid(checked: DataFrame, extra: ExtraParams = ExtraParams()): DataFrame = {
+    val n = extra.resultColumnNames
+    checked.where(col(n.errors).isNull).drop(n.errors, n.warnings)
+  }
+
+  def getInvalid(checked: DataFrame, extra: ExtraParams = ExtraParams()): DataFrame = {
+    val n = extra.resultColumnNames
+    checked.where(col(n.errors).isNotNull || col(n.warnings).isNotNull)
+  }
+
+  /** Attach an Observation computing input/error/warning/valid counts plus any
+    * custom SQL aggregate expressions — zero extra pass (engine.py:621-658,
+    * metrics_observer.py:86-147).
+    */
+  def observeMetrics(checked: DataFrame, observation: Observation,
+                     extra: ExtraParams = ExtraParams(),
+                     customMetrics: Seq[String] = Seq.empty): DataFrame = {
+    val n = extra.resultColumnNames
+    val base = Seq(
+      count(lit(1)).as("input_row_count"),
+      count(when(col(n.errors).isNotNull, lit(1))).as("error_row_count"),
+      count(when(col(n.warnings).isNotNull, lit(1))).as("warning_row_count"),
+      count(when(col(n.errors).isNull && col(n.warnings).isNull, lit(1))).as("valid_row_count"))
+    val custom = customMetrics.map(expr)
+    checked.observe(observation, base.head, (base.tail ++ custom): _*)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.rules
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** A dataset-level check: `applyFn` adds hidden metric columns (window aggs,
+  * joins) that `condition` reads (dqx/rule.py:530-560, dqx/executor.py:115-149).
+  * `condition` is message-or-null, like row checks.
+  */
+final case class DatasetCheck(applyFn: DataFrame => DataFrame, condition: Column)
+
+/** Rule definitions. Mirrors dqx/rule.py:504-641 but idiomatic Scala: the check
+  * is an already-built Column / DatasetCheck; metadata deserialization builds
+  * these via the [[CheckRegistry]].
+  */
+sealed trait DQRule {
+  def name: String
+  def criticality: Criticality
+  def filter: Option[String]
+  def columns: Seq[String]
+  def function: String
+  def userMetadata: Map[String, String]
+  /** Arguments as given in metadata form; used only for fingerprinting. */
+  def arguments: Map[String, Any]
+  /** Explicit name, or the auto-derived `{cols}_{function}` name. */
+  def resolvedName: String
+
+  lazy val fingerprint: String = Fingerprint.ruleFingerprint(Map(
+    "name" -> name,
+    "criticality" -> criticality.value,
+    "function" -> function,
+    "arguments" -> arguments,
+    "filter" -> filter.orNull
+  ))
+}
+
+object DQRule {
+  /** Auto-name: `{col}_{function}` normalized (dqx utils.py:292-306 shape). */
+  def autoName(function: String, columns: Seq[String]): String = {
+    val base = (columns.toList ::: List(function)).mkString("_")
+    base.toLowerCase.replaceAll("[^a-z0-9_]+", "_").replaceAll("_+", "_").stripPrefix("_").stripSuffix("_")
+  }
+}
+
+final case class DQRowRule(
+    check: Column,
+    function: String,
+    columns: Seq[String] = Seq.empty,
+    name: String = "",
+    criticality: Criticality = Criticality.Error,
+    filter: Option[String] = None,
+    userMetadata: Map[String, String] = Map.empty,
+    arguments: Map[String, Any] = Map.empty) extends DQRule {
+  def resolvedName: String = if (name.nonEmpty) name else DQRule.autoName(function, columns)
+}
+
+final case class DQDatasetRule(
+    check: DatasetCheck,
+    function: String,
+    columns: Seq[String] = Seq.empty,
+    name: String = "",
+    criticality: Criticality = Criticality.Error,
+    filter: Option[String] = None,
+    userMetadata: Map[String, String] = Map.empty,
+    arguments: Map[String, Any] = Map.empty) extends DQRule {
+  def resolvedName: String = if (name.nonEmpty) name else DQRule.autoName(function, columns)
+}

@@ -1,0 +1,127 @@
+package graft
+
+import graft.checks.{DatasetChecks, RowChecks}
+import graft.core._
+import graft.engine.DQEngine
+import graft.rules._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** End-to-end slice (SURVEY §7.2): metadata-shaped rules -> result arrays ->
+  * good/bad split, on a tiny literal frame.
+  */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1, Some("a"), 10),
+    (2, None, 20),
+    (2, Some("c"), 30),
+    (3, Some("d"), -5)
+  ).toDF("id", "name", "amount")
+
+  private val extra = ExtraParams(
+    runTimeOverwrite = Some(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+    runIdOverwrite = Some("test-run"))
+
+  test("row check: is_not_null flags null rows as errors") {
+    val rules = Seq(DQRowRule(
+      check = RowChecks.isNotNull(col("name")),
+      function = "is_not_null", columns = Seq("name")))
+    val out = DQEngine.applyChecks(df, rules, extra)
+    assert(out.columns.toSeq == Seq("id", "name", "amount", "_errors", "_warnings"))
+    val bad = out.where(col("_errors").isNotNull).select("id").as[Int].collect()
+    assert(bad.toSeq == Seq(2))
+    val item = out.where(col("_errors").isNotNull)
+      .select(expr("_errors[0]")).collect().head.getStruct(0)
+    assert(item.getAs[String]("name") == "name_is_not_null")
+    assert(item.getAs[String]("function") == "is_not_null")
+    assert(item.getAs[String]("run_id") == "test-run")
+    assert(!item.getAs[Boolean]("skipped"))
+  }
+
+  test("criticality warn lands in _warnings; split keeps warned rows in good side") {
+    val rules = Seq(
+      DQRowRule(RowChecks.isNotNull(col("name")), "is_not_null", Seq("name")),
+      DQRowRule(RowChecks.isNotGreaterThan(col("amount"), 25), "is_not_greater_than",
+        Seq("amount"), criticality = Criticality.Warn))
+    val (good, bad) = DQEngine.applyChecksAndSplit(df, rules, extra)
+    // row id=2(null name) errors; id=2/30 warns only
+    assert(good.columns.toSeq == Seq("id", "name", "amount"))
+    assert(good.count() == 3) // warn-only rows stay good
+    assert(bad.count() == 2) // the error row + the warned row
+  }
+
+  test("dataset check: is_unique flags duplicate keys") {
+    val rules = Seq(DQDatasetRule(
+      DatasetChecks.isUnique(Seq("id")), "is_unique", Seq("id")))
+    val out = DQEngine.applyChecks(df, rules, extra)
+    val bad = out.where(col("_errors").isNotNull).select("id").as[Int].collect().sorted
+    assert(bad.toSeq == Seq(2, 2))
+    // temp metric columns dropped
+    assert(out.columns.toSeq == Seq("id", "name", "amount", "_errors", "_warnings"))
+  }
+
+  test("unresolvable column yields skipped result, not failure") {
+    val rules = Seq(DQRowRule(
+      RowChecks.isNotNull(col("nope")), "is_not_null", Seq("nope")))
+    val out = DQEngine.applyChecks(df, rules, extra)
+    val items = out.select(expr("_errors[0].skipped")).as[Boolean].collect()
+    assert(items.forall(identity))
+    assert(out.count() == 4)
+  }
+
+  test("per-rule filter gates the failure") {
+    val rules = Seq(DQRowRule(
+      RowChecks.isNotGreaterThan(col("amount"), 15), "is_not_greater_than", Seq("amount"),
+      filter = Some("id = 2")))
+    val out = DQEngine.applyChecks(df, rules, extra)
+    val bad = out.where(col("_errors").isNotNull).select("id", "amount")
+      .as[(Int, Int)].collect().toSet
+    assert(bad == Set((2, 20), (2, 30))) // id=3 amount=-5 passes; only id=2 rows checked
+  }
+
+  test("observation metrics count errors/warnings in one pass") {
+    val rules = Seq(
+      DQRowRule(RowChecks.isNotNull(col("name")), "is_not_null", Seq("name")),
+      DQRowRule(RowChecks.isNotGreaterThan(col("amount"), 25), "gt", Seq("amount"),
+        criticality = Criticality.Warn))
+    val obs = new org.apache.spark.sql.Observation("dq")
+    val observed = DQEngine.observeMetrics(DQEngine.applyChecks(df, rules, extra), obs)
+    observed.count()
+    val m = obs.get
+    assert(m("input_row_count") == 4L)
+    assert(m("error_row_count") == 1L)
+    assert(m("warning_row_count") == 1L)
+    assert(m("valid_row_count") == 2L)
+  }
+
+  test("foreign_key flags keys missing from reference") {
+    val ref = Seq(1, 3).toDF("rid")
+    val rules = Seq(DQDatasetRule(
+      DatasetChecks.foreignKey(Seq("id"), Seq("rid"), ref), "foreign_key", Seq("id")))
+    val out = DQEngine.applyChecks(df, rules, extra)
+    val bad = out.where(col("_errors").isNotNull).select("id").as[Int].collect().sorted
+    assert(bad.toSeq == Seq(2, 2))
+  }
+
+  test("aggr compare: grouped avg not greater than limit") {
+    val rules = Seq(DQDatasetRule(
+      DatasetChecks.isAggrNotGreaterThan("amount", 20.0, "avg", groupBy = Seq("id")),
+      "is_aggr_not_greater_than", Seq("amount")))
+    val out = DQEngine.applyChecks(df, rules, extra)
+    // id=2 avg=25 > 20 fails both rows; id=1 avg=10, id=3 avg=-5 pass
+    val bad = out.where(col("_errors").isNotNull).select("id").as[Int].collect().sorted
+    assert(bad.toSeq == Seq(2, 2))
+  }
+
+  test("fingerprints are stable and distinct") {
+    val r1 = DQRowRule(RowChecks.isNotNull(col("a")), "is_not_null", Seq("a"),
+      arguments = Map("column" -> "a"))
+    val r2 = DQRowRule(RowChecks.isNotNull(col("b")), "is_not_null", Seq("b"),
+      arguments = Map("column" -> "b"))
+    assert(r1.fingerprint != r2.fingerprint)
+    assert(r1.fingerprint == r1.copy().fingerprint)
+    assert(r1.fingerprint.matches("[0-9a-f]{64}"))
+  }
+}
