@@ -114,6 +114,20 @@ object DQEngine {
   private def firstLine(s: String): String =
     Option(s).map(_.linesIterator.next()).getOrElse("analysis error")
 
+  /** Metadata entry point (engine.py:236): YAML/JSON-shaped check dicts ->
+    * rules -> applyChecks. Reference DataFrames resolve by name.
+    */
+  def applyChecksByMetadata(df: DataFrame, checks: Seq[Map[String, Any]],
+                            extra: ExtraParams = ExtraParams(),
+                            refDfs: Map[String, DataFrame] = Map.empty): DataFrame =
+    applyChecks(df, ChecksSerializer.deserialize(checks, ResolveCtx(df.sparkSession, refDfs)), extra)
+
+  /** As above, from a YAML (or JSON) document. */
+  def applyChecksByMetadataYaml(df: DataFrame, yaml: String,
+                                extra: ExtraParams = ExtraParams(),
+                                refDfs: Map[String, DataFrame] = Map.empty): DataFrame =
+    applyChecksByMetadata(df, ChecksSerializer.parseYaml(yaml), extra, refDfs)
+
   /** Good/bad quarantine split (engine.py:200-234, :345-372). Good rows have no
     * errors (warnings allowed) and drop the result columns; bad rows have
     * errors or warnings and keep them.

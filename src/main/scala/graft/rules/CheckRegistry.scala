@@ -1,0 +1,166 @@
+package graft.rules
+
+import graft.checks._
+import graft.core.Criticality
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Typed access to a check's metadata arguments. */
+final case class CheckArgs(args: Map[String, Any]) {
+  def str(k: String): String = args.get(k) match {
+    case Some(s: String) => s
+    case Some(other) => String.valueOf(other)
+    case None => throw new IllegalArgumentException(s"Missing required argument: $k")
+  }
+  def strOpt(k: String): Option[String] = args.get(k).map(String.valueOf)
+  def strSeq(k: String): Seq[String] = args.get(k) match {
+    case Some(s: Seq[_]) => s.map(String.valueOf)
+    case Some(l: java.util.List[_]) => scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq.map(String.valueOf)
+    case Some(s: String) => Seq(s)
+    case Some(other) => throw new IllegalArgumentException(s"Argument $k is not a list: $other")
+    case None => Seq.empty
+  }
+  def anySeq(k: String): Seq[Any] = args.get(k) match {
+    case Some(s: Seq[_]) => s.asInstanceOf[Seq[Any]]
+    case Some(l: java.util.List[_]) => scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq
+    case None => Seq.empty
+    case Some(other) => Seq(other)
+  }
+  def int(k: String, default: => Int): Int = args.get(k).map(v => String.valueOf(v).toDouble.toInt).getOrElse(default)
+  def long(k: String, default: => Long): Long = args.get(k).map(v => String.valueOf(v).toDouble.toLong).getOrElse(default)
+  def double(k: String, default: => Double): Double = args.get(k).map(v => String.valueOf(v).toDouble).getOrElse(default)
+  def bool(k: String, default: => Boolean): Boolean = args.get(k).map {
+    case b: Boolean => b
+    case s => String.valueOf(s).toBoolean
+  }.getOrElse(default)
+  def any(k: String): Any = args.getOrElse(k, throw new IllegalArgumentException(s"Missing required argument: $k"))
+  def column(k: String = "column"): Column = col(str(k))
+  def has(k: String): Boolean = args.contains(k)
+}
+
+/** Resolution context handed to dataset-check builders that need reference
+  * datasets or the session (executor.py:115-149 signature injection).
+  */
+final case class ResolveCtx(spark: SparkSession, refDfs: Map[String, DataFrame] = Map.empty) {
+  def ref(args: CheckArgs): DataFrame = {
+    val name = args.strOpt("ref_df_name").orElse(args.strOpt("ref_table"))
+      .getOrElse(throw new IllegalArgumentException("ref_df_name or ref_table required"))
+    refDfs.getOrElse(name,
+      scala.util.Try(spark.read.table(name)).getOrElse(
+        throw new IllegalArgumentException(s"Unknown reference dataset: $name")))
+  }
+}
+
+sealed trait CheckFn
+final case class RowCheckFn(build: CheckArgs => Column) extends CheckFn
+final case class DatasetCheckFn(build: (CheckArgs, ResolveCtx) => DatasetCheck) extends CheckFn
+
+/** Name -> check function registry (reference CHECK_FUNC_REGISTRY,
+  * dqx/rule.py:38-49 + checks_resolver.py:36-109). Custom checks register via
+  * [[CheckRegistry.register]].
+  */
+object CheckRegistry {
+  import RowChecks._
+
+  private def lim(a: CheckArgs, k: String): Any = a.any(k)
+
+  private val rowBuilders: Map[String, CheckArgs => Column] = Map(
+    "is_not_null_and_not_empty" -> (a => isNotNullAndNotEmpty(a.column(), a.bool("trim_strings", false))),
+    "is_not_empty" -> (a => isNotEmpty(a.column(), a.bool("trim_strings", false))),
+    "is_not_null" -> (a => isNotNull(a.column())),
+    "is_null" -> (a => isNull(a.column())),
+    "is_empty" -> (a => isEmpty(a.column(), a.bool("trim_strings", false))),
+    "is_null_or_empty" -> (a => isNullOrEmpty(a.column(), a.bool("trim_strings", false))),
+    "has_valid_string_case" -> (a => hasValidStringCase(a.column(), a.strOpt("case_type").getOrElse("upper"))),
+    "is_not_null_and_is_in_list" -> (a => isNotNullAndIsInList(a.column(), a.anySeq("allowed"), a.bool("case_sensitive", true))),
+    "is_in_list" -> (a => isInList(a.column(), a.anySeq("allowed"), a.bool("case_sensitive", true))),
+    "is_not_in_list" -> (a => isNotInList(a.column(), a.anySeq("forbidden"), a.bool("case_sensitive", true))),
+    "sql_expression" -> (a => sqlExpression(a.str("expression"), a.strOpt("msg"), a.bool("negate", false))),
+    "is_older_than_col2_for_n_days" -> (a => isOlderThanCol2ForNDays(col(a.str("column1")), col(a.str("column2")), a.int("days", 0), a.bool("negate", false))),
+    "is_older_than_n_days" -> (a => isOlderThanNDays(a.column(), a.int("days", 0), a.strOpt("curr_date").map(col), a.bool("negate", false))),
+    "is_not_in_future" -> (a => isNotInFuture(a.column(), a.long("offset", 0), a.strOpt("curr_timestamp").map(col))),
+    "is_not_in_near_future" -> (a => isNotInNearFuture(a.column(), a.long("offset", 0), a.strOpt("curr_timestamp").map(col))),
+    "is_equal_to" -> (a => isEqualTo(a.column(), lim(a, "value"))),
+    "is_not_equal_to" -> (a => isNotEqualTo(a.column(), lim(a, "value"))),
+    "is_not_less_than" -> (a => isNotLessThan(a.column(), lim(a, "limit"))),
+    "is_not_greater_than" -> (a => isNotGreaterThan(a.column(), lim(a, "limit"))),
+    "is_in_range" -> (a => isInRange(a.column(), lim(a, "min_limit"), lim(a, "max_limit"))),
+    "is_not_in_range" -> (a => isNotInRange(a.column(), lim(a, "min_limit"), lim(a, "max_limit"))),
+    "regex_match" -> (a => regexMatch(a.column(), a.str("regex"), a.bool("negate", false))),
+    "is_not_null_and_not_empty_array" -> (a => isNotNullAndNotEmptyArray(a.column())),
+    "is_valid_date" -> (a => isValidDate(a.column(), a.strOpt("date_format"))),
+    "is_valid_timestamp" -> (a => isValidTimestamp(a.column(), a.strOpt("timestamp_format"))),
+    "is_valid_ipv4_address" -> (a => isValidIpv4Address(a.column())),
+    "is_valid_email" -> (a => isValidEmail(a.column())),
+    "is_valid_national_id" -> (a => isValidNationalId(a.column(), a.str("country"))),
+    "is_valid_country_code" -> (a => isValidCountryCode(a.column(), a.strOpt("code_format").getOrElse("alpha2"), a.bool("case_sensitive", true))),
+    "is_valid_currency_code" -> (a => isValidCurrencyCode(a.column(), a.bool("case_sensitive", true))),
+    "is_valid_subdivision_code" -> (a => isValidSubdivisionCode(a.column(), a.str("country"), a.bool("case_sensitive", true))),
+    "is_valid_language_code" -> (a => isValidLanguageCode(a.column(), a.bool("case_sensitive", true))),
+    "is_ipv4_address_in_cidr" -> (a => NetChecks.isIpv4AddressInCidr(a.column(), a.str("cidr_block"))),
+    "is_valid_ipv6_address" -> (a => NetChecks.isValidIpv6Address(a.column())),
+    "is_ipv6_address_in_cidr" -> (a => NetChecks.isIpv6AddressInCidr(a.column(), a.str("cidr_block"))),
+    "is_data_fresh" -> (a => isDataFresh(a.column(), a.long("max_age_minutes", 0), a.strOpt("base_timestamp").map(col))),
+    "is_valid_json" -> (a => isValidJson(a.column())),
+    "has_json_keys" -> (a => hasJsonKeys(a.column(), a.strSeq("keys"), a.bool("require_all", true))),
+    "has_valid_json_schema" -> (a => hasValidJsonSchema(a.column(), a.str("schema"))),
+    "is_latitude" -> (a => isLatitude(a.column())),
+    "is_longitude" -> (a => isLongitude(a.column()))
+  )
+
+  import DatasetChecks._
+  private val datasetBuilders: Map[String, (CheckArgs, ResolveCtx) => DatasetCheck] = Map(
+    "is_unique" -> ((a, _) => isUnique(a.strSeq("columns"), a.bool("nulls_distinct", true), a.strOpt("row_filter"))),
+    "foreign_key" -> ((a, ctx) => foreignKey(a.strSeq("columns"), a.strSeq("ref_columns"), ctx.ref(a),
+      a.bool("negate", false), a.bool("null_safe", false), a.strOpt("row_filter"))),
+    "sql_query" -> ((a, ctx) => sqlQuery(a.str("query"), a.strSeq("merge_columns"), a.str("condition_column"),
+      a.bool("negate", false), a.strOpt("input_placeholder").getOrElse("input_view"), ctx.refDfs, a.strOpt("row_filter"))),
+    "is_aggr_not_greater_than" -> ((a, _) => isAggrNotGreaterThan(a.str("column"), a.any("limit"),
+      a.strOpt("aggr_type").getOrElse("count"), a.strSeq("group_by"), a.strOpt("row_filter"))),
+    "is_aggr_not_less_than" -> ((a, _) => isAggrNotLessThan(a.str("column"), a.any("limit"),
+      a.strOpt("aggr_type").getOrElse("count"), a.strSeq("group_by"), a.strOpt("row_filter"))),
+    "is_aggr_equal" -> ((a, _) => isAggrEqual(a.str("column"), a.any("limit"),
+      a.strOpt("aggr_type").getOrElse("count"), a.strSeq("group_by"), a.strOpt("row_filter"),
+      a.double("abs_tolerance", 0.0), a.double("rel_tolerance", 0.0))),
+    "is_aggr_not_equal" -> ((a, _) => isAggrNotEqual(a.str("column"), a.any("limit"),
+      a.strOpt("aggr_type").getOrElse("count"), a.strSeq("group_by"), a.strOpt("row_filter"),
+      a.double("abs_tolerance", 0.0), a.double("rel_tolerance", 0.0))),
+    "has_no_aggr_outliers" -> ((a, _) => hasNoAggrOutliers(a.str("column"), a.str("time_column"),
+      a.strOpt("aggr_type").getOrElse("count"), a.double("sigma", 3.0), a.int("lookback", 10),
+      a.int("warmup", 3), a.strOpt("time_interval").getOrElse("1 day"), a.strSeq("group_by"), a.strOpt("row_filter"))),
+    "aggr_matches_dataset" -> ((a, ctx) => aggrMatchesDataset(a.str("column"), ctx.ref(a),
+      a.strOpt("ref_column").getOrElse(a.str("column")), a.strOpt("aggr_type").getOrElse("count"),
+      a.strSeq("group_by"), a.strSeq("ref_group_by"), a.strOpt("row_filter"), a.strOpt("ref_row_filter"),
+      a.double("abs_tolerance", 0.0), a.double("rel_tolerance", 0.0))),
+    "compare_datasets" -> ((a, ctx) => compareDatasets(a.strSeq("columns"), a.strSeq("ref_columns"), ctx.ref(a),
+      a.bool("check_missing_records", false), a.strSeq("exclude_columns"),
+      a.bool("null_safe_row_matching", true), a.bool("null_safe_column_value_matching", true),
+      a.double("abs_tolerance", 0.0), a.double("rel_tolerance", 0.0))),
+    "is_data_fresh_per_time_window" -> ((a, _) => isDataFreshPerTimeWindow(a.str("column"),
+      a.int("window_minutes", 60), a.long("min_records_per_window", 1),
+      if (a.has("lookback_windows")) Some(a.int("lookback_windows", 0)) else None,
+      a.strOpt("row_filter"), a.strOpt("curr_timestamp").map(col))),
+    "has_no_gaps_per_time_window" -> ((a, _) => hasNoGapsPerTimeWindow(a.str("column"),
+      a.int("window_minutes", 60), a.strSeq("group_by"),
+      if (a.has("trailing_gap_minutes")) Some(a.int("trailing_gap_minutes", 0)) else None,
+      a.strOpt("curr_timestamp").map(col))),
+    "has_no_outliers" -> ((a, _) => hasNoOutliers(a.str("column"), a.double("factor", 3.5),
+      a.bool("exact", false), a.strOpt("row_filter"))),
+    "has_valid_schema" -> ((a, _) => hasValidSchema(a.str("expected_schema"), a.bool("strict", false),
+      a.strSeq("columns"), a.strSeq("exclude_columns")))
+  )
+
+  private val custom = scala.collection.concurrent.TrieMap[String, CheckFn]()
+
+  /** Register a custom check function by name (checks_resolver.py:36-109). */
+  def register(name: String, fn: CheckFn): Unit = custom.put(name, fn)
+
+  def resolve(name: String): CheckFn =
+    custom.get(name)
+      .orElse(rowBuilders.get(name).map(RowCheckFn))
+      .orElse(datasetBuilders.get(name).map(b => DatasetCheckFn(b)))
+      .getOrElse(throw new IllegalArgumentException(s"Unknown check function: $name"))
+
+  def isRowCheck(name: String): Boolean = resolve(name).isInstanceOf[RowCheckFn]
+  def knownFunctions: Set[String] = rowBuilders.keySet ++ datasetBuilders.keySet ++ custom.keySet
+}

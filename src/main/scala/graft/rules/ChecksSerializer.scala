@@ -1,0 +1,163 @@
+package graft.rules
+
+import graft.core.Criticality
+import org.yaml.snakeyaml.Yaml
+
+import scala.jdk.CollectionConverters._
+
+/** Metadata (YAML/JSON dict) <-> rules (reference checks_serializer.py:238-409,
+  * checks_validator.py:52-116). The canonical metadata shape:
+  *
+  * {{{
+  * - name: optional_rule_name
+  *   criticality: error | warn
+  *   check:
+  *     function: is_not_null
+  *     arguments: { column: a }
+  *     for_each_column: [a, b]   # expands one template x N columns
+  *   filter: "b > 1"
+  *   user_metadata: { k: v }
+  * }}}
+  */
+object ChecksSerializer {
+
+  private val allowedTopKeys = Set("name", "criticality", "check", "filter", "user_metadata")
+  private val allowedCheckKeys = Set("function", "arguments", "for_each_column")
+
+  /** Parse YAML (or JSON — YAML superset) into check dicts. */
+  def parseYaml(content: String): Seq[Map[String, Any]] = {
+    val yaml = new Yaml()
+    val parsed = yaml.load[Any](content)
+    toScala(parsed) match {
+      case s: Seq[_] => s.map(_.asInstanceOf[Map[String, Any]])
+      case m: Map[_, _] => Seq(m.asInstanceOf[Map[String, Any]])
+      case null => Seq.empty
+      case other => throw new IllegalArgumentException(s"Expected a list of checks, got: $other")
+    }
+  }
+
+  private def toScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] => m.asScala.map { case (k, x) => String.valueOf(k) -> toScala(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(toScala).toSeq
+    case other => other
+  }
+
+  private def toJava(v: Any): Any = v match {
+    case m: Map[_, _] => m.map { case (k, x) => String.valueOf(k) -> toJava(x) }.asJava
+    case s: Seq[_] => s.map(toJava).asJava
+    case other => other
+  }
+
+  /** Render check dicts back to YAML (save_checks path). */
+  def toYaml(checks: Seq[Map[String, Any]]): String =
+    new Yaml().dump(checks.map(toJava).asJava)
+
+  /** Structural validation against the allow-list schema. Returns error
+    * strings; empty = valid (checks_validator.py:52-116).
+    */
+  def validateChecks(checks: Seq[Map[String, Any]]): Seq[String] =
+    checks.zipWithIndex.flatMap { case (c, i) =>
+      val unknownTop = c.keySet -- allowedTopKeys
+      val base = if (unknownTop.nonEmpty) Seq(s"check[$i]: unknown keys ${unknownTop.mkString(",")}") else Seq.empty
+      c.get("check") match {
+        case Some(ch: Map[_, _]) =>
+          val chm = ch.asInstanceOf[Map[String, Any]]
+          val unknownCheck = chm.keySet -- allowedCheckKeys
+          val e1 = if (unknownCheck.nonEmpty) Seq(s"check[$i].check: unknown keys ${unknownCheck.mkString(",")}") else Seq.empty
+          val e2 = chm.get("function") match {
+            case Some(f: String) =>
+              if (scala.util.Try(CheckRegistry.resolve(f)).isFailure) Seq(s"check[$i]: unknown function '$f'") else Seq.empty
+            case _ => Seq(s"check[$i]: check.function is required")
+          }
+          val e3 = c.get("criticality") match {
+            case Some(cr: String) if scala.util.Try(Criticality.fromString(cr)).isFailure =>
+              Seq(s"check[$i]: invalid criticality '$cr'")
+            case _ => Seq.empty
+          }
+          base ++ e1 ++ e2 ++ e3
+        case Some(other) => base :+ s"check[$i]: 'check' must be a mapping, got $other"
+        case None => base :+ s"check[$i]: 'check' is required"
+      }
+    }
+
+  /** Deserialize validated check dicts into rules, expanding for_each_column
+    * (checks_serializer.py:238-364).
+    */
+  def deserialize(checks: Seq[Map[String, Any]], ctx: ResolveCtx): Seq[DQRule] = {
+    val errors = validateChecks(checks)
+    require(errors.isEmpty, s"Invalid checks:\n${errors.mkString("\n")}")
+    checks.flatMap { c =>
+      val check = c("check").asInstanceOf[Map[String, Any]]
+      val function = check("function").asInstanceOf[String]
+      val baseArgs = check.getOrElse("arguments", Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
+      val forEach = check.get("for_each_column").map {
+        case s: Seq[_] => s.map(String.valueOf)
+        case other => Seq(String.valueOf(other))
+      }
+      val criticality = c.get("criticality").map(v => Criticality.fromString(String.valueOf(v)))
+        .getOrElse(Criticality.Error)
+      val filter = c.get("filter").map(String.valueOf)
+      val name = c.get("name").map(String.valueOf).getOrElse("")
+      val userMeta = c.get("user_metadata").map(_.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> String.valueOf(v) }).getOrElse(Map.empty[String, String])
+
+      val argSets: Seq[(Map[String, Any], String)] = forEach match {
+        case Some(cols) =>
+          // expand template x N columns; suffix auto-names per column
+          cols.map(cn => (baseArgs + (columnArgKey(function) -> cn), cn))
+        case None => Seq((baseArgs, ""))
+      }
+      argSets.map { case (args, suffixCol) =>
+        val ruleName = (name, suffixCol) match {
+          case ("", _) => ""
+          case (n, "") => n
+          case (n, sc) => s"${n}_$sc"
+        }
+        buildRule(function, args, ruleName, criticality, filter, userMeta, ctx)
+      }
+    }
+  }
+
+  /** Dataset checks taking a columns LIST expand for_each_column into that key. */
+  private def columnArgKey(function: String): String = function match {
+    case "is_unique" | "foreign_key" | "compare_datasets" => "columns"
+    case _ => "column"
+  }
+
+  /** Column names surfaced in the result struct, from the arguments. */
+  private def columnsOf(args: Map[String, Any]): Seq[String] = {
+    def asSeq(v: Any): Seq[String] = v match {
+      case s: Seq[_] => s.map(String.valueOf)
+      case l: java.util.List[_] => l.asScala.toSeq.map(String.valueOf)
+      case other => Seq(String.valueOf(other))
+    }
+    args.get("columns").map(asSeq)
+      .orElse(args.get("column").map(asSeq))
+      .orElse(args.get("column1").map(c1 => asSeq(c1) ++ args.get("column2").map(asSeq).getOrElse(Seq.empty)))
+      .getOrElse(Seq.empty)
+  }
+
+  def buildRule(function: String, args: Map[String, Any], name: String,
+                criticality: Criticality, filter: Option[String],
+                userMetadata: Map[String, String], ctx: ResolveCtx): DQRule = {
+    val ca = CheckArgs(args)
+    CheckRegistry.resolve(function) match {
+      case RowCheckFn(build) =>
+        DQRowRule(build(ca), function, columnsOf(args), name, criticality, filter, userMetadata, args)
+      case DatasetCheckFn(build) =>
+        DQDatasetRule(build(ca, ctx), function, columnsOf(args), name, criticality, filter, userMetadata, args)
+    }
+  }
+
+  /** Serialize rules back to metadata dicts (round-trip for storage). */
+  def serialize(rules: Seq[DQRule]): Seq[Map[String, Any]] =
+    rules.map { r =>
+      Map(
+        "name" -> r.resolvedName,
+        "criticality" -> r.criticality.value,
+        "check" -> (Map("function" -> r.function) ++
+          (if (r.arguments.nonEmpty) Map("arguments" -> r.arguments) else Map.empty))
+      ) ++ r.filter.map("filter" -> _).toMap ++
+        (if (r.userMetadata.nonEmpty) Map("user_metadata" -> r.userMetadata) else Map.empty)
+    }
+}

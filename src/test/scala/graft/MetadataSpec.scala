@@ -1,0 +1,77 @@
+package graft
+
+import graft.engine.DQEngine
+import graft.rules._
+import org.apache.spark.sql.functions._
+
+/** Metadata (YAML) path: parse -> validate -> expand -> apply. */
+class MetadataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1, Some("a"), 10), (2, None, 20), (2, Some("c"), 30), (3, Some("d"), -5)
+  ).toDF("id", "name", "amount")
+
+  test("yaml checks with for_each_column expansion apply end-to-end") {
+    val yaml =
+      """
+        |- criticality: error
+        |  check:
+        |    function: is_not_null
+        |    for_each_column: [id, name]
+        |- name: amount_range
+        |  criticality: warn
+        |  check:
+        |    function: is_in_range
+        |    arguments: { column: amount, min_limit: 0, max_limit: 25 }
+        |""".stripMargin
+    val out = DQEngine.applyChecksByMetadataYaml(df, yaml)
+    val errs = out.where(col("_errors").isNotNull).select("id").as[Int].collect()
+    assert(errs.toSeq == Seq(2)) // null name
+    val warns = out.where(col("_warnings").isNotNull).select("amount").as[Int].collect().sorted
+    assert(warns.toSeq == Seq(-5, 30))
+  }
+
+  test("dataset check via metadata with ref_df_name") {
+    val ref = Seq(1, 3).toDF("rid")
+    val checks = Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "foreign_key",
+        "arguments" -> Map("columns" -> Seq("id"), "ref_columns" -> Seq("rid"), "ref_df_name" -> "ref"))))
+    val out = DQEngine.applyChecksByMetadata(df, checks, refDfs = Map("ref" -> ref))
+    val bad = out.where(col("_errors").isNotNull).select("id").as[Int].collect().sorted
+    assert(bad.toSeq == Seq(2, 2))
+  }
+
+  test("validation rejects unknown function and bad criticality") {
+    val errs = ChecksSerializer.validateChecks(Seq(
+      Map("criticality" -> "fatal", "check" -> Map("function" -> "nope")),
+      Map("check" -> Map.empty[String, Any]),
+      Map("bogus" -> 1, "check" -> Map("function" -> "is_not_null"))))
+    assert(errs.exists(_.contains("unknown function")))
+    assert(errs.exists(_.contains("invalid criticality")))
+    assert(errs.exists(_.contains("function is required")))
+    assert(errs.exists(_.contains("unknown keys")))
+  }
+
+  test("serialize -> parse round trip") {
+    val rules = ChecksSerializer.deserialize(Seq(
+      Map("name" -> "r1", "criticality" -> "warn",
+        "check" -> Map("function" -> "is_not_null", "arguments" -> Map("column" -> "id")),
+        "filter" -> "id > 0")), ResolveCtx(spark))
+    val yaml = ChecksSerializer.toYaml(ChecksSerializer.serialize(rules))
+    val back = ChecksSerializer.deserialize(ChecksSerializer.parseYaml(yaml), ResolveCtx(spark))
+    assert(back.head.resolvedName == "r1")
+    assert(back.head.criticality == graft.core.Criticality.Warn)
+    assert(back.head.filter.contains("id > 0"))
+  }
+
+  test("custom check function registration") {
+    CheckRegistry.register("my_custom_positive", RowCheckFn(a =>
+      graft.core.CheckUtils.makeCondition(a.column() <= 0, "not positive")))
+    val out = DQEngine.applyChecksByMetadataYaml(df,
+      "- check: { function: my_custom_positive, arguments: { column: amount } }")
+    val bad = out.where(col("_errors").isNotNull).select("amount").as[Int].collect()
+    assert(bad.toSeq == Seq(-5))
+  }
+}
