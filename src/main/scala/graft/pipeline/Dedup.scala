@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All shapes are shuffle-conscious for the 100 TB target:
+  *  - exact dedup: one hash-groupBy shuffle on a 64-bit content key;
+  *  - MinHash LSH: signature computed per-row (no shuffle), banding explodes to
+  *    B rows/doc, candidate pairs come from an equi-join on (band, bandHash) —
+  *    i.e. only same-bucket docs ever meet; exact-Jaccard verification happens
+  *    per candidate pair, never all-pairs;
+  *  - SimHash: single 64-bit sketch per row, near-dup candidates via pigeonhole
+  *    banding on 16-bit chunks, Hamming-verified.
+  */
+object Dedup {
+
+  /** Word tokens (lowercased later where needed by the caller). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (distinct), 1-indexed contiguous windows. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    array_distinct(
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))))
+        .otherwise(array(concat_ws(" ", t))))
+  }
+
+  // ------------------------------------------------------------- exact dedup
+
+  /** Flag exact duplicates by content key (hash-groupBy; one shuffle).
+    * Adds `__dup_count` (rows sharing the key) and `__is_duplicate`.
+    */
+  def flagExactDuplicates(df: DataFrame, keyCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*)
+    df.withColumn("__dup_count", count(lit(1)).over(w))
+      .withColumn("__is_duplicate", col("__dup_count") > 1)
+  }
+
+  /** Keep one row per content key (first by `orderCol`). At 100 TB this is the
+    * standard `row_number over (partition by key)` shuffle; AQE handles skew.
+    */
+  def dedupExact(df: DataFrame, keyCols: Seq[Column], orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCol)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  // -------------------------------------------------------------- MinHash LSH
+
+  /** MinHash signature: array of `numHashes` min-values of seeded xxhash64 over
+    * the shingle set. Computed row-local — no shuffle, codegen'd.
+    */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** Candidate pairs via banding: signature split into `bands` bands of
+    * `rowsPerBand`; docs sharing any band bucket become candidates; candidates
+    * are verified with EXACT Jaccard over the shingle sets. Output:
+    * (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def minHashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 3, numHashes: Int = 64,
+                            bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleSize).as("__sh"))
+      .withColumn("__sig", minHashSignature(col("__sh"), numHashes))
+    // explode to (id, band, bandHash); bucket join on (band, bandHash)
+    val banded = sh.select(col("__id"), col("__sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("__band", "__bandhash")))
+    val l = banded.select(col("__id").as("id_a"), col("__sh").as("__sh_a"), col("__band"), col("__bandhash"))
+    val r = banded.select(col("__id").as("id_b"), col("__sh").as("__sh_b"), col("__band"), col("__bandhash"))
+    val candidates = l.join(r, Seq("__band", "__bandhash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__sh_a", "__sh_b")
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(candidates, threshold)
+  }
+
+  /** n-gram Jaccard near-dup: same machinery, exposed with jaccard semantics
+    * front-and-center (blocking via MinHash bands, exact verification).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.7): DataFrame =
+    minHashDuplicatePairs(df, idCol, textCol, shingleSize = n,
+      numHashes = 64, bands = 32, threshold = threshold)
+
+  private def verifyJaccard(candidates: DataFrame, threshold: Double): DataFrame = {
+    val inter = size(array_intersect(col("__sh_a"), col("__sh_b")))
+    val union = size(col("__sh_a")) + size(col("__sh_b")) - inter
+    candidates
+      .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------------ SimHash
+
+  /** 64-bit SimHash over the token array (single-pass custom expression). */
+  def simHash(tokensCol: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokensCol)))
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance <= maxHamming.
+    * Pigeonhole banding: the 64-bit sketch is split into `maxHamming + 1`
+    * chunks; a pair within the Hamming budget must agree on at least one chunk
+    * exactly, so candidates come from an equi-join on (chunkIndex, chunkValue)
+    * — no all-pairs comparison, recall 1 by construction.
+    */
+  def simHashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks
+    // chunk i covers [offsets(i), offsets(i+1)); last chunk takes the remainder
+    val offsets = (0 until nChunks).map(_ * base) :+ 64
+    val withSig = df.select(col(idCol).as("__id"), simHash(tokens(col(textCol))).as("__sim"))
+    val chunkCols = (0 until nChunks).map { i =>
+      val width = offsets(i + 1) - offsets(i)
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftright(col("__sim"), offsets(i)).bitwiseAND(lit(mask))
+    }
+    val chunks = withSig.select(col("__id"), col("__sim"),
+      posexplode(array(chunkCols: _*)).as(Seq("__chunk", "__chunkval")))
+    val l = chunks.select(col("__id").as("id_a"), col("__sim").as("__sim_a"), col("__chunk"), col("__chunkval"))
+    val r = chunks.select(col("__id").as("id_b"), col("__sim").as("__sim_b"), col("__chunk"), col("__chunkval"))
+    l.join(r, Seq("__chunk", "__chunkval"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------- embedding-cosine near-dup
+
+  /** Near-duplicate pairs over an embedding column via random-hyperplane LSH
+    * buckets + exact cosine verification. `planes` sign bits form the bucket
+    * key; identical bucket => candidate. Recall is probabilistic (scale path);
+    * use [[Similarity.bruteForceTopK]] for exact small-scale answers.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double = 0.95, planes: Int = 8,
+                         dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val hyper = Similarity.randomHyperplanes(planes, dim, seed)
+    val bucketed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__bucket", Similarity.hyperplaneBucket(col("__v"), hyper))
+    val l = bucketed.select(col("__id").as("id_a"), col("__v").as("__va"), col("__bucket"))
+    val r = bucketed.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__bucket"))
+    l.join(r, Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -10,3 +10,14 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
+
+/** Bridge to the package-private internalCreateDataFrame — lets partition-local
+  * operators (e.g. multimodal decode) rebuild a DataFrame from an
+  * RDD[InternalRow] without a Row conversion round-trip.
+  */
+object GraftDatasetBridge {
+  def ofRows(spark: SparkSession,
+             rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+             schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+}

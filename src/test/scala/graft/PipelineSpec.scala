@@ -1,0 +1,108 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup flags and removes duplicate content") {
+    val df = Seq((1, "a b c"), (2, "a b c"), (3, "x y z")).toDF("id", "text")
+    val flagged = Dedup.flagExactDuplicates(df, Seq(col("text")))
+    assert(flagged.where(col("__is_duplicate")).count() == 2)
+    val kept = Dedup.dedupExact(df, Seq(col("text")), col("id"))
+    assert(kept.count() == 2)
+    assert(kept.where(col("text") === "a b c").select("id").as[Int].head() == 1)
+  }
+
+  test("minhash LSH finds near-duplicate pairs with exact jaccard verification") {
+    val base = "spark catalyst plan optimizer shuffle partition broadcast join window aggregate"
+    val df = Seq(
+      (1, base),
+      (2, base + " extra"), // high jaccard with 1
+      (3, "completely different words nothing shared here at all ok then")
+    ).toDF("id", "text")
+    val pairs = Dedup.minHashDuplicatePairs(df, "id", "text", shingleSize = 3,
+      numHashes = 64, bands = 32, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getInt(0) == 1 && pairs.head.getInt(1) == 2)
+    assert(pairs.head.getDouble(2) > 0.7)
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated docs") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 29).map(i => s"tok$i").mkString(" ") + " tok99"
+    val far = (100 to 130).map(i => s"w$i").mkString(" ")
+    val df = Seq((1, base), (2, near), (3, far)).toDF("id", "text")
+    val pairs = Dedup.simHashDuplicatePairs(df, "id", "text", maxHamming = 8)
+    val got = pairs.select("id_a", "id_b").as[(Int, Int)].collect().toSet
+    assert(got.contains((1, 2)))
+    assert(!got.contains((1, 3)) && !got.contains((2, 3)))
+  }
+
+  test("brute-force cosine top-k ranks exact neighbors") {
+    val vecs = Seq(
+      (0, Array(1.0f, 0.0f)),
+      (1, Array(0.9f, 0.1f)),
+      (2, Array(0.0f, 1.0f)),
+      (3, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0), "vec_id", "embedding", 2)
+    val ranked = out.select("rank", "neighbor_id").as[(Int, Int)].collect().sortBy(_._1)
+    assert(ranked.toSeq == Seq((1, 1), (2, 2)))
+  }
+
+  test("lsh top-k returns subset-consistent ranks") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 100).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs, vecs.where(col("vec_id") < 3), "vec_id", "embedding", 5,
+      planes = 4, tables = 8, dim = 64)
+    val n = out.count()
+    assert(n > 0 && n <= 15)
+    // ranks are 1..k contiguous per query
+    val ranks = out.groupBy("query_id").agg(collect_list("rank")).collect()
+    ranks.foreach { r =>
+      val rs = r.getSeq[Int](1).sorted
+      assert(rs == (1 to rs.length))
+    }
+  }
+
+  test("text analysis signals and language id") {
+    val df = Seq(
+      (1, "The cat and the dog are in the house"),
+      (2, "der Hund und die Katze sind nicht im Haus"),
+      (3, "xyzzy qwerty asdf")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.languageId(col("text")).as("lang"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val rows = out.collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    assert(rows.map(_._2) == Seq(9, 9, 3))
+    assert(rows.map(_._3) == Seq("en", "de", "und"))
+    // fingerprint is whitespace/punct/case-insensitive
+    val fps = Seq((1, "The CAT, and the dog are   in the house!!"), (2, "other"))
+      .toDF("id", "text").select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    assert(fps.head == out.where(col("id") === 1).select("fp").as[Long].head())
+  }
+
+  test("multimodal stub decode plumbing: schema, partition-local features") {
+    val df = Seq(
+      (1, "image-bytes-one".getBytes, "image/png"),
+      (2, "different-payload".getBytes, "image/jpeg"),
+      (3, Array.empty[Byte], "image/png")
+    ).toDF("id", "data", "mime")
+      .withColumn("media", Multimodal.asMedia(col("data"), col("mime")))
+      .drop("data", "mime")
+    val out = Multimodal.extractFeatures(df, "media", new Multimodal.StubDecoder(8))
+    assert(out.schema.fieldNames.toSeq == Seq("id", "media", "media_features"))
+    val rows = out.select(col("id"), col("media_features.ok"), size(col("media_features.features")))
+      .as[(Int, Boolean, Int)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1, true, 8), (2, true, 8), (3, false, 0)))
+    // deterministic: same payload -> same features
+    val f1 = out.where(col("id") === 1).select("media_features.features").collect().head.getSeq[Float](0)
+    val f1b = Multimodal.extractFeatures(df, "media", new Multimodal.StubDecoder(8))
+      .where(col("id") === 1).select("media_features.features").collect().head.getSeq[Float](0)
+    assert(f1 == f1b)
+  }
+}
