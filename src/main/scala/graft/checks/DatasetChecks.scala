@@ -244,8 +244,11 @@ object DatasetChecks {
     val grain = window(col(timeColumn), timeInterval).getField("start")
 
     val applyFn = (df: DataFrame) => {
-      val bucketed = df
-        .groupBy((groupBy.map(col) :+ grain.as(grainCol)): _*)
+      // materialize the grain: window() only resolves inside Project/Aggregate,
+      // not in join conditions
+      val withGrain = df.withColumn(grainCol, grain)
+      val bucketed = withGrain
+        .groupBy((groupBy.map(col) :+ col(grainCol)): _*)
         .agg(aggExpr.as(curCol))
       val wPrev = Window.partitionBy(groupBy.map(col): _*).orderBy(col(grainCol))
         .rowsBetween(-lookback, -1)
@@ -257,12 +260,13 @@ object DatasetChecks {
           col(s"__dq_n_$id") >= warmup && col(s"__dq_std_$id").isNotNull &&
             abs(col(curCol) - col(meanCol)) > lit(sigma) * col(s"__dq_std_$id"))
       val renamedGroups = groupBy.map(g => s"__dq_og_${g}_$id")
+      val flagGrain = s"${grainCol}_f"
       val flags = stats.select(
         (groupBy.zip(renamedGroups).map { case (g, nn) => col(g).as(nn) } :+
-          col(grainCol) :+ col(outlierCol) :+ col(curCol) :+ col(meanCol)): _*)
+          col(grainCol).as(flagGrain) :+ col(outlierCol) :+ col(curCol) :+ col(meanCol)): _*)
       val joinCond = nullSafeJoinCondition(
-        groupBy.map(col) :+ grain, renamedGroups.map(col) :+ col(grainCol))
-      df.join(flags, joinCond, "left").drop(renamedGroups: _*)
+        groupBy.map(col) :+ col(grainCol), renamedGroups.map(col) :+ col(flagGrain))
+      withGrain.join(flags, joinCond, "left").drop((renamedGroups :+ flagGrain): _*)
     }
     DatasetCheck(applyFn,
       makeCondition(coalesce(col(outlierCol), lit(false)),
@@ -378,16 +382,16 @@ object DatasetChecks {
             when(colDiff(c), concat_ws(" -> ", valueText(col(c)), valueText(col(refPrefix + c))))
           )): _*),
           (_, v) => v.isNotNull)
-      // For full-outer missing rows the input columns are NULL: coalesce PKs so
-      // downstream sees the key (check_funcs.py:2941 coalesced PK output).
-      val keyFixed = columns.zip(refColumns).foldLeft(joined) { case (d, (c, rc)) =>
-        d.withColumn(c, coalesce(col(c), col(refPrefix + rc)))
-      }
-      keyFixed
+      // Flags FIRST (they read the pre-coalesce left keys), then coalesce PKs so
+      // downstream sees the key on appended missing rows (check_funcs.py:2941).
+      val flagged = joined
         .withColumn(missingCol, !leftPresent && rightPresent)
         .withColumn(extraCol, leftPresent && !rightPresent)
         .withColumn(changedCol, when(leftPresent && rightPresent, changedMap))
-        .drop(refDf.columns.map(refPrefix + _): _*)
+      val keyFixed = columns.zip(refColumns).foldLeft(flagged) { case (d, (c, rc)) =>
+        d.withColumn(c, coalesce(col(c), col(refPrefix + rc)))
+      }
+      keyFixed.drop(refDf.columns.map(refPrefix + _): _*)
     }
     val anyChanged = coalesce(size(map_keys(col(changedCol))) > 0, lit(false))
     val failCond = col(missingCol) || col(extraCol) || anyChanged

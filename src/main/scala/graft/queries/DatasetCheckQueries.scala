@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.checks.{DatasetChecks => D}
+import graft.engine.DQEngine
+import graft.queries.QueryDefs._
+import graft.rules.DQDatasetRule
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries for every dataset-level check (SURVEY §2.2). */
+object DatasetCheckQueries {
+
+  val all: Seq[(String, QueryDef)] = Seq(
+
+    "ds_is_unique" -> QueryDef(
+      (s, dir) => failing(t(s, dir, "lineitem"),
+        ds(D.isUnique(Seq("l_orderkey")), "is_unique", "l_orderkey"),
+        Seq("l_orderkey", "l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL
+             |                     GROUP BY 1 HAVING count(*) > 1)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    "ds_is_unique_composite" -> QueryDef(
+      (s, dir) => {
+        val df = t(s, dir, "lineitem").withColumn("k2", col("l_linenumber") % 3)
+        failing(df, ds(D.isUnique(Seq("l_orderkey", "k2")), "is_unique", "l_orderkey", "k2"),
+          Seq("l_orderkey", "l_linenumber"))
+      },
+      Some("""WITH d AS (SELECT l_orderkey, l_linenumber, l_linenumber % 3 AS k2 FROM lineitem)
+             |SELECT l_orderkey, l_linenumber FROM d
+             |WHERE (l_orderkey, k2) IN (SELECT (l_orderkey, k2) FROM d
+             |                           GROUP BY l_orderkey, k2 HAVING count(*) > 1)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    "ds_foreign_key" -> QueryDef(
+      (s, dir) => {
+        val ref = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        failing(t(s, dir, "orders"),
+          ds(D.foreignKey(Seq("o_custkey"), Seq("c_custkey"), ref), "foreign_key", "o_custkey"),
+          Seq("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey FROM orders o
+             |WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+             |  SELECT 1 FROM customer c WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey)
+             |ORDER BY 1""".stripMargin)),
+
+    "ds_foreign_key_negate" -> QueryDef(
+      (s, dir) => {
+        val ref = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        failing(t(s, dir, "orders"),
+          ds(D.foreignKey(Seq("o_custkey"), Seq("c_custkey"), ref, negate = true), "foreign_key", "o_custkey"),
+          Seq("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey FROM orders o
+             |WHERE o.o_custkey IS NOT NULL AND EXISTS (
+             |  SELECT 1 FROM customer c WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey)
+             |ORDER BY 1""".stripMargin)),
+
+    "ds_sql_query" -> QueryDef(
+      (s, dir) => failing(t(s, dir, "orders"),
+        ds(D.sqlQuery(
+          "SELECT o_custkey, count(*) > 12 AS too_many FROM {{input_view}} GROUP BY o_custkey",
+          mergeColumns = Seq("o_custkey"), conditionColumn = "too_many"), "sql_query", "o_custkey"),
+        Seq("o_orderkey")),
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE o_custkey IN (SELECT o_custkey FROM orders GROUP BY 1 HAVING count(*) > 12)
+             |ORDER BY 1""".stripMargin)),
+
+    "ds_is_aggr_not_greater_than" -> QueryDef(
+      (s, dir) => failing(t(s, dir, "lineitem"),
+        ds(D.isAggrNotGreaterThan("l_extendedprice", 38000.0, "avg", groupBy = Seq("l_returnflag")),
+          "is_aggr_not_greater_than", "l_extendedprice"),
+        Seq("l_orderkey", "l_linenumber"))
+        .groupBy().count().withColumnRenamed("count", "n_failing"),
+      Some("""SELECT count(*) AS n_failing FROM lineitem
+             |WHERE l_returnflag IN (SELECT l_returnflag FROM lineitem
+             |                       GROUP BY 1 HAVING avg(l_extendedprice) > 38000.0)""".stripMargin)),
+
+    "ds_is_aggr_not_less_than" -> QueryDef(
+      (s, dir) => failing(t(s, dir, "lineitem"),
+        ds(D.isAggrNotLessThan("l_quantity", 5000.0, "sum", groupBy = Seq("l_suppkey")),
+          "is_aggr_not_less_than", "l_quantity"),
+        Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE l_suppkey IN (SELECT l_suppkey FROM lineitem
+             |                    GROUP BY 1 HAVING sum(l_quantity) < 5000.0)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    "ds_is_aggr_equal" -> QueryDef(
+      (s, dir) => failing(t(s, dir, "orders"),
+        ds(D.isAggrEqual("*", 5000.0, "count", groupBy = Seq("o_orderstatus"), relTolerance = 0.5),
+          "is_aggr_equal", "o_orderstatus"),
+        Seq("o_orderkey")),
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE o_orderstatus IN (SELECT o_orderstatus FROM orders
+             |                        GROUP BY 1 HAVING abs(count(*) - 5000.0) > 0.5 * 5000.0)
+             |ORDER BY 1""".stripMargin)),
+
+    "ds_is_aggr_not_equal" -> QueryDef(
+      (s, dir) => failing(t(s, dir, "lineitem"),
+        ds(D.isAggrNotEqual("l_linenumber", 1.0, "min", groupBy = Seq("l_orderkey")),
+          "is_aggr_not_equal", "l_linenumber"),
+        Seq("l_orderkey", "l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
+             |                     GROUP BY 1 HAVING min(l_linenumber) = 1)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    "ds_is_aggr_count_distinct" -> QueryDef(
+      (s, dir) => failing(t(s, dir, "lineitem"),
+        ds(D.isAggrNotGreaterThan("l_partkey", 6.0, "count_distinct", groupBy = Seq("l_suppkey")),
+          "is_aggr_not_greater_than", "l_partkey"),
+        Seq("l_orderkey", "l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE l_suppkey IN (SELECT l_suppkey FROM lineitem
+             |                    GROUP BY 1 HAVING count(DISTINCT l_partkey) > 6)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    "ds_has_no_aggr_outliers" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .where(!(dayofmonth(col("ts")) === 15 && col("event_id") % 10 =!= 0))
+        failing(ev, ds(D.hasNoAggrOutliers("*", "ts", "count", sigma = 6.0, lookback = 10,
+          warmup = 3, timeInterval = "1 day"), "has_no_aggr_outliers", "ts"),
+          Seq("event_id"))
+      },
+      Some("""WITH ev AS (SELECT * FROM events WHERE NOT (date_part('day', ts) = 15 AND event_id % 10 != 0)),
+             |b AS (SELECT to_timestamp(floor(epoch(ts) / 86400) * 86400) AS g, count(*) AS c FROM ev GROUP BY 1),
+             |st AS (SELECT g, c,
+             |         avg(c)        OVER (ORDER BY g ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS m,
+             |         stddev_pop(c) OVER (ORDER BY g ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS sd,
+             |         count(c)      OVER (ORDER BY g ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS n
+             |       FROM b),
+             |bad AS (SELECT g FROM st WHERE n >= 3 AND sd IS NOT NULL AND abs(c - m) > 6.0 * sd)
+             |SELECT event_id FROM ev
+             |WHERE to_timestamp(floor(epoch(ts) / 86400) * 86400) IN (SELECT g FROM bad)
+             |ORDER BY 1""".stripMargin)),
+
+    "ds_aggr_matches_dataset" -> QueryDef(
+      (s, dir) => {
+        val ref = t(s, dir, "orders").where(col("o_orderkey") % 100 =!= 0)
+        failing(t(s, dir, "orders"),
+          ds(D.aggrMatchesDataset("*", ref, "*", "count", groupBy = Seq("o_orderstatus")),
+            "aggr_matches_dataset", "o_orderstatus"),
+          Seq("o_orderkey"))
+      },
+      Some("""WITH ref AS (SELECT * FROM orders WHERE o_orderkey % 100 != 0),
+             |cur AS (SELECT o_orderstatus, count(*) AS c FROM orders GROUP BY 1),
+             |r AS (SELECT o_orderstatus, count(*) AS c FROM ref GROUP BY 1)
+             |SELECT o_orderkey FROM orders
+             |WHERE o_orderstatus IN (
+             |  SELECT cur.o_orderstatus FROM cur LEFT JOIN r USING (o_orderstatus)
+             |  WHERE cur.c IS DISTINCT FROM r.c)
+             |ORDER BY 1""".stripMargin)),
+
+    "ds_compare_datasets" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val ref = o
+          .where(col("o_orderkey") % 50 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 70 === 0, col("o_totalprice") + 1).otherwise(col("o_totalprice")))
+          .unionByName(o.where(col("o_orderkey") % 90 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 5000000))
+        val rule = ds(D.compareDatasets(Seq("o_orderkey"), Seq("o_orderkey"), ref,
+          checkMissingRecords = true), "compare_datasets", "o_orderkey")
+        DQEngine.applyChecks(o, Seq(rule))
+          .where(col("_errors").isNotNull)
+          .select(col("o_orderkey"),
+            get_json_object(col("_errors")(0)("message"), "$.row_missing").cast("boolean").as("row_missing"),
+            get_json_object(col("_errors")(0)("message"), "$.row_extra").cast("boolean").as("row_extra"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH ref AS (
+             |  SELECT o_orderkey,
+             |         CASE WHEN o_orderkey % 70 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+             |         o_custkey, o_orderstatus, o_orderdate, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 50 != 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 5000000, o_totalprice, o_custkey, o_orderstatus, o_orderdate, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 90 = 0)
+             |SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+             |       (l.o_orderkey IS NULL) AS row_missing,
+             |       (r.o_orderkey IS NULL) AS row_extra
+             |FROM orders l FULL OUTER JOIN ref r ON l.o_orderkey = r.o_orderkey
+             |WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL
+             |   OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
+             |ORDER BY 1""".stripMargin)),
+
+    "ds_is_data_fresh_per_time_window" -> QueryDef(
+      (s, dir) => failing(t(s, dir, "events"),
+        ds(D.isDataFreshPerTimeWindow("ts", windowMinutes = 60, minRecordsPerWindow = 10),
+          "is_data_fresh_per_time_window", "ts"),
+        Seq("event_id")),
+      Some("""WITH w AS (SELECT event_id, to_timestamp(floor(epoch(ts) / 3600) * 3600) AS ws FROM events),
+             |c AS (SELECT ws, count(*) AS n FROM w GROUP BY 1)
+             |SELECT event_id FROM w JOIN c USING (ws) WHERE c.n < 10 ORDER BY 1""".stripMargin)),
+
+    "ds_has_no_gaps_per_time_window" -> QueryDef(
+      (s, dir) => failing(t(s, dir, "events"),
+        ds(D.hasNoGapsPerTimeWindow("ts", windowMinutes = 10), "has_no_gaps_per_time_window", "ts"),
+        Seq("event_id")),
+      Some("""WITH w AS (SELECT event_id, to_timestamp(floor(epoch(ts) / 600) * 600) AS ws FROM events),
+             |occ AS (SELECT DISTINCT ws FROM w),
+             |gaps AS (SELECT ws, lead(ws) OVER (ORDER BY ws) AS nxt FROM occ)
+             |SELECT event_id FROM w
+             |WHERE ws IN (SELECT ws FROM gaps WHERE nxt IS NOT NULL AND epoch(nxt) - epoch(ws) > 600)
+             |ORDER BY 1""".stripMargin)),
+
+    "ds_has_no_outliers" -> QueryDef(
+      (s, dir) => failing(t(s, dir, "lineitem"),
+        ds(D.hasNoOutliers("l_extendedprice", factor = 1.5, exact = true), "has_no_outliers", "l_extendedprice"),
+        Seq("l_orderkey", "l_linenumber")),
+      Some("""WITH med AS (SELECT median(l_extendedprice) AS m FROM lineitem),
+             |mad AS (SELECT median(abs(l_extendedprice - (SELECT m FROM med))) AS d FROM lineitem)
+             |SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE l_extendedprice IS NOT NULL
+             |  AND (l_extendedprice < (SELECT m FROM med) - 1.5 * (SELECT d FROM mad)
+             |    OR l_extendedprice > (SELECT m FROM med) + 1.5 * (SELECT d FROM mad))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    "ds_has_valid_schema" -> QueryDef(
+      (s, dir) => failing(t(s, dir, "lineitem"),
+        ds(D.hasValidSchema("l_orderkey BIGINT, l_quantity DOUBLE, l_missing_col STRING"),
+          "has_valid_schema"),
+        Seq("l_orderkey", "l_linenumber"))
+        .groupBy().count().withColumnRenamed("count", "n_failing"),
+      Some("SELECT count(*) AS n_failing FROM lineitem")),
+
+    "ds_has_valid_schema_pass" -> QueryDef(
+      (s, dir) => failing(t(s, dir, "lineitem"),
+        ds(D.hasValidSchema("l_orderkey BIGINT, l_quantity DOUBLE"), "has_valid_schema"),
+        Seq("l_orderkey", "l_linenumber"))
+        .groupBy().count().withColumnRenamed("count", "n_failing"),
+      Some("SELECT 0::BIGINT AS n_failing"))
+  )
+}

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.pipeline._
+import graft.queries.QueryDefs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries for the LLM-data-pipeline operators (dedup,
+  * similarity search, text analysis, multimodal). Near-dup inputs plant
+  * perturbed copies with derivations the DuckDB oracle replicates exactly.
+  */
+object PipelineQueries {
+
+  /** documents + 80%-prefix copies of every 20th doc (near-dups). */
+  private def plantedNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val keepN = greatest((size(toks) * 8) / 10, lit(3))
+    val pert = docs.where(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), keepN)).as("text"))
+    docs.unionByName(pert)
+  }
+
+  private val plantedNearDupsSql =
+    """planted AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         array_to_string(string_split(text,' ')[1:greatest((len(string_split(text,' '))*8)//10, 3)], ' ') AS text
+      |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin
+
+  /** documents + exact copies of every 10th-plus-1 doc. */
+  private def plantedExactDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    docs.unionByName(docs.where(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+  }
+
+  val all: Seq[(String, QueryDef)] = Seq(
+
+    "pipe_dedup_exact" -> QueryDef(
+      (s, dir) => {
+        val input = plantedExactDups(s, dir)
+        Dedup.flagExactDuplicates(input, Seq(col("text")))
+          .where(col("__is_duplicate"))
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 1)
+             |SELECT doc_id FROM planted
+             |WHERE text IN (SELECT text FROM planted GROUP BY text HAVING count(*) > 1)
+             |ORDER BY 1""".stripMargin)),
+
+    "pipe_dedup_exact_keep_first" -> QueryDef(
+      (s, dir) => {
+        val input = plantedExactDups(s, dir)
+        Dedup.dedupExact(input, Seq(col("text")), col("doc_id"))
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 1)
+             |SELECT min(doc_id) AS doc_id FROM planted GROUP BY text ORDER BY 1""".stripMargin)),
+
+    "pipe_dedup_minhash" -> QueryDef(
+      (s, dir) => Dedup.minHashDuplicatePairs(plantedNearDups(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.8)
+        .select("id_a", "id_b").orderBy("id_a", "id_b"),
+      Some(s"""WITH $plantedNearDupsSql,
+              |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
+              |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+              |         THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+              |         ELSE [array_to_string(t, ' ')] END) AS s FROM toks)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+              |ORDER BY 1, 2""".stripMargin)),
+
+    "pipe_dedup_ngram_jaccard" -> QueryDef(
+      (s, dir) => Dedup.ngramJaccardPairs(plantedNearDups(s, dir), "doc_id", "text",
+        n = 2, threshold = 0.75)
+        .select("id_a", "id_b").orderBy("id_a", "id_b"),
+      Some(s"""WITH $plantedNearDupsSql,
+              |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
+              |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 2
+              |         THEN list_transform(generate_series(1, len(t)-1), i -> array_to_string(t[i:i+1], ' '))
+              |         ELSE [array_to_string(t, ' ')] END) AS s FROM toks)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.75
+              |ORDER BY 1, 2""".stripMargin)),
+
+    "pipe_dedup_simhash" -> QueryDef(
+      (s, dir) => Dedup.simHashDuplicatePairs(plantedNearDups(s, dir), "doc_id", "text",
+        maxHamming = 7)
+        .select("id_a", "id_b").orderBy("id_a", "id_b"),
+      None), // sketch-specific (murmur3 bit votes) — rows-only check
+
+    "pipe_dedup_cosine" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val planted = emb.unionByName(
+          emb.where(col("vec_id") % 25 === 0)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              transform(col("embedding"), x => x * lit(1.01)).as("embedding")))
+        Dedup.cosineNearDupPairs(planted, "vec_id", "embedding", threshold = 0.999,
+          planes = 8, dim = 64)
+          .select("id_a", "id_b").orderBy("id_a", "id_b")
+      },
+      Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |planted AS (
+             |  SELECT vec_id, e FROM emb
+             |  UNION ALL
+             |  SELECT vec_id + 100000, list_transform(e, x -> x * 1.01) FROM emb WHERE vec_id % 25 = 0)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.e, b.e) >= 0.999
+             |ORDER BY 1, 2""".stripMargin)),
+
+    "pipe_knn_bruteforce" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 20), "vec_id", "embedding", 5)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |q AS (SELECT vec_id, e FROM emb WHERE vec_id < 20),
+             |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |  list_cosine_similarity(q.e, c.e) AS cos
+             |  FROM q JOIN emb c ON c.vec_id != q.vec_id)
+             |SELECT query_id, rank, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 5 ORDER BY 1, 2""".stripMargin)),
+
+    "pipe_knn_lsh" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.where(col("vec_id") < 20), "vec_id", "embedding", 5,
+          planes = 6, tables = 6, dim = 64)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      None), // approximate by design — rows-only check
+
+    "pipe_text_signals" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,
+             |       length(text) AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "pipe_text_fingerprint" -> QueryDef(
+      (s, dir) => {
+        val input = plantedExactDups(s, dir)
+        input.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+          .agg(countDistinct(col("fp")).as("n_distinct"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 1)
+             |SELECT count(DISTINCT regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS n_distinct
+             |FROM planted""".stripMargin)),
+
+    "pipe_text_langid" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred"),
+      None), // heuristic registry-order argmax — rows-only check
+
+    "pipe_multimodal_stub" -> QueryDef(
+      (s, dir) => {
+        val df = t(s, dir, "documents")
+          .select(col("doc_id"),
+            Multimodal.asMedia(encode(col("text"), "utf-8"), lit("text/plain")).as("media"))
+        Multimodal.extractFeatures(df, "media", new Multimodal.StubDecoder(16))
+          .select(col("doc_id"), col("media_features.ok").as("ok"),
+            size(col("media_features.features")).as("n_features"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, TRUE AS ok, 16 AS n_features FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

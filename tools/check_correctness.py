@@ -30,6 +30,10 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     results = {}
+    produced = {d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d))}
+    for qname in sorted(set(oracle) - produced):
+        results[qname] = {"status": "FAIL", "error": "no output produced (query threw)"}
+        n_fail += 1
     for qname in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, qname)
         if not os.path.isdir(qdir):
