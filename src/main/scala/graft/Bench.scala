@@ -1,25 +1,103 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.checks.{DatasetChecks, RowChecks}
+import graft.engine.DQEngine
+import graft.queries.QueryDefs
+import graft.rules._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): runs the operator suite on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
+  *
+  * Mirrors the reference's benchmark shapes
+  * (tests/perf/test_apply_checks.py): whole-suite row checks in one pass,
+  * whole-suite dataset checks, plus every driver-contract query.
+  */
 object Bench {
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** All row checks applied to lineitem at once — the reference's headline
+    * "apply_checks_all_row_checks" (one projection, one pass).
+    */
+  private def allRowChecksSuite(s: SparkSession, dir: String): DataFrame = {
+    val li = QueryDefs.t(s, dir, "lineitem")
+    val R = RowChecks
+    val rules = Seq(
+      DQRowRule(R.isNotNull(col("l_orderkey")), "is_not_null", Seq("l_orderkey")),
+      DQRowRule(R.isNotNullAndNotEmpty(col("l_returnflag")), "is_not_null_and_not_empty", Seq("l_returnflag")),
+      DQRowRule(R.isInList(col("l_returnflag"), Seq("A", "N", "R")), "is_in_list", Seq("l_returnflag")),
+      DQRowRule(R.isNotInList(col("l_linestatus"), Seq("X")), "is_not_in_list", Seq("l_linestatus")),
+      DQRowRule(R.isInRange(col("l_quantity"), 1, 50), "is_in_range", Seq("l_quantity")),
+      DQRowRule(R.isNotInRange(col("l_discount"), 0.95, 0.99), "is_not_in_range", Seq("l_discount")),
+      DQRowRule(R.isNotLessThan(col("l_extendedprice"), 0), "is_not_less_than", Seq("l_extendedprice")),
+      DQRowRule(R.isNotGreaterThan(col("l_tax"), 1), "is_not_greater_than", Seq("l_tax")),
+      DQRowRule(R.regexMatch(col("l_returnflag"), "^[ANR]$"), "regex_match", Seq("l_returnflag")),
+      DQRowRule(R.sqlExpression("l_quantity >= 0"), "sql_expression"),
+      DQRowRule(R.isValidDate(date_format(col("l_shipdate"), "yyyy-MM-dd")), "is_valid_date", Seq("l_shipdate")),
+      DQRowRule(R.isNotInFuture(col("l_shipdate"), 0, Some(lit("2030-01-01").cast("timestamp"))), "is_not_in_future", Seq("l_shipdate"))
+    )
+    DQEngine.applyChecks(li, rules)
+  }
+
+  /** Dataset-check suite on lineitem + orders ref — the reference's
+    * "apply_checks_all_dataset_checks" shape.
+    */
+  private def allDatasetChecksSuite(s: SparkSession, dir: String): DataFrame = {
+    val li = QueryDefs.t(s, dir, "lineitem")
+    val orders = QueryDefs.t(s, dir, "orders")
+    val D = DatasetChecks
+    val rules = Seq(
+      DQDatasetRule(D.isUnique(Seq("l_orderkey", "l_linenumber"), nullsDistinct = false), "is_unique", Seq("l_orderkey")),
+      DQDatasetRule(D.foreignKey(Seq("l_orderkey"), Seq("o_orderkey"), orders), "foreign_key", Seq("l_orderkey")),
+      DQDatasetRule(D.isAggrNotGreaterThan("l_extendedprice", 1e12, "sum", groupBy = Seq("l_returnflag")),
+        "is_aggr_not_greater_than", Seq("l_extendedprice")),
+      DQDatasetRule(D.isAggrNotLessThan("*", 0.0, "count"), "is_aggr_not_less_than", Seq()),
+      DQDatasetRule(D.aggrMatchesDataset("l_orderkey", orders, "o_orderkey", "count_distinct"),
+        "aggr_matches_dataset", Seq("l_orderkey"))
+    )
+    DQEngine.applyChecks(li, rules)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // JVM/IO warmup: materialize each table once
+    Seq("lineitem", "orders", "customer", "supplier", "part", "events", "documents", "embeddings")
+      .foreach(t => QueryDefs.t(spark, sfDir, t).count())
+
+    val suites: Seq[(String, () => Unit)] = Seq(
+      "all_row_checks" -> (() => { allRowChecksSuite(spark, sfDir).count(); () }),
+      "all_dataset_checks" -> (() => { allDatasetChecksSuite(spark, sfDir).count(); () }))
+
+    val suiteTimes = suites.map { case (name, f) =>
+      f() // warmup round
+      name -> (time(f()) + time(f())) / 2.0
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 })
+    }
+
+    val all = suiteTimes ++ queryTimes
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val total = all.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

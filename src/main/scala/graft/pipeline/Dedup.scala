@@ -51,37 +51,49 @@ object Dedup {
 
   // -------------------------------------------------------------- MinHash LSH
 
-  /** MinHash signature: array of `numHashes` min-values of seeded xxhash64 over
-    * the shingle set. Computed row-local — no shuffle, codegen'd.
+  /** MinHash signature over pre-hashed shingles (array<long>): one string hash
+    * per shingle, then `numHashes` cheap long re-hashes. Row-local, codegen'd.
     */
-  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+  def minHashSignature(hashedShingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
-      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
+      array_min(transform(hashedShingles, h => xxhash64(lit(seed), h)))
     }: _*)
 
   /** Candidate pairs via banding: signature split into `bands` bands of
     * `rowsPerBand`; docs sharing any band bucket become candidates; candidates
     * are verified with EXACT Jaccard over the shingle sets. Output:
     * (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    *
+    * Shuffle shape for scale: the band join carries ONLY (id, band, bandHash)
+    * — never the shingle arrays; the (small) candidate set joins back to the
+    * shingle frame for exact verification. At 100 TB the all-pairs space never
+    * materializes; cost is O(docs x bands) join keys + O(candidates) arrays.
     */
   def minHashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 3, numHashes: Int = 64,
                             bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rowsPerBand = numHashes / bands
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleSize).as("__sh"))
-      .withColumn("__sig", minHashSignature(col("__sh"), numHashes))
-    // explode to (id, band, bandHash); bucket join on (band, bandHash)
-    val banded = sh.select(col("__id"), col("__sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-        .as(Seq("__band", "__bandhash")))
-    val l = banded.select(col("__id").as("id_a"), col("__sh").as("__sh_a"), col("__band"), col("__bandhash"))
-    val r = banded.select(col("__id").as("id_b"), col("__sh").as("__sh_b"), col("__band"), col("__bandhash"))
-    val candidates = l.join(r, Seq("__band", "__bandhash"))
+    // exact Jaccard is computed over the HASHED shingle sets (array<long>):
+    // set identity is preserved (64-bit collisions are negligible) and long
+    // intersection is far cheaper than string intersection
+    val sh = df.select(col(idCol).as("__id"),
+      transform(shingles(col(textCol), shingleSize), s => xxhash64(s)).as("__hsh"))
+    val sig = sh.withColumn("__bands", {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(MinHashBands(
+        GraftColumnBridge.expression(col("__hsh")), numHashes, bands))
+    })
+    val banded = sig.select(col("__id"),
+      posexplode(col("__bands")).as(Seq("__band", "__bandhash")))
+    val l = banded.select(col("__id").as("id_a"), col("__band"), col("__bandhash"))
+    val r = banded.select(col("__id").as("id_b"), col("__band"), col("__bandhash"))
+    val candidateIds = l.join(r, Seq("__band", "__bandhash"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__sh_a", "__sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val candidates = candidateIds
+      .join(sh.select(col("__id").as("id_a"), col("__hsh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__hsh").as("__sh_b")), Seq("id_b"))
     verifyJaccard(candidates, threshold)
   }
 
@@ -91,7 +103,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.7): DataFrame =
     minHashDuplicatePairs(df, idCol, textCol, shingleSize = n,
-      numHashes = 64, bands = 32, threshold = threshold)
+      numHashes = 128, bands = 32, threshold = threshold)
 
   private def verifyJaccard(candidates: DataFrame, threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("__sh_a"), col("__sh_b")))

@@ -68,7 +68,7 @@ object PipelineQueries {
 
     "pipe_dedup_minhash" -> QueryDef(
       (s, dir) => Dedup.minHashDuplicatePairs(plantedNearDups(s, dir), "doc_id", "text",
-        shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.8)
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
         .select("id_a", "id_b").orderBy("id_a", "id_b"),
       Some(s"""WITH $plantedNearDupsSql,
               |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
@@ -98,7 +98,7 @@ object PipelineQueries {
 
     "pipe_dedup_simhash" -> QueryDef(
       (s, dir) => Dedup.simHashDuplicatePairs(plantedNearDups(s, dir), "doc_id", "text",
-        maxHamming = 7)
+        maxHamming = 3)
         .select("id_a", "id_b").orderBy("id_a", "id_b"),
       None), // sketch-specific (murmur3 bit votes) — rows-only check
 
