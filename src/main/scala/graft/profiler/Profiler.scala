@@ -1,0 +1,135 @@
+package graft.profiler
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Profiling → rule inference (reference dqx/profiler/). Improvement over the
+  * reference's per-column job pattern (profiler.py:442-469): ALL per-column
+  * statistics are computed in ONE aggregation pass over the (sampled) data.
+  */
+final case class DQProfile(
+    name: String,
+    column: String,
+    description: String,
+    parameters: Map[String, Any] = Map.empty)
+
+final case class ProfilerOptions(
+    sampleFraction: Double = 0.3,
+    sampleSeed: Long = 42L,
+    limit: Int = 1000000,
+    distinctRatioMax: Double = 0.05, // low-cardinality threshold for is_in rules
+    maxInListSize: Int = 32,
+    sigmas: Double = 3.0, // outlier band for min/max rules
+    maxNullRatio: Double = 0.0) // above this, emit is_not_null candidate
+
+object Profiler {
+
+  /** Per-column stats from one aggregation pass. */
+  def summarize(df: DataFrame, columns: Seq[String] = Seq.empty,
+                opts: ProfilerOptions = ProfilerOptions()): Map[String, Map[String, Any]] = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val sampled = df.sample(withReplacement = false, opts.sampleFraction, opts.sampleSeed)
+      .limit(opts.limit)
+    val fields = df.schema.fields.filter(f => cols.contains(f.name))
+    val aggs: Seq[Column] = fields.flatMap { f =>
+      val c = col(f.name)
+      val base = Seq(
+        count(lit(1)).as(s"${f.name}__count"),
+        count(when(c.isNull, lit(1))).as(s"${f.name}__count_null"),
+        approx_count_distinct(c).as(s"${f.name}__count_distinct"))
+      val numeric = f.dataType match {
+        case _: NumericType => Seq(
+          min(c).cast("double").as(s"${f.name}__min"),
+          max(c).cast("double").as(s"${f.name}__max"),
+          avg(c).as(s"${f.name}__mean"),
+          stddev(c).as(s"${f.name}__stddev"))
+        case _: StringType => Seq(
+          count(when(trim(c.cast("string")) === "", lit(1))).as(s"${f.name}__count_empty"))
+        case _ => Seq.empty
+      }
+      base ++ numeric
+    }
+    val row = sampled.agg(aggs.head, aggs.tail: _*).collect().head
+    fields.map { f =>
+      val stats = row.schema.fieldNames.zipWithIndex.collect {
+        case (n, i) if n.startsWith(s"${f.name}__") =>
+          n.stripPrefix(s"${f.name}__") -> (if (row.isNullAt(i)) null else row.get(i))
+      }.toMap
+      f.name -> stats
+    }.toMap
+  }
+
+  /** Low-cardinality distinct values (separate small job per flagged column,
+    * bounded by maxInListSize).
+    */
+  private def distinctValues(df: DataFrame, column: String, maxN: Int): Seq[Any] =
+    df.select(col(column)).where(col(column).isNotNull)
+      .distinct().limit(maxN + 1).collect().map(_.get(0)).toSeq
+
+  /** Profile: stats + inferred rule candidates (profiler.py:84, builder chain
+    * profile_builder.py:48-55; order: null_or_empty -> is_in -> min_max).
+    */
+  def profile(df: DataFrame, columns: Seq[String] = Seq.empty,
+              opts: ProfilerOptions = ProfilerOptions()): (Map[String, Map[String, Any]], Seq[DQProfile]) = {
+    val stats = summarize(df, columns, opts)
+    val sampled = df.sample(withReplacement = false, opts.sampleFraction, opts.sampleSeed)
+      .limit(opts.limit)
+    val profiles = stats.toSeq.sortBy(_._1).flatMap { case (name, s) =>
+      val total = s.getOrElse("count", 0L).asInstanceOf[Long]
+      val nulls = s.getOrElse("count_null", 0L).asInstanceOf[Long]
+      val distinct = s.getOrElse("count_distinct", 0L).asInstanceOf[Long]
+      val nullRule =
+        if (total > 0 && nulls.toDouble / total <= opts.maxNullRatio)
+          Seq(DQProfile("is_not_null", name, s"Column $name has no (or few) nulls"))
+        else Seq.empty
+      val emptyRule = s.get("count_empty") match {
+        case Some(e: Long) if e == 0 && nulls == 0 && total > 0 =>
+          Seq(DQProfile("is_not_null_and_not_empty", name, s"Column $name has no nulls or empty strings"))
+        case _ => Seq.empty
+      }
+      val inListRule =
+        if (total > 0 && distinct > 0 && distinct <= opts.maxInListSize &&
+            distinct.toDouble / total <= opts.distinctRatioMax) {
+          val vals = distinctValues(sampled, name, opts.maxInListSize)
+          if (vals.size <= opts.maxInListSize)
+            Seq(DQProfile("is_in_list", name, s"Column $name has low cardinality",
+              Map("allowed" -> vals)))
+          else Seq.empty
+        } else Seq.empty
+      val rangeRule = (s.get("min"), s.get("max"), s.get("mean"), s.get("stddev")) match {
+        case (Some(mn: Double), Some(mx: Double), Some(mean: Double), Some(sd: Double)) if sd > 0 =>
+          // outlier-trimmed band: mean +- sigmas*stddev clamped to observed min/max
+          val lo = math.max(mn, mean - opts.sigmas * sd)
+          val hi = math.min(mx, mean + opts.sigmas * sd)
+          Seq(DQProfile("min_max", name, s"Column $name numeric range",
+            Map("min" -> lo, "max" -> hi, "observed_min" -> mn, "observed_max" -> mx)))
+        case _ => Seq.empty
+      }
+      nullRule ++ emptyRule ++ inListRule ++ rangeRule
+    }
+    (stats, profiles)
+  }
+}
+
+/** DQProfile -> check metadata dicts (reference profiler/generator.py:71-447). */
+object Generator {
+  def generateDqRules(profiles: Seq[DQProfile], criticality: String = "error"): Seq[Map[String, Any]] =
+    profiles.flatMap { p =>
+      val check: Option[Map[String, Any]] = p.name match {
+        case "is_not_null" =>
+          Some(Map("function" -> "is_not_null", "arguments" -> Map("column" -> p.column)))
+        case "is_not_null_and_not_empty" =>
+          Some(Map("function" -> "is_not_null_and_not_empty", "arguments" -> Map("column" -> p.column)))
+        case "is_in_list" =>
+          Some(Map("function" -> "is_in_list",
+            "arguments" -> Map("column" -> p.column, "allowed" -> p.parameters("allowed"))))
+        case "min_max" =>
+          Some(Map("function" -> "is_in_range",
+            "arguments" -> Map("column" -> p.column,
+              "min_limit" -> p.parameters("min"), "max_limit" -> p.parameters("max"))))
+        case _ => None
+      }
+      check.map(c => Map("criticality" -> criticality, "check" -> c))
+    }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.engine.{DQEngine, DQRunner}
+import graft.io._
+import graft.metrics.{Metrics, MetricsRunInfo}
+import graft.profiler.{Generator, Profiler}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** E2E runner, storage, metrics, profiler. */
+class RunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("batch e2e: read -> checks -> output + quarantine + metrics table") {
+    val in = tmp("dq_in")
+    Seq((1, "a", 10), (2, null, 20), (3, "c", -5)).toDF("id", "name", "amount")
+      .write.mode("overwrite").parquet(in)
+    val out = tmp("dq_out")
+    val quar = tmp("dq_quar")
+    val checks = Seq(
+      Map("criticality" -> "error",
+        "check" -> Map("function" -> "is_not_null", "arguments" -> Map("column" -> "name"))))
+    spark.sql("DROP TABLE IF EXISTS dq_metrics_test")
+    DQRunner.applyChecksAndSaveInTable(spark, DQRunner.RunConfig(
+      input = InputConfig(in),
+      output = OutputConfig(out, mode = "overwrite"),
+      quarantine = Some(OutputConfig(quar, mode = "overwrite")),
+      checks = checks,
+      metricsTable = Some("dq_metrics_test")))
+    assert(spark.read.parquet(out).count() == 2)
+    val bad = spark.read.parquet(quar)
+    assert(bad.count() == 1)
+    assert(bad.columns.contains("_errors"))
+    val metrics = spark.read.table("dq_metrics_test")
+    val m = metrics.select("metric_name", "metric_value").as[(String, String)].collect().toMap
+    assert(m("input_row_count") == "3" && m("error_row_count") == "1")
+  }
+
+  test("file checks storage round-trips yaml") {
+    val f = tmp("dq_checks") + "/checks.yml"
+    val checks = Seq(
+      Map("name" -> "r1", "criticality" -> "warn",
+        "check" -> Map("function" -> "is_not_null", "arguments" -> Map("column" -> "id"))))
+    FileChecksStorage.save(checks, f)
+    val loaded = FileChecksStorage.load(f)
+    assert(loaded.head("name") == "r1")
+    assert(loaded.head("check").asInstanceOf[Map[String, Any]]("function") == "is_not_null")
+  }
+
+  test("table checks storage keeps latest rule set") {
+    spark.sql("DROP TABLE IF EXISTS dq_checks_tbl")
+    val st = new TableChecksStorage(spark)
+    st.save(Seq(Map("criticality" -> "error",
+      "check" -> Map("function" -> "is_not_null", "arguments" -> Map("column" -> "a")))), "dq_checks_tbl")
+    Thread.sleep(5)
+    st.save(Seq(Map("criticality" -> "warn",
+      "check" -> Map("function" -> "is_null", "arguments" -> Map("column" -> "b")))), "dq_checks_tbl")
+    val loaded = st.load("dq_checks_tbl")
+    assert(loaded.size == 1)
+    assert(loaded.head("criticality") == "warn")
+  }
+
+  test("summary metrics over a checked table unpivots to metric rows") {
+    val df = Seq((1, Some("a")), (2, None)).toDF("id", "name")
+    val checked = DQEngine.applyChecks(df, Seq(
+      graft.rules.DQRowRule(graft.checks.RowChecks.isNotNull(col("name")), "is_not_null", Seq("name"))))
+    val rows = Metrics.computeSummaryMetrics(checked, MetricsRunInfo(runId = "r1"))
+    val m = rows.select("metric_name", "metric_value").as[(String, String)].collect().toMap
+    assert(m == Map("input_row_count" -> "2", "error_row_count" -> "1",
+      "warning_row_count" -> "0", "valid_row_count" -> "1"))
+    assert(rows.schema.fieldNames.contains("rule_set_fingerprint"))
+  }
+
+  test("profiler infers null/in-list/range rules in one agg pass") {
+    val df = (1 to 200).map(i => (i, if (i % 2 == 0) "A" else "B", i * 1.0))
+      .toDF("id", "cat", "v")
+    val (stats, profiles) = Profiler.profile(df,
+      opts = graft.profiler.ProfilerOptions(sampleFraction = 1.0, distinctRatioMax = 0.5))
+    assert(stats("cat")("count_null") == 0L)
+    val names = profiles.map(p => (p.name, p.column)).toSet
+    assert(names.contains(("is_not_null", "cat")))
+    assert(names.contains(("is_in_list", "cat")))
+    assert(names.contains(("min_max", "v")))
+    // generated rules deserialize and apply cleanly
+    val ruleDicts = Generator.generateDqRules(profiles)
+    val out = DQEngine.applyChecksByMetadata(df, ruleDicts)
+    assert(out.where(col("_errors").isNotNull).count() == 0)
+  }
+}
