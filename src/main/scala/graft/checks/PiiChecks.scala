@@ -1,0 +1,40 @@
+package graft.checks
+
+import graft.core.CheckUtils._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII detection (reference pii/pii_detection_funcs.py:33 uses a Presidio NER
+  * pandas UDF — a Python-worker round-trip per batch).
+  *
+  * Here: a deterministic regex entity detector as pure Catalyst expressions —
+  * emails, phone numbers, US SSNs, credit-card-shaped numbers, IPv4 addresses.
+  * This is a different (weaker but 100 TB-scalable) detector; a model-based
+  * NER can plug in behind the same check contract (SURVEY §7.1 module 10).
+  */
+object PiiChecks {
+
+  /** entity -> detection regex (substring match). */
+  val EntityPatterns: Seq[(String, String)] = Seq(
+    "EMAIL_ADDRESS" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "PHONE_NUMBER" -> "(\\+?\\d{1,3}[ .-]?)?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}",
+    "US_SSN" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "CREDIT_CARD" -> "\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b",
+    "IP_ADDRESS" -> "\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b")
+
+  /** Array of entity types detected in the column (empty array = clean). */
+  def detectedEntities(c: Column, entities: Seq[String] = EntityPatterns.map(_._1)): Column = {
+    val s = c.cast("string")
+    val hits = EntityPatterns.filter { case (n, _) => entities.contains(n) }.map {
+      case (name, re) => when(s.rlike(re), lit(name)).otherwise(lit(null))
+    }
+    array_compact(array(hits: _*))
+  }
+
+  /** Check: any detected entity fails, message lists the entity types. */
+  def doesNotContainPii(c: Column, entities: Seq[String] = EntityPatterns.map(_._1)): Column = {
+    val found = detectedEntities(c, entities)
+    makeCondition(c.isNotNull && size(found) > 0,
+      concat(lit(s"Column '${c.toString}' contains PII entities: "), concat_ws(",", found)))
+  }
+}

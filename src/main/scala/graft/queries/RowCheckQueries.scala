@@ -362,6 +362,46 @@ object RowCheckQueries {
         failing(df, row(R.isLongitude(col("lon")), "is_longitude", "lon"), Seq("c_custkey"))
       },
       Some("""SELECT c_custkey FROM (SELECT c_custkey, c_acctbal / 50.0 AS lon FROM customer)
-             |WHERE lon IS NOT NULL AND NOT (lon BETWEEN -180 AND 180) ORDER BY 1""".stripMargin))
+             |WHERE lon IS NOT NULL AND NOT (lon BETWEEN -180 AND 180) ORDER BY 1""".stripMargin)),
+
+    "row_geo_is_point" -> QueryDef(
+      (s, dir) => {
+        val df = t(s, dir, "customer")
+          .withColumn("wkt", when(col("c_custkey") % 30 === 0, lit("LINESTRING (0 0, 1 1)"))
+            .otherwise(format_string("POINT (%d %d)", col("c_custkey") % 360 - 180, col("c_custkey") % 180 - 90)))
+        failing(df, row(graft.checks.GeoChecks.isPoint(col("wkt")), "is_point", "wkt"), Seq("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_custkey % 30 = 0 ORDER BY 1""".stripMargin)),
+
+    "row_geo_is_not_null_island" -> QueryDef(
+      (s, dir) => {
+        val df = t(s, dir, "customer")
+          .withColumn("wkt", when(col("c_custkey") % 50 === 0, lit("POINT (0 0)"))
+            .otherwise(format_string("POINT (%d %d)", col("c_custkey") % 179 + 1, col("c_custkey") % 89 + 1)))
+        failing(df, row(graft.checks.GeoChecks.isNotNullIsland(col("wkt")), "is_not_null_island", "wkt"), Seq("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0 ORDER BY 1""".stripMargin)),
+
+    "row_geo_x_between" -> QueryDef(
+      (s, dir) => {
+        val df = t(s, dir, "customer")
+          .withColumn("wkt", format_string("POINT (%d %d)", col("c_custkey") % 400 - 200, lit(10)))
+        failing(df, row(graft.checks.GeoChecks.hasXCoordinateBetween(col("wkt"), -180, 180),
+          "has_x_coordinate_between", "wkt"), Seq("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer
+             |WHERE NOT ((c_custkey % 400 - 200) BETWEEN -180 AND 180) ORDER BY 1""".stripMargin)),
+
+    "row_does_not_contain_pii" -> QueryDef(
+      (s, dir) => {
+        val df = t(s, dir, "customer")
+          .withColumn("bio", when(col("c_custkey") % 5 === 0, concat(col("c_name"), lit(" contact user@example.com")))
+            .when(col("c_custkey") % 7 === 0, concat(col("c_name"), lit(" ssn 123-45-6789")))
+            .otherwise(col("c_name")))
+        failing(df, row(graft.checks.PiiChecks.doesNotContainPii(col("bio")), "does_not_contain_pii", "bio"),
+          Seq("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer
+             |WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0 ORDER BY 1""".stripMargin))
   )
 }

@@ -105,7 +105,15 @@ object CheckRegistry {
     "has_json_keys" -> (a => hasJsonKeys(a.column(), a.strSeq("keys"), a.bool("require_all", true))),
     "has_valid_json_schema" -> (a => hasValidJsonSchema(a.column(), a.str("schema"))),
     "is_latitude" -> (a => isLatitude(a.column())),
-    "is_longitude" -> (a => isLongitude(a.column()))
+    "is_longitude" -> (a => isLongitude(a.column())),
+    "is_point" -> (a => GeoChecks.isPoint(a.column())),
+    "is_non_empty_geometry" -> (a => GeoChecks.isNonEmptyGeometry(a.column())),
+    "is_not_null_island" -> (a => GeoChecks.isNotNullIsland(a.column())),
+    "has_x_coordinate_between" -> (a => GeoChecks.hasXCoordinateBetween(a.column(), a.double("min_value", -180), a.double("max_value", 180))),
+    "has_y_coordinate_between" -> (a => GeoChecks.hasYCoordinateBetween(a.column(), a.double("min_value", -90), a.double("max_value", 90))),
+    "is_valid_lon_lat_point" -> (a => GeoChecks.isValidLonLatPoint(a.column())),
+    "does_not_contain_pii" -> (a => PiiChecks.doesNotContainPii(a.column(),
+      if (a.has("entities")) a.strSeq("entities") else PiiChecks.EntityPatterns.map(_._1)))
   )
 
   import DatasetChecks._
