@@ -54,6 +54,22 @@ final case class DQRowRule(
   def resolvedName: String = if (name.nonEmpty) name else DQRule.autoName(function, columns)
 }
 
+/** For-each-column expansion (dqx/rule.py:563-641): one check template applied
+  * to N columns, producing N rules with per-column auto-names.
+  */
+object DQForEachColRule {
+  def expand(columns: Seq[String], function: String,
+             build: String => Column,
+             criticality: Criticality = Criticality.Error,
+             filter: Option[String] = None,
+             userMetadata: Map[String, String] = Map.empty): Seq[DQRowRule] =
+    columns.map { c =>
+      DQRowRule(build(c), function, Seq(c), criticality = criticality,
+        filter = filter, userMetadata = userMetadata,
+        arguments = Map("column" -> c))
+    }
+}
+
 final case class DQDatasetRule(
     check: DatasetCheck,
     function: String,

@@ -1,0 +1,34 @@
+package graft
+
+import graft.streaming.StreamChecks
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class StreamChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("watermarked freshness: under-filled closed windows emit exactly once") {
+    val dir = Files.createTempDirectory("wm_in").toString
+    // window 1 (00:00-00:10): 3 rows; window 2 (00:10-00:20): 1 row;
+    // a late straggler at 01:00 advances the watermark past both windows
+    Seq("2024-01-01 00:01:00", "2024-01-01 00:02:00", "2024-01-01 00:03:00",
+      "2024-01-01 00:11:00", "2024-01-01 01:00:00")
+      .toDF("s").select(col("s").cast("timestamp").as("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("ts TIMESTAMP").parquet(dir)
+    val out = StreamChecks.freshnessViolationsPerWindow(stream, "ts",
+      windowMinutes = 10, minRecords = 2, watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("wm_out")
+      .select(col("window_start").cast("string"), col("record_count"))
+      .as[(String, Long)].collect().toSet
+    // only the 00:10 window is under-filled among CLOSED windows (01:00 window
+    // never closes - watermark stops at the max event time)
+    assert(rows == Set(("2024-01-01 00:10:00", 1L)))
+  }
+}
