@@ -78,13 +78,12 @@ object Dedup {
     // intersection is far cheaper than string intersection
     val sh = df.select(col(idCol).as("__id"),
       transform(shingles(col(textCol), shingleSize), s => xxhash64(s)).as("__hsh"))
-    val sig = sh.withColumn("__bands", {
-      import org.apache.spark.sql.GraftColumnBridge
-      GraftColumnBridge.column(MinHashBands(
+    // generator computes the 128-hash sketch ONCE per row and emits band rows
+    import org.apache.spark.sql.GraftColumnBridge
+    val banded = sh.select(col("__id"),
+      GraftColumnBridge.column(MinHashBandsExplode(
         GraftColumnBridge.expression(col("__hsh")), numHashes, bands))
-    })
-    val banded = sig.select(col("__id"),
-      posexplode(col("__bands")).as(Seq("__band", "__bandhash")))
+        .as(Seq("__band", "__bandhash")))
     val l = banded.select(col("__id").as("id_a"), col("__band"), col("__bandhash"))
     val r = banded.select(col("__id").as("id_b"), col("__band"), col("__bandhash"))
     val candidateIds = l.join(r, Seq("__band", "__bandhash"))
@@ -132,17 +131,12 @@ object Dedup {
                             maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
     val nChunks = maxHamming + 1
-    val base = 64 / nChunks
-    // chunk i covers [offsets(i), offsets(i+1)); last chunk takes the remainder
-    val offsets = (0 until nChunks).map(_ * base) :+ 64
-    val withSig = df.select(col(idCol).as("__id"), simHash(tokens(col(textCol))).as("__sim"))
-    val chunkCols = (0 until nChunks).map { i =>
-      val width = offsets(i + 1) - offsets(i)
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      shiftright(col("__sim"), offsets(i)).bitwiseAND(lit(mask))
-    }
-    val chunks = withSig.select(col("__id"), col("__sim"),
-      posexplode(array(chunkCols: _*)).as(Seq("__chunk", "__chunkval")))
+    // generator computes SimHash64 ONCE per row and emits (chunk, value, sketch)
+    import org.apache.spark.sql.GraftColumnBridge
+    val chunks = df.select(col(idCol).as("__id"),
+      GraftColumnBridge.column(SimHashChunksExplode(
+        GraftColumnBridge.expression(tokens(col(textCol))), nChunks))
+        .as(Seq("__chunk", "__chunkval", "__sim")))
     val l = chunks.select(col("__id").as("id_a"), col("__sim").as("__sim_a"), col("__chunk"), col("__chunkval"))
     val r = chunks.select(col("__id").as("id_b"), col("__sim").as("__sim_b"), col("__chunk"), col("__chunkval"))
     l.join(r, Seq("__chunk", "__chunkval"))
