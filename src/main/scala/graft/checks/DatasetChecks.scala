@@ -515,6 +515,39 @@ object DatasetChecks {
           valueText(col(loCol)), lit(", "), valueText(col(hiCol)), lit("]"))))
   }
 
+  // ------------------------------------------------------------ row anomalies
+
+  /** D15 (anomaly/check_funcs.py:119): the reference scores rows with a
+    * sklearn IsolationForest pandas UDF. Here: a pure-Spark multivariate
+    * z-score detector — one driver aggregation for per-column mean/stddev
+    * (literal-folded, like the reference's MAD pattern), then a row-local
+    * score = max |z| over the columns; rows above `threshold` fail. A
+    * model-based scorer can plug in behind the same DatasetCheck contract.
+    */
+  def hasNoRowAnomalies(columns: Seq[String], threshold: Double = 3.5,
+                        rowFilter: Option[String] = None): DatasetCheck = {
+    require(columns.nonEmpty, "columns must not be empty")
+    val id = uniqueSuffix()
+    val scoreCol = s"__dq_zscore_$id"
+    val applyFn = (df: DataFrame) => {
+      val base = rowFilter.map(df.filter).getOrElse(df)
+      val aggs = columns.flatMap(c => Seq(
+        avg(col(c)).as(s"${c}__mean"), stddev_samp(col(c)).as(s"${c}__std")))
+      val row = base.agg(aggs.head, aggs.tail: _*).collect().head
+      val zs = columns.zipWithIndex.map { case (c, i) =>
+        val mean = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+        val std = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
+        if (std == 0.0) lit(0.0) else abs(col(c).cast("double") - mean) / std
+      }
+      df.withColumn(scoreCol, greatest((zs :+ lit(0.0)): _*))
+    }
+    val filterC = rowFilter.map(expr).getOrElse(lit(true))
+    DatasetCheck(applyFn,
+      makeCondition(filterC && col(scoreCol) > threshold,
+        concat(lit(s"Row is a multivariate z-score anomaly over [${columns.mkString(", ")}]: score "),
+          valueText(col(scoreCol)), lit(s" > $threshold"))))
+  }
+
   // ---------------------------------------------------------------- sql_query
 
   /** D4 (check_funcs.py:2048): arbitrary SQL over an `{{input_view}}`

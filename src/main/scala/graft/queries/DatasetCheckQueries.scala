@@ -228,6 +228,15 @@ object DatasetCheckQueries {
         .groupBy().count().withColumnRenamed("count", "n_failing"),
       Some("SELECT count(*) AS n_failing FROM lineitem")),
 
+    "ds_has_no_row_anomalies" -> QueryDef(
+      (s, dir) => failing(t(s, dir, "customer"),
+        ds(D.hasNoRowAnomalies(Seq("c_acctbal"), threshold = 1.5), "has_no_row_anomalies", "c_acctbal"),
+        Seq("c_custkey")),
+      Some("""WITH st AS (SELECT avg(c_acctbal) AS m, stddev_samp(c_acctbal) AS sd FROM customer)
+             |SELECT c_custkey FROM customer, st
+             |WHERE abs(c_acctbal - st.m) / st.sd > 1.5
+             |ORDER BY 1""".stripMargin)),
+
     "ds_has_valid_schema_pass" -> QueryDef(
       (s, dir) => failing(t(s, dir, "lineitem"),
         ds(D.hasValidSchema("l_orderkey BIGINT, l_quantity DOUBLE"), "has_valid_schema"),

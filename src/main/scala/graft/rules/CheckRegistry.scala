@@ -155,7 +155,9 @@ object CheckRegistry {
     "has_no_outliers" -> ((a, _) => hasNoOutliers(a.str("column"), a.double("factor", 3.5),
       a.bool("exact", false), a.strOpt("row_filter"))),
     "has_valid_schema" -> ((a, _) => hasValidSchema(a.str("expected_schema"), a.bool("strict", false),
-      a.strSeq("columns"), a.strSeq("exclude_columns")))
+      a.strSeq("columns"), a.strSeq("exclude_columns"))),
+    "has_no_row_anomalies" -> ((a, _) => hasNoRowAnomalies(a.strSeq("columns"),
+      a.double("threshold", 3.5), a.strOpt("row_filter")))
   )
 
   private val custom = scala.collection.concurrent.TrieMap[String, CheckFn]()
