@@ -93,6 +93,36 @@ object DQRunner {
       java.nio.file.Files.createTempDirectory(prefix)
   }
 
+  /** Wildcard-pattern fan-out (engine.py:1147-1242): discover catalog tables
+    * matching `pattern` (SQL LIKE-style `%`/`_` or glob `*`), build a RunConfig
+    * per table with conventional locations:
+    * output = `<table><outputSuffix>`, checks = `<checksDir>/<table>.yml`.
+    */
+  def applyChecksAndSaveInTablesForPatterns(
+      spark: SparkSession, pattern: String, checksDir: String,
+      outputSuffix: String = "_checked", quarantineSuffix: Option[String] = None,
+      maxParallelism: Int = 4, extra: ExtraParams = ExtraParams()): Seq[String] = {
+    val re = pattern.replace(".", "\\.").replace("%", ".*").replace("*", ".*").replace("_", ".")
+    val tables = spark.catalog.listTables().collect()
+      .filter(t => t.name.matches(re) ||
+        Option(t.database).exists(d => s"$d.${t.name}".matches(re)))
+      .map(_.name)
+      .toSeq
+    val cfgs = tables.flatMap { t =>
+      val checksFile = s"$checksDir/${t.replace('.', '_')}.yml"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(checksFile)))
+        Some(RunConfig(
+          input = InputConfig(t),
+          output = OutputConfig(s"$t$outputSuffix", mode = "overwrite"),
+          quarantine = quarantineSuffix.map(q => OutputConfig(s"$t$q", mode = "overwrite")),
+          checksLocation = Some(checksFile),
+          extra = extra))
+      else None
+    }
+    applyChecksAndSaveInTables(spark, cfgs, maxParallelism)
+    cfgs.map(_.input.location)
+  }
+
   /** Multi-table fan-out on a bounded driver pool (engine.py:1114-1144): each
     * config is an independent Spark job; the scheduler interleaves them.
     */

@@ -80,6 +80,19 @@ object ChecksSerializer {
       }
     }
 
+  /** Semantic validation beyond structure (reference
+    * checks_semantic_validator.py): duplicate rule names and duplicate
+    * fingerprints (same function+arguments+filter at the same criticality).
+    */
+  def validateChecksSemantics(checks: Seq[Map[String, Any]]): Seq[String] = {
+    val named = checks.flatMap(c => c.get("name").map(String.valueOf))
+    val dupNames = named.groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+    val sigs = checks.map(c => (c.get("check"), c.get("criticality"), c.get("filter")))
+    val dupDefs = sigs.groupBy(identity).collect { case (_, xs) if xs.size > 1 => xs.size }
+    dupNames.map(n => s"duplicate rule name: $n").toSeq ++
+      (if (dupDefs.nonEmpty) Seq(s"${dupDefs.sum - dupDefs.size} duplicate check definition(s)") else Seq.empty)
+  }
+
   /** Deserialize validated check dicts into rules, expanding for_each_column
     * (checks_serializer.py:238-364).
     */
