@@ -10,15 +10,8 @@ class PatternsSpec extends SparkSpec {
   import spark.implicits._
 
   test("pattern fan-out discovers tables, loads per-table checks, writes outputs") {
-    Seq("pat_sales", "pat_costs", "other_tbl", "pat_sales_checked", "pat_costs_checked").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = java.nio.file.Paths.get(s"spark-warehouse/$t")
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
+    Seq("pat_sales", "pat_costs", "other_tbl", "pat_sales_checked", "pat_costs_checked")
+      .foreach(dropTableFully)
     Seq((1, "a"), (2, null)).toDF("id", "v").write.mode("overwrite").saveAsTable("pat_sales")
     Seq((3, "c")).toDF("id", "v").write.mode("overwrite").saveAsTable("pat_costs")
     Seq((4, "d")).toDF("id", "v").write.mode("overwrite").saveAsTable("other_tbl")

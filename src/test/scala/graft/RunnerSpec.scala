@@ -23,7 +23,7 @@ class RunnerSpec extends SparkSpec {
     val checks = Seq(
       Map("criticality" -> "error",
         "check" -> Map("function" -> "is_not_null", "arguments" -> Map("column" -> "name"))))
-    spark.sql("DROP TABLE IF EXISTS dq_metrics_test")
+    dropTableFully("dq_metrics_test")
     DQRunner.applyChecksAndSaveInTable(spark, DQRunner.RunConfig(
       input = InputConfig(in),
       output = OutputConfig(out, mode = "overwrite"),
@@ -51,7 +51,7 @@ class RunnerSpec extends SparkSpec {
   }
 
   test("table checks storage keeps latest rule set") {
-    spark.sql("DROP TABLE IF EXISTS dq_checks_tbl")
+    dropTableFully("dq_checks_tbl")
     val st = new TableChecksStorage(spark)
     st.save(Seq(Map("criticality" -> "error",
       "check" -> Map("function" -> "is_not_null", "arguments" -> Map("column" -> "a")))), "dq_checks_tbl")

@@ -8,6 +8,19 @@ import org.scalatest.BeforeAndAfterAll
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   override def afterAll(): Unit = {} // session shared across suites
+
+  /** Drop a managed table AND its warehouse location — the in-memory metastore
+    * forgets tables across JVMs but orphaned locations fail the next CTAS.
+    */
+  def dropTableFully(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = java.nio.file.Paths.get(s"spark-warehouse/$name")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
 
 object SparkSpec {
