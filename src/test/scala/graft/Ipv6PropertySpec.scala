@@ -1,0 +1,84 @@
+package graft
+
+import graft.checks.Ipv6Util
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+/** Property tests: our strict IPv6 parser vs Guava's InetAddresses (textual
+  * parse, no DNS) on generated addresses, plus round-trip and CIDR laws.
+  */
+class Ipv6PropertySpec extends AnyFunSuite {
+
+  // minimal forAll over scalacheck Gens (scalatestplus bridge not bundled)
+  private def forAll[A](g: Gen[A], n: Int = 300)(f: A => Unit): Unit =
+    (0 until n).foreach { i => g.sample.foreach(f) }
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 300).foreach { _ => for (a <- g1.sample; b <- g2.sample) f(a, b) }
+
+  private val group = Gen.chooseNum(0, 0xFFFF)
+  private val fullAddr: Gen[String] =
+    Gen.listOfN(8, group).map(_.map(g => f"$g%x").mkString(":"))
+
+  private val compressedAddr: Gen[String] = for {
+    left <- Gen.chooseNum(0, 5)
+    right <- Gen.chooseNum(0, 5 - math.min(left, 5))
+    ls <- Gen.listOfN(left, group)
+    rs <- Gen.listOfN(right, group)
+  } yield ls.map(g => f"$g%x").mkString(":") + "::" + rs.map(g => f"$g%x").mkString(":")
+
+  test("agrees with Guava on fully-specified addresses") {
+    forAll(fullAddr) { s =>
+      val ours = Ipv6Util.parse(s)
+      val guava = com.google.common.net.InetAddresses.isInetAddress(s)
+      assert(ours.isDefined == guava, s"disagree on $s")
+      ours.foreach { bytes =>
+        val ref = com.google.common.net.InetAddresses.forString(s).getAddress
+        assert(bytes.toSeq == ref.toSeq, s"byte mismatch on $s")
+      }
+    }
+  }
+
+  test("agrees with Guava on ::-compressed addresses") {
+    forAll(compressedAddr) { s =>
+      val ours = Ipv6Util.parse(s)
+      val guava = com.google.common.net.InetAddresses.isInetAddress(s)
+      assert(ours.isDefined == guava, s"disagree on $s")
+      ours.foreach { bytes =>
+        val ref = com.google.common.net.InetAddresses.forString(s).getAddress
+        // Guava collapses IPv4-mapped (::ffff:a.b.c.d) to 4 bytes; compare tail
+        if (ref.length == 4) assert(bytes.takeRight(4).toSeq == ref.toSeq, s"tail mismatch on $s")
+        else assert(bytes.toSeq == ref.toSeq, s"byte mismatch on $s")
+      }
+    }
+  }
+
+  test("rejects malformed IPv6 strings (Guava comparison for ':'-containing ones)") {
+    // plain IPv4 is a valid inet address to Guava but NOT a valid IPv6 — our
+    // parser is IPv6-specific by design
+    val bad = Seq("", ":::", "1:2:3:4:5:6:7:8:9", "g::1", "1::2::3",
+      "12345::", "1.2.3.4", "::ffff:999.1.1.1", "fe80::1%eth0")
+    bad.foreach(s => assert(Ipv6Util.parse(s).isEmpty, s"should reject '$s'"))
+    bad.filter(s => s.contains(':') && !s.contains('%')).foreach { s =>
+      assert(!com.google.common.net.InetAddresses.isInetAddress(s), s"Guava accepts '$s'?")
+    }
+  }
+
+  test("CIDR membership: address always within its own /128 and /0") {
+    forAll(fullAddr) { s =>
+      val b = Ipv6Util.parse(s).get
+      assert(Ipv6Util.inCidr(b, b, 128))
+      assert(Ipv6Util.inCidr(b, new Array[Byte](16), 0))
+    }
+  }
+
+  test("CIDR membership: flipping a bit inside the prefix excludes") {
+    forAll(fullAddr, Gen.chooseNum(1, 128)) { (s, prefix) =>
+      val b = Ipv6Util.parse(s).get
+      val flipped = b.clone()
+      val bitIdx = prefix - 1 // last bit inside the prefix
+      flipped(bitIdx / 8) = (flipped(bitIdx / 8) ^ (1 << (7 - bitIdx % 8))).toByte
+      assert(!Ipv6Util.inCidr(flipped, b, prefix))
+      assert(Ipv6Util.inCidr(b, b, prefix))
+    }
+  }
+}
