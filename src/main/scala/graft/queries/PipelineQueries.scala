@@ -37,6 +37,30 @@ object PipelineQueries {
       .select((col("doc_id") + 200000).as("doc_id"), col("text")))
   }
 
+  /** DuckDB replica of TextAnalysis.languageId: per-language distinct-stopword
+    * hit counts, argmax with registry-order tie-break, 'und' when all zero.
+    * Generated from the SAME registry so the two can never drift.
+    */
+  private def langIdOracleSql: String = {
+    val langs = TextAnalysis.LanguageStopwords
+    val scoreCols = langs.map { case (lang, words) =>
+      val list = words.map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
+      s"len(list_intersect(toks, $list)) AS s_$lang"
+    }.mkString(",\n  ")
+    val caseBranches = langs.map { case (lang, _) =>
+      val geAll = langs.map { case (o, _) => s"s_$lang >= s_$o" }.mkString(" AND ")
+      s"WHEN s_$lang > 0 AND $geAll THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH t AS (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |  $scoreCols
+       |FROM t),
+       |p AS (SELECT doc_id, CASE
+       |    $caseBranches
+       |    ELSE 'und' END AS lang_pred FROM s)
+       |SELECT lang_pred, count(*) AS n FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Seq[(String, QueryDef)] = Seq(
 
     "pipe_dedup_exact" -> QueryDef(
@@ -181,7 +205,7 @@ object PipelineQueries {
         .select(TextAnalysis.languageId(col("text")).as("lang_pred"))
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))
         .orderBy("lang_pred"),
-      None), // heuristic registry-order argmax — rows-only check
+      Some(langIdOracleSql)), // oracle generated from the same stopword registry
 
     "pipe_multimodal_stub" -> QueryDef(
       (s, dir) => {
