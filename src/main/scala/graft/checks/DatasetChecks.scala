@@ -65,13 +65,18 @@ object DatasetChecks {
     val keyCols = columns.map(col)
     val applyFn = (df: DataFrame) => {
       val renamedRef = refColumns.map(rc => s"__dq_fk_ref_${rc}_$id")
-      val ref = refDf.select(refColumns.zip(renamedRef).map { case (rc, nn) => col(rc).as(nn) }: _*).distinct()
+      val marker = s"__dq_fk_present_$id"
+      // explicit presence marker: ref-key nullness cannot indicate a match
+      // under null_safe (a NULL ref key is a legitimate match target)
+      val ref = refDf.select(refColumns.zip(renamedRef).map { case (rc, nn) => col(rc).as(nn) }: _*)
+        .distinct()
+        .withColumn(marker, lit(true))
       val joinCond =
         if (nullSafe) nullSafeJoinCondition(keyCols, renamedRef.map(col))
         else equalityJoinCondition(keyCols, renamedRef.map(col)) && keyCols.map(_.isNotNull).reduce(_ && _)
       df.join(ref, joinCond, "left")
-        .withColumn(matchedCol, renamedRef.map(col(_).isNotNull).reduce(_ && _))
-        .drop(renamedRef: _*)
+        .withColumn(matchedCol, coalesce(col(marker), lit(false)))
+        .drop((renamedRef :+ marker): _*)
     }
     val keysPresent = if (nullSafe) lit(true) else keyCols.map(_.isNotNull).reduce(_ && _)
     val violation =

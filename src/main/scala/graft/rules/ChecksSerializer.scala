@@ -153,12 +153,19 @@ object ChecksSerializer {
   def buildRule(function: String, args: Map[String, Any], name: String,
                 criticality: Criticality, filter: Option[String],
                 userMetadata: Map[String, String], ctx: ResolveCtx): DQRule = {
-    val ca = CheckArgs(args)
     CheckRegistry.resolve(function) match {
       case RowCheckFn(build) =>
-        DQRowRule(build(ca), function, columnsOf(args), name, criticality, filter, userMetadata, args)
+        DQRowRule(build(CheckArgs(args)), function, columnsOf(args), name, criticality, filter, userMetadata, args)
       case DatasetCheckFn(build) =>
-        DQDatasetRule(build(ca, ctx), function, columnsOf(args), name, criticality, filter, userMetadata, args)
+        // the rule-level filter is ALSO pushed into the aggregation as
+        // row_filter (reference rule.py:471-473) so group metrics only see
+        // filtered rows; the engine separately gates the per-row result
+        val argsWithFilter = filter match {
+          case Some(f) if !args.contains("row_filter") => args + ("row_filter" -> f)
+          case _ => args
+        }
+        DQDatasetRule(build(CheckArgs(argsWithFilter), ctx), function, columnsOf(args),
+          name, criticality, filter, userMetadata, args)
     }
   }
 

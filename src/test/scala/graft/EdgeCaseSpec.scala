@@ -1,0 +1,103 @@
+package graft
+
+import graft.checks.{DatasetChecks, RowChecks}
+import graft.engine.DQEngine
+import graft.rules._
+import org.apache.spark.sql.functions._
+
+/** Edge-case semantics from SURVEY §1.3: null-handling knobs, tolerances,
+  * filters inside aggregates, JSON schema presence checks.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def errs(df: org.apache.spark.sql.DataFrame, rule: DQRule): Seq[Int] =
+    DQEngine.applyChecks(df, Seq(rule))
+      .where(col("_errors").isNotNull).select("id").as[Int].collect().toSeq.sorted
+
+  test("is_unique nulls_distinct: null keys never duplicate; =false groups them") {
+    val df = Seq((1, Option.empty[String]), (2, None), (3, Some("x")), (4, Some("x")))
+      .toDF("id", "k")
+    val distinct = errs(df, DQDatasetRule(DatasetChecks.isUnique(Seq("k")), "is_unique", Seq("k")))
+    assert(distinct == Seq(3, 4)) // nulls distinct by default
+    val grouped = errs(df, DQDatasetRule(
+      DatasetChecks.isUnique(Seq("k"), nullsDistinct = false), "is_unique", Seq("k")))
+    assert(grouped == Seq(1, 2, 3, 4))
+  }
+
+  test("foreign_key null_safe: NULL key matches NULL ref key") {
+    val df = Seq((1, Option.empty[String]), (2, Some("a")), (3, Some("zz"))).toDF("id", "k")
+    val ref = Seq(Option.empty[String], Some("a")).toDF("rk")
+    val plain = errs(df, DQDatasetRule(
+      DatasetChecks.foreignKey(Seq("k"), Seq("rk"), ref), "foreign_key", Seq("k")))
+    assert(plain == Seq(3)) // null key skipped (not a violation), zz missing
+    val nullSafe = errs(df, DQDatasetRule(
+      DatasetChecks.foreignKey(Seq("k"), Seq("rk"), ref, nullSafe = true), "foreign_key", Seq("k")))
+    assert(nullSafe == Seq(3)) // null matches null ref row
+    val refNoNull = Seq(Some("a")).toDF("rk")
+    val nullSafe2 = errs(df, DQDatasetRule(
+      DatasetChecks.foreignKey(Seq("k"), Seq("rk"), refNoNull, nullSafe = true), "foreign_key", Seq("k")))
+    assert(nullSafe2 == Seq(1, 3)) // null no longer matches
+  }
+
+  test("aggr compare row_filter is conditional aggregation + result gate") {
+    val df = Seq((1, "g1", 10), (2, "g1", 100), (3, "g2", 10)).toDF("id", "g", "v")
+    // dqx semantics: the rule filter goes INTO the aggregate (row_filter) AND
+    // gates which rows flag. sum(v | v<50) per group: g1=10, g2=10; limit 5 ->
+    // both groups fail; row 2 (v=100) is outside the filter so it never flags.
+    val rule = DQDatasetRule(DatasetChecks.isAggrNotGreaterThan(
+      "v", 5.0, "sum", groupBy = Seq("g"), rowFilter = Some("v < 50")),
+      "is_aggr_not_greater_than", Seq("v"), filter = Some("v < 50"))
+    assert(errs(df, rule) == Seq(1, 3))
+    // metadata path wires the same filter into both automatically
+    val out = DQEngine.applyChecksByMetadata(df, Seq(Map(
+      "criticality" -> "error", "filter" -> "v < 50",
+      "check" -> Map("function" -> "is_aggr_not_greater_than",
+        "arguments" -> Map("column" -> "v", "aggr_type" -> "sum", "limit" -> 5.0,
+          "group_by" -> Seq("g"))))))
+    val flagged = out.where(col("_errors").isNotNull).select("id").as[Int].collect().toSeq.sorted
+    assert(flagged == Seq(1, 3))
+  }
+
+  test("is_aggr_equal tolerances: abs and rel") {
+    val df = Seq((1, 98), (2, 98)).toDF("id", "v")
+    // sum=196 vs limit 200: abs tol 5 -> within; abs tol 2 -> outside
+    val within = DQDatasetRule(DatasetChecks.isAggrEqual("v", 200.0, "sum", absTolerance = 5.0),
+      "is_aggr_equal", Seq("v"))
+    assert(errs(df, within).isEmpty)
+    val outside = DQDatasetRule(DatasetChecks.isAggrEqual("v", 200.0, "sum", absTolerance = 2.0),
+      "is_aggr_equal", Seq("v"))
+    assert(errs(df, outside) == Seq(1, 2))
+    // rel tol 0.03 -> band 6 -> within
+    val rel = DQDatasetRule(DatasetChecks.isAggrEqual("v", 200.0, "sum", relTolerance = 0.03),
+      "is_aggr_equal", Seq("v"))
+    assert(errs(df, rel).isEmpty)
+  }
+
+  test("compare_datasets numeric tolerance suppresses small drifts") {
+    val df = Seq((1, 100.0), (2, 200.0)).toDF("id", "v")
+    val ref = Seq((1, 100.4), (2, 250.0)).toDF("id", "v")
+    val rule = DQDatasetRule(DatasetChecks.compareDatasets(Seq("id"), Seq("id"), ref,
+      absTolerance = 1.0), "compare_datasets", Seq("id"))
+    assert(errs(df, rule) == Seq(2)) // 0.4 within tol, 50 outside
+  }
+
+  test("has_valid_json_schema flags missing NOT NULL fields") {
+    val df = Seq(
+      (1, """{"a": 1, "b": "x"}"""),
+      (2, """{"b": "x"}"""),
+      (3, """not json""")
+    ).toDF("id", "js")
+    val rule = DQRowRule(RowChecks.hasValidJsonSchema(col("js"), "a INT NOT NULL, b STRING"),
+      "has_valid_json_schema", Seq("js"))
+    assert(errs(df, rule) == Seq(2, 3))
+  }
+
+  test("by-name aggregate fallback works for non-curated functions") {
+    val df = Seq((1, "g", 5), (2, "g", 15)).toDF("id", "g", "v")
+    // 'sum_distinct' is not in the curated registry -> expr fallback
+    val rule = DQDatasetRule(DatasetChecks.isAggrNotGreaterThan(
+      "v", 10.0, "sum_distinct", groupBy = Seq("g")), "is_aggr_not_greater_than", Seq("v"))
+    assert(errs(df, rule) == Seq(1, 2)) // 20 > 10
+  }
+}
