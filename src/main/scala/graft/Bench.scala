@@ -81,9 +81,35 @@ object Bench {
     Seq("lineitem", "orders", "customer", "supplier", "part", "events", "documents", "embeddings")
       .foreach(t => QueryDefs.t(spark, sfDir, t).count())
 
+    // reference-shaped foreach suites (BASELINE.md rows apply one check to 5 columns)
+    def foreachIsUnique(): Unit = {
+      val li = QueryDefs.t(spark, sfDir, "lineitem")
+      val rules = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag")
+        .map(c => DQDatasetRule(DatasetChecks.isUnique(Seq(c)), "is_unique", Seq(c)))
+      DQEngine.applyChecks(li, rules).count()
+    }
+    def foreachForeignKey(): Unit = {
+      val li = QueryDefs.t(spark, sfDir, "lineitem")
+      val orders = QueryDefs.t(spark, sfDir, "orders")
+      val rules = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity").map(c =>
+        DQDatasetRule(DatasetChecks.foreignKey(Seq(c), Seq("o_orderkey"), orders), "foreign_key", Seq(c)))
+      DQEngine.applyChecks(li, rules).count()
+    }
+    def compareDatasetsSingle(): Unit = {
+      val o = QueryDefs.t(spark, sfDir, "orders")
+      val ref = QueryDefs.t(spark, sfDir, "orders")
+        .where(org.apache.spark.sql.functions.col("o_orderkey") % 100 =!= 0)
+      val rules = Seq(DQDatasetRule(DatasetChecks.compareDatasets(
+        Seq("o_orderkey"), Seq("o_orderkey"), ref), "compare_datasets", Seq("o_orderkey")))
+      DQEngine.applyChecks(o, rules).count()
+    }
+
     val suites: Seq[(String, () => Unit)] = Seq(
       "all_row_checks" -> (() => { allRowChecksSuite(spark, sfDir).count(); () }),
-      "all_dataset_checks" -> (() => { allDatasetChecksSuite(spark, sfDir).count(); () }))
+      "all_dataset_checks" -> (() => { allDatasetChecksSuite(spark, sfDir).count(); () }),
+      "foreach_is_unique" -> (() => foreachIsUnique()),
+      "foreach_foreign_key" -> (() => foreachForeignKey()),
+      "compare_datasets_single" -> (() => compareDatasetsSingle()))
 
     val suiteTimes = suites.map { case (name, f) =>
       f() // warmup round

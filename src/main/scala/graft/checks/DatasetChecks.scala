@@ -499,13 +499,14 @@ object DatasetChecks {
     val pct = if (exact) "percentile" else "approx_percentile"
     val applyFn = (df: DataFrame) => {
       val base = rowFilter.map(df.filter).getOrElse(df)
+      // approx_percentile returns the INPUT type (int stays int) — read numerically
       val medianRow = base.select(expr(s"$pct($column, 0.5)").as("m")).first()
       if (medianRow.isNullAt(0)) {
         df.withColumn(loCol, lit(null).cast("double")).withColumn(hiCol, lit(null).cast("double"))
       } else {
-        val med = medianRow.getDouble(0)
+        val med = medianRow.get(0).asInstanceOf[Number].doubleValue()
         val madRow = base.select(expr(s"$pct(abs($column - $med), 0.5)").as("mad")).first()
-        val mad = if (madRow.isNullAt(0)) 0.0 else madRow.getDouble(0)
+        val mad = if (madRow.isNullAt(0)) 0.0 else madRow.get(0).asInstanceOf[Number].doubleValue()
         val lo = med - factor * mad
         val hi = med + factor * mad
         df.withColumn(loCol, lit(lo)).withColumn(hiCol, lit(hi))

@@ -80,6 +80,19 @@ object ChecksSerializer {
       }
     }
 
+  /** Variable substitution in check metadata (reference utils.py:696-820):
+    * `${name}` placeholders in any string value, recursively.
+    */
+  def substituteVariables(checks: Seq[Map[String, Any]], vars: Map[String, String]): Seq[Map[String, Any]] = {
+    def sub(v: Any): Any = v match {
+      case s: String => vars.foldLeft(s) { case (acc, (k, value)) => acc.replace(s"$${$k}", value) }
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].map { case (k, x) => k -> sub(x) }
+      case xs: Seq[_] => xs.map(sub)
+      case other => other
+    }
+    checks.map(c => sub(c).asInstanceOf[Map[String, Any]])
+  }
+
   /** Semantic validation beyond structure (reference
     * checks_semantic_validator.py): duplicate rule names and duplicate
     * fingerprints (same function+arguments+filter at the same criticality).

@@ -74,4 +74,15 @@ class MetadataSpec extends SparkSpec {
     val bad = out.where(col("_errors").isNotNull).select("amount").as[Int].collect()
     assert(bad.toSeq == Seq(-5))
   }
+
+  test("variable substitution in metadata") {
+    val checks = Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "is_in_range",
+        "arguments" -> Map("column" -> "${target_col}", "min_limit" -> 0, "max_limit" -> 25))))
+    val substituted = ChecksSerializer.substituteVariables(checks, Map("target_col" -> "amount"))
+    val out = DQEngine.applyChecksByMetadata(df, substituted)
+    val bad = out.where(col("_errors").isNotNull).select("amount").as[Int].collect().sorted
+    assert(bad.toSeq == Seq(-5, 30))
+  }
 }
