@@ -49,6 +49,31 @@ object GeoChecks {
       concat(lit("Value '"), valueText(c),
         lit(s"' in column '${c.toString}' has y outside [$minY, $maxY]")))
 
+  /** D16 (geo/check_funcs.py:893) restricted to the WKT-point subset: two
+    * point geometries "overlap" iff their coordinates coincide, so mutual
+    * disjointness = no duplicate coordinates — one window count per coordinate
+    * pair (the general polygon case needs a spatial library and stays a
+    * pluggable boundary).
+    */
+  def arePointsMutuallyDisjoint(column: String, rowFilter: Option[String] = None): graft.rules.DatasetCheck = {
+    import graft.core.CheckUtils.uniqueSuffix
+    import org.apache.spark.sql.expressions.Window
+    val id = uniqueSuffix()
+    val cntCol = s"__dq_geo_cnt_$id"
+    val filterC = rowFilter.map(expr).getOrElse(lit(true))
+    val c = col(column)
+    val applyFn = (df: org.apache.spark.sql.DataFrame) => {
+      val w = Window.partitionBy(pointX(c), pointY(c))
+      df.withColumn(cntCol,
+        sum(when(filterC && isPointWkt(c), lit(1)).otherwise(lit(0))).over(w))
+    }
+    graft.rules.DatasetCheck(applyFn,
+      makeCondition(filterC && isPointWkt(c) && col(cntCol) > 1,
+        concat(lit("Point '"), valueText(c),
+          lit(s"' in column '$column' coincides with "), (col(cntCol) - 1).cast("string"),
+          lit(" other geometr(ies)"))))
+  }
+
   /** geo:63/86 combined — WKT point within lat/lon bounds (x=lon, y=lat). */
   def isValidLonLatPoint(c: Column): Column =
     makeCondition(c.isNotNull &&

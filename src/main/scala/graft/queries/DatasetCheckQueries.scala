@@ -237,6 +237,19 @@ object DatasetCheckQueries {
              |WHERE abs(c_acctbal - st.m) / st.sd > 1.5
              |ORDER BY 1""".stripMargin)),
 
+    "ds_points_mutually_disjoint" -> QueryDef(
+      (s, dir) => {
+        val df = t(s, dir, "customer")
+          .withColumn("wkt", format_string("POINT (%d %d)", col("c_custkey") % 40, col("c_custkey") % 7))
+        failing(df, ds(graft.checks.GeoChecks.arePointsMutuallyDisjoint("wkt"),
+          "are_polygons_mutually_disjoint", "wkt"),
+          Seq("c_custkey"))
+      },
+      Some("""WITH d AS (SELECT c_custkey, c_custkey % 40 AS x, c_custkey % 7 AS y FROM customer)
+             |SELECT c_custkey FROM d
+             |WHERE (x, y) IN (SELECT (x, y) FROM d GROUP BY x, y HAVING count(*) > 1)
+             |ORDER BY 1""".stripMargin)),
+
     "ds_has_valid_schema_pass" -> QueryDef(
       (s, dir) => failing(t(s, dir, "lineitem"),
         ds(D.hasValidSchema("l_orderkey BIGINT, l_quantity DOUBLE"), "has_valid_schema"),

@@ -157,7 +157,9 @@ object CheckRegistry {
     "has_valid_schema" -> ((a, _) => hasValidSchema(a.str("expected_schema"), a.bool("strict", false),
       a.strSeq("columns"), a.strSeq("exclude_columns"))),
     "has_no_row_anomalies" -> ((a, _) => hasNoRowAnomalies(a.strSeq("columns"),
-      a.double("threshold", 3.5), a.strOpt("row_filter")))
+      a.double("threshold", 3.5), a.strOpt("row_filter"))),
+    "are_polygons_mutually_disjoint" -> ((a, _) =>
+      GeoChecks.arePointsMutuallyDisjoint(a.str("column"), a.strOpt("row_filter")))
   )
 
   private val custom = scala.collection.concurrent.TrieMap[String, CheckFn]()
