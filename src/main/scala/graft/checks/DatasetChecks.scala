@@ -619,7 +619,12 @@ object DatasetChecks {
       case _ => false
     }
     val applyFn = (df: DataFrame) => {
-      val sel = if (columns.nonEmpty) columns else df.columns.toSeq
+      // Engine chains dataset checks on the augmented frame; ignore engine temp
+      // metric columns so a schema rule placed after another dataset check sees
+      // the pre-augmentation schema (reference _preselect_original_columns,
+      // engine.py:483-512).
+      val sel = if (columns.nonEmpty) columns
+                else df.columns.toSeq.filterNot(_.startsWith("__dq_"))
       val fields = df.schema.fields.filter(f => sel.contains(f.name) && !excludeColumns.contains(f.name))
       val expFields = expected.fields.filterNot(f => excludeColumns.contains(f.name))
       val (ok, msg) =

@@ -83,15 +83,17 @@ object Ipv6Util {
     if (s.isEmpty || s.contains("%")) return None
     val parts = s.split("::", -1)
     if (parts.length > 2) return None
-    def groups(p: String): Option[Seq[Int]] = {
+    // Embedded IPv4 must occupy the FINAL 32 bits of the whole address: it can
+    // only appear as the last group of the last non-empty part ('1.2.3.4::' is
+    // invalid — the '::' expands zeros after it).
+    def groups(p: String, isTail: Boolean): Option[Seq[Int]] = {
       if (p.isEmpty) return Some(Seq.empty)
       val gs = p.split(":", -1)
       if (gs.exists(_.isEmpty)) return None
       val out = scala.collection.mutable.ArrayBuffer[Int]()
       for ((g, i) <- gs.zipWithIndex) {
         if (g.contains(".")) {
-          // embedded IPv4, only allowed in last position
-          if (i != gs.length - 1) return None
+          if (!isTail || i != gs.length - 1) return None
           val oct = g.split("\\.", -1)
           if (oct.length != 4) return None
           val vals = oct.map { o =>
@@ -108,8 +110,8 @@ object Ipv6Util {
       }
       Some(out.toSeq)
     }
-    val left = groups(parts(0)).getOrElse(return None)
-    val right = if (parts.length == 2) groups(parts(1)).getOrElse(return None) else Seq.empty
+    val left = groups(parts(0), isTail = parts.length == 1).getOrElse(return None)
+    val right = if (parts.length == 2) groups(parts(1), isTail = true).getOrElse(return None) else Seq.empty
     val total = left.length + right.length
     val full: Seq[Int] =
       if (parts.length == 2) {

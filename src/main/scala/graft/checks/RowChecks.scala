@@ -83,12 +83,14 @@ object RowChecks {
       concat(lit(s"Value '"), valueText(c), lit(s"' in column '${c.toString}' is in the forbidden list")))
 
   /** check_funcs.py:521 — arbitrary boolean SQL expression; fail when FALSE
-    * (or when TRUE if negate). Escape hatch — caller-trusted source.
+    * (or when TRUE if negate). A NULL-valued expression passes in both
+    * branches, matching the reference (make_condition wraps the raw condition;
+    * when(NULL, msg) -> NULL -> pass). Escape hatch — caller-trusted source.
     */
   def sqlExpression(expression: String, msg: Option[String] = None, negate: Boolean = false): Column = {
     requireSafeSql(expression, "SQL expression")
     val e = expr(expression)
-    val failCond = if (negate) e else !coalesce(e, lit(false))
+    val failCond = if (negate) e else !e
     makeCondition(failCond, msg.getOrElse(s"Value is not matching expression: $expression"))
   }
 

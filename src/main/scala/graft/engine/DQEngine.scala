@@ -35,7 +35,13 @@ object DQEngine {
         // plan-time resolution probe — analysis only, no job (manager.py:323-345)
         probe(df, r.check, r.filter) match {
           case None => Compiled(r, r.check, None)
-          case Some(err) => Compiled(r, lit(null).cast("string"), Some(err))
+          case Some(err) =>
+            // backtick-quoted retry (manager.py:323-356): rebuild the check
+            // with quoted column arguments for names that need escaping
+            quotedRetry(df, r) match {
+              case Some(c) => Compiled(r, c, None)
+              case None => Compiled(r, lit(null).cast("string"), Some(err))
+            }
         }
       case r: DQDatasetRule =>
         Try {
@@ -91,15 +97,44 @@ object DQEngine {
 
     val (errs, warns) = compiled.partition(_.rule.criticality == Criticality.Error)
     val names = extra.resultColumnNames
+    // backtick-quote original names: col("a.b") would parse as field access
+    def orig(name: String): Column = col("`" + name.replace("`", "``") + "`")
     current.select(
-      (originalCols.map(col) :+
+      (originalCols.map(orig) :+
         resultArray(errs).as(names.errors) :+
         resultArray(warns).as(names.warnings)): _*)
   }
 
+  /** Rebuild a metadata-built row rule with backtick-quoted column arguments
+    * and re-probe — resolves checks on column names that need escaping
+    * (manager.py:323-356). Only possible when the rule carries its metadata
+    * arguments; rules built from raw Columns cannot be rebuilt.
+    */
+  private def quotedRetry(df: DataFrame, r: DQRowRule): Option[Column] = {
+    val colKeys = Set("column", "columns", "column1", "column2")
+    def quote(v: Any): Any = v match {
+      case s: String if !s.startsWith("`") => s"`${s.replace("`", "``")}`"
+      case xs: Seq[_] => xs.map(quote)
+      case other => other
+    }
+    if (r.arguments.isEmpty || !r.arguments.keys.exists(colKeys)) None
+    else {
+      val qArgs = r.arguments.map { case (k, v) => k -> (if (colKeys(k)) quote(v) else v) }
+      Try {
+        CheckRegistry.resolve(r.function) match {
+          case RowCheckFn(build) =>
+            val c = build(CheckArgs(qArgs))
+            df.select(c) // analysis-only resolution probe
+            r.filter.foreach(f => df.select(expr(f)))
+            c
+          case _ => throw new IllegalStateException("not a row check")
+        }
+      }.toOption
+    }
+  }
+
   /** Plan-time analysis probe: None if the condition+filter resolve against df,
-    * Some(reason) otherwise. Retries unresolved plain names as backtick-quoted
-    * (manager.py:323-356).
+    * Some(reason) otherwise.
     */
   private def probe(df: DataFrame, cond: Column, filter: Option[String]): Option[String] =
     Try {

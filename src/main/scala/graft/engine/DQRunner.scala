@@ -41,29 +41,33 @@ object DQRunner {
     val rules = ChecksSerializer.deserialize(checkDicts, ResolveCtx(spark, cfg.refDfs))
 
     def process(batch: DataFrame): Unit = {
-      val checked = DQEngine.applyChecks(batch, rules, cfg.extra)
+      // one run_id for the whole run: the result structs and the metrics rows
+      // must correlate (reference shares one engine-level run_id)
+      val runId = cfg.extra.runIdOverwrite.getOrElse(java.util.UUID.randomUUID().toString)
+      val extra = cfg.extra.copy(runIdOverwrite = Some(runId))
+      val checked = DQEngine.applyChecks(batch, rules, extra)
       val obs = new Observation(s"dq_${java.util.UUID.randomUUID().toString.take(8)}")
-      val observed = if (cfg.metricsTable.isDefined) DQEngine.observeMetrics(checked, obs, cfg.extra) else checked
+      val observed = if (cfg.metricsTable.isDefined) DQEngine.observeMetrics(checked, obs, extra) else checked
       cfg.quarantine match {
         case Some(qc) =>
           // one materialization of the checked frame, two filtered writes
           val cached = observed.cache()
           try {
-            IO.saveDataFrame(DQEngine.getValid(cached, cfg.extra), cfg.output)
-            IO.saveDataFrame(DQEngine.getInvalid(cached, cfg.extra), qc)
+            IO.saveDataFrame(DQEngine.getValid(cached, extra), cfg.output)
+            IO.saveDataFrame(DQEngine.getInvalid(cached, extra), qc)
           } finally cached.unpersist()
         case None =>
           IO.saveDataFrame(observed, cfg.output)
       }
       cfg.metricsTable.foreach { mt =>
         val info = MetricsRunInfo(
-          runId = cfg.extra.runIdOverwrite.getOrElse(java.util.UUID.randomUUID().toString),
+          runId = runId,
           inputLocation = Some(cfg.input.location),
           outputLocation = Some(cfg.output.location),
           quarantineLocation = cfg.quarantine.map(_.location),
           checksLocation = cfg.checksLocation,
-          userMetadata = cfg.extra.userMetadata)
-        Metrics.buildMetricsRows(spark, obs.get, info, cfg.extra)
+          userMetadata = extra.userMetadata)
+        Metrics.buildMetricsRows(spark, obs.get, info, extra)
           .write.mode("append").saveAsTable(mt)
       }
     }

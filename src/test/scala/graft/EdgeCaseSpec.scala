@@ -93,6 +93,41 @@ class EdgeCaseSpec extends SparkSpec {
     assert(errs(df, rule) == Seq(2, 3))
   }
 
+  test("sql_expression: NULL expression value passes in both branches") {
+    val df = Seq((1, Some(5)), (2, None), (3, Some(-1))).toDF("id", "v")
+    val plain = errs(df, DQRowRule(RowChecks.sqlExpression("v >= 0"), "sql_expression"))
+    assert(plain == Seq(3)) // NULL v -> condition NULL -> pass (row 2 clean)
+    val negated = errs(df, DQRowRule(RowChecks.sqlExpression("v >= 0", negate = true), "sql_expression"))
+    assert(negated == Seq(1)) // fails where TRUE; NULL passes
+  }
+
+  test("row checks on backtick-needing column names resolve via quoted retry") {
+    val df = Seq((1, Option.empty[String]), (2, Some("x")))
+      .toDF("id", "weird name.with dots")
+    val out = DQEngine.applyChecksByMetadata(df, Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "is_not_null",
+        "arguments" -> Map("column" -> "weird name.with dots")))))
+    val flagged = out.where(col("_errors").isNotNull).select("id").as[Int].collect().toSeq
+    assert(flagged == Seq(1))
+    // and it is NOT reported as skipped
+    val skipped = out.selectExpr("exists(_errors, x -> x.skipped)").where(col("id") === 1)
+      .collect().head.getBoolean(0)
+    assert(!skipped)
+  }
+
+  test("has_valid_schema after another dataset check ignores engine temp columns") {
+    val df = Seq((1, "a"), (1, "a")).toDF("id", "k")
+    val out = DQEngine.applyChecks(df, Seq(
+      DQDatasetRule(DatasetChecks.isUnique(Seq("id")), "is_unique", Seq("id"),
+        criticality = graft.core.Criticality.Warn),
+      DQDatasetRule(DatasetChecks.hasValidSchema("id INT, k STRING", strict = true),
+        "has_valid_schema")))
+    // strict schema check must pass despite the is_unique temp metric column
+    assert(out.where(col("_errors").isNotNull).count() == 0)
+    assert(out.where(col("_warnings").isNotNull).count() == 2)
+  }
+
   test("by-name aggregate fallback works for non-curated functions") {
     val df = Seq((1, "g", 5), (2, "g", 15)).toDF("id", "g", "v")
     // 'sum_distinct' is not in the curated registry -> expr fallback

@@ -56,7 +56,9 @@ class Ipv6PropertySpec extends AnyFunSuite {
     // plain IPv4 is a valid inet address to Guava but NOT a valid IPv6 — our
     // parser is IPv6-specific by design
     val bad = Seq("", ":::", "1:2:3:4:5:6:7:8:9", "g::1", "1::2::3",
-      "12345::", "1.2.3.4", "::ffff:999.1.1.1", "fe80::1%eth0")
+      "12345::", "1.2.3.4", "::ffff:999.1.1.1", "fe80::1%eth0",
+      // embedded IPv4 not in the final 32 bits of the address
+      "1.2.3.4::", "1:2:3:1.2.3.4::5", "::1.2.3.4:5")
     bad.foreach(s => assert(Ipv6Util.parse(s).isEmpty, s"should reject '$s'"))
     bad.filter(s => s.contains(':') && !s.contains('%')).foreach { s =>
       assert(!com.google.common.net.InetAddresses.isInetAddress(s), s"Guava accepts '$s'?")
