@@ -529,12 +529,18 @@ object DatasetChecks {
     * (literal-folded, like the reference's MAD pattern), then a row-local
     * score = max |z| over the columns; rows above `threshold` fail. A
     * model-based scorer can plug in behind the same DatasetCheck contract.
+    *
+    * Emits a per-row anomaly struct into `_dq_info` via the engine's info-column
+    * merge (anomaly/anomaly_info_schema.py:28-44): score, is_anomaly, threshold,
+    * model id, and per-column contribution percentages (|z| share of total).
     */
   def hasNoRowAnomalies(columns: Seq[String], threshold: Double = 3.5,
-                        rowFilter: Option[String] = None): DatasetCheck = {
+                        rowFilter: Option[String] = None,
+                        checkName: String = "has_no_row_anomalies"): DatasetCheck = {
     require(columns.nonEmpty, "columns must not be empty")
     val id = uniqueSuffix()
     val scoreCol = s"__dq_zscore_$id"
+    val infoCol = s"__dq_info_anomaly_$id"
     val applyFn = (df: DataFrame) => {
       val base = rowFilter.map(df.filter).getOrElse(df)
       val aggs = columns.flatMap(c => Seq(
@@ -545,13 +551,31 @@ object DatasetChecks {
         val std = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
         if (std == 0.0) lit(0.0) else abs(col(c).cast("double") - mean) / std
       }
-      df.withColumn(scoreCol, greatest((zs :+ lit(0.0)): _*))
+      val score = greatest((zs :+ lit(0.0)): _*)
+      val zSum = zs.reduceOption(_ + _).getOrElse(lit(0.0))
+      val contributions = map(columns.zip(zs).flatMap { case (c, z) =>
+        Seq(lit(c), when(zSum > 0, z / zSum * 100.0).otherwise(lit(0.0)))
+      }: _*)
+      df.withColumn(scoreCol, score)
+        .withColumn(infoCol, graft.core.DQInfo.buildStruct(Map(
+          "anomaly" -> struct(
+            lit(checkName).as("check_name"),
+            col(scoreCol).as("score"),
+            lit(null).cast("double").as("severity_percentile"),
+            (col(scoreCol) > threshold).as("is_anomaly"),
+            lit(threshold).as("threshold"),
+            lit("multivariate_zscore").as("model"),
+            lit(null).cast("map<string,string>").as("segment"),
+            contributions.as("contributions"),
+            lit(null).cast("double").as("confidence_std")
+          ).cast(graft.core.DQInfo.anomalySchema))))
     }
     val filterC = rowFilter.map(expr).getOrElse(lit(true))
     DatasetCheck(applyFn,
       makeCondition(filterC && col(scoreCol) > threshold,
         concat(lit(s"Row is a multivariate z-score anomaly over [${columns.mkString(", ")}]: score "),
-          valueText(col(scoreCol)), lit(s" > $threshold"))))
+          valueText(col(scoreCol)), lit(s" > $threshold"))),
+      infoColName = Some(infoCol))
   }
 
   // ---------------------------------------------------------------- sql_query

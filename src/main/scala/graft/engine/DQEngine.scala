@@ -30,6 +30,7 @@ object DQEngine {
 
     // Sequential fold of dataset-check applies; row checks are plan-time only.
     var current = df
+    val infoCols = scala.collection.mutable.ArrayBuffer[String]()
     val compiled: Seq[Compiled] = rules.map {
       case r: DQRowRule =>
         // plan-time resolution probe — analysis only, no job (manager.py:323-345)
@@ -51,6 +52,7 @@ object DQEngine {
         } match {
           case Success(next) =>
             current = next
+            r.check.infoColName.foreach(infoCols += _)
             Compiled(r, r.check.condition, None)
           case Failure(e: org.apache.spark.sql.AnalysisException) =>
             Compiled(r, lit(null).cast("string"), Some(s"Check skipped: ${firstLine(e.getMessage)}"))
@@ -99,10 +101,27 @@ object DQEngine {
     val names = extra.resultColumnNames
     // backtick-quote original names: col("a.b") would parse as field access
     def orig(name: String): Column = col("`" + name.replace("`", "``") + "`")
+
+    // Merge per-check info columns into one `_dq_info` array; appended to a
+    // pre-existing _dq_info column via concat (reporting_columns.py:22-52).
+    // Element order = rule order. No info checks + no pre-existing column =>
+    // no _dq_info at all.
+    val destInfo = names.info
+    val present = infoCols.toSeq.filter(current.columns.contains)
+    val existing = if (originalCols.contains(destInfo)) Some(orig(destInfo)) else None
+    val infoColumn: Option[Column] = (existing, present) match {
+      case (None, Seq()) => None
+      case (Some(e), Seq()) => None // passes through with original columns
+      case (None, ps) => Some(array(ps.map(col): _*).as(destInfo))
+      case (Some(e), ps) => Some(concat(e, array(ps.map(col): _*)).as(destInfo))
+    }
+    val baseCols =
+      if (existing.isDefined && infoColumn.isDefined) originalCols.filterNot(_ == destInfo)
+      else originalCols
     current.select(
-      (originalCols.map(orig) :+
+      (baseCols.map(orig) :+
         resultArray(errs).as(names.errors) :+
-        resultArray(warns).as(names.warnings)): _*)
+        resultArray(warns).as(names.warnings)) ++ infoColumn.toSeq: _*)
   }
 
   /** Rebuild a metadata-built row rule with backtick-quoted column arguments
@@ -189,14 +208,21 @@ object DQEngine {
     */
   def observeMetrics(checked: DataFrame, observation: Observation,
                      extra: ExtraParams = ExtraParams(),
-                     customMetrics: Seq[String] = Seq.empty): DataFrame = {
+                     customMetrics: Seq[String] = Seq.empty,
+                     checkNames: Seq[String] = Seq.empty): DataFrame = {
     val n = extra.resultColumnNames
     val base = Seq(
       count(lit(1)).as("input_row_count"),
       count(when(col(n.errors).isNotNull, lit(1))).as("error_row_count"),
       count(when(col(n.warnings).isNotNull, lit(1))).as("warning_row_count"),
       count(when(col(n.errors).isNull && col(n.warnings).isNull, lit(1))).as("valid_row_count"))
+    // per-check breakdown (metrics_observer.py:108-147) — one extra aggregate,
+    // still zero extra passes
+    val breakdown =
+      if (checkNames.nonEmpty)
+        Seq(expr(graft.metrics.Metrics.checkMetricsExpr(checkNames, extra)).as("check_metrics"))
+      else Seq.empty
     val custom = customMetrics.map(expr)
-    checked.observe(observation, base.head, (base.tail ++ custom): _*)
+    checked.observe(observation, base.head, (base.tail ++ breakdown ++ custom): _*)
   }
 }

@@ -47,7 +47,10 @@ object DQRunner {
       val extra = cfg.extra.copy(runIdOverwrite = Some(runId))
       val checked = DQEngine.applyChecks(batch, rules, extra)
       val obs = new Observation(s"dq_${java.util.UUID.randomUUID().toString.take(8)}")
-      val observed = if (cfg.metricsTable.isDefined) DQEngine.observeMetrics(checked, obs, extra) else checked
+      val observed =
+        if (cfg.metricsTable.isDefined)
+          DQEngine.observeMetrics(checked, obs, extra, checkNames = rules.map(_.resolvedName))
+        else checked
       cfg.quarantine match {
         case Some(qc) =>
           // one materialization of the checked frame, two filtered writes

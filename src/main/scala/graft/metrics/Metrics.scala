@@ -34,11 +34,38 @@ object Metrics {
       "valid_row_count" -> s"count(case when ${n.errors} is null and ${n.warnings} is null then 1 end)")
   }
 
-  /** Per-check breakdown as a JSON string column expression: counts per failed
-    * check name (metrics_observer.py:109-147).
+  private def jsonEncode(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Per-check breakdown as ONE SQL aggregate expression producing a JSON
+    * array string: `[{"check_name":...,"error_count":N,"warning_count":M},...]`
+    * (metrics_observer.py:108-147). Built with concat over per-check count
+    * aggregates so it works inside `observe()` — a plain string scalar.
+    * Duplicate check names are preserved (each occurrence reported).
     */
-  def perCheckBreakdownExpr(resultCol: String): String =
-    s"to_json(map_from_entries(array_sort(collect_list(struct(c.name, 1)))))"
+  def checkMetricsExpr(checkNames: Seq[String], extra: ExtraParams = ExtraParams()): String = {
+    require(checkNames.nonEmpty, "checkNames must not be empty")
+    val n = extra.resultColumnNames
+    val fragments = checkNames.map { name =>
+      val esc = name.replace("'", "''")
+      val jsonName = jsonEncode(name).replace("'", "''")
+      "concat(" +
+        s"""'{"check_name":$jsonName,"error_count":',""" +
+        s"cast(count(case when exists(${n.errors}, x -> x.name = '$esc') then 1 end) as string)," +
+        s"""',"warning_count":',""" +
+        s"cast(count(case when exists(${n.warnings}, x -> x.name = '$esc') then 1 end) as string)," +
+        "'}')"
+    }
+    s"concat('[', concat_ws(',', ${fragments.mkString(", ")}), ']')"
+  }
 
   /** Post-hoc summary metrics over an already-checked table: one aggregation
     * pass + lazy unpivot to metric rows (engine.py:1587,
@@ -46,8 +73,12 @@ object Metrics {
     */
   def computeSummaryMetrics(checked: DataFrame, info: MetricsRunInfo,
                             extra: ExtraParams = ExtraParams(),
-                            customMetrics: Seq[(String, String)] = Seq.empty): DataFrame = {
-    val exprs = defaultMetricExprs(extra) ++ customMetrics
+                            customMetrics: Seq[(String, String)] = Seq.empty,
+                            checkNames: Seq[String] = Seq.empty): DataFrame = {
+    val breakdown =
+      if (checkNames.nonEmpty) Seq("check_metrics" -> checkMetricsExpr(checkNames, extra))
+      else Seq.empty
+    val exprs = defaultMetricExprs(extra) ++ breakdown ++ customMetrics
     val agg = checked.select(exprs.map { case (name, e) => expr(e).cast("string").as(name) }: _*)
     // unpivot: array(struct(name, value)) + explode -> one row per metric
     val entries = array(exprs.map { case (name, _) =>

@@ -5,9 +5,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 
 /** A dataset-level check: `applyFn` adds hidden metric columns (window aggs,
   * joins) that `condition` reads (dqx/rule.py:530-560, dqx/executor.py:115-149).
-  * `condition` is message-or-null, like row checks.
+  * `condition` is message-or-null, like row checks. `infoColName`: optional
+  * column `applyFn` adds holding a wide [[graft.core.DQInfo]] struct; the
+  * engine merges all such columns into the `_dq_info` array
+  * (reporting_columns.py:22-52).
   */
-final case class DatasetCheck(applyFn: DataFrame => DataFrame, condition: Column)
+final case class DatasetCheck(applyFn: DataFrame => DataFrame, condition: Column,
+                              infoColName: Option[String] = None)
 
 /** Rule definitions. Mirrors dqx/rule.py:504-641 but idiomatic Scala: the check
   * is an already-built Column / DatasetCheck; metadata deserialization builds

@@ -96,6 +96,51 @@ class EngineSpec extends SparkSpec {
     assert(m("valid_row_count") == 2L)
   }
 
+  test("per-check breakdown metric reports error/warning counts per rule") {
+    val rules = Seq(
+      DQRowRule(RowChecks.isNotNull(col("name")), "is_not_null", Seq("name"), name = "name_nn"),
+      DQRowRule(RowChecks.isNotGreaterThan(col("amount"), 25), "is_not_greater_than",
+        Seq("amount"), name = "amt_hi", criticality = Criticality.Warn))
+    val obs = new org.apache.spark.sql.Observation("dqb")
+    val observed = DQEngine.observeMetrics(DQEngine.applyChecks(df, rules, extra), obs,
+      checkNames = rules.map(_.resolvedName))
+    observed.count()
+    val cm = obs.get("check_metrics").asInstanceOf[String]
+    assert(cm == """[{"check_name":"name_nn","error_count":1,"warning_count":0},""" +
+      """{"check_name":"amt_hi","error_count":0,"warning_count":1}]""")
+    // same breakdown via post-hoc summary metrics
+    val checked = DQEngine.applyChecks(df, rules, extra)
+    val summary = graft.metrics.Metrics.computeSummaryMetrics(checked,
+      graft.metrics.MetricsRunInfo("r1"), extra, checkNames = rules.map(_.resolvedName))
+    val v = summary.where(col("metric_name") === "check_metrics")
+      .select("metric_value").as[String].collect().head
+    assert(v == cm)
+  }
+
+  test("_dq_info carries the anomaly struct from has_no_row_anomalies") {
+    val rules = Seq(
+      DQDatasetRule(DatasetChecks.hasNoRowAnomalies(Seq("amount"), threshold = 1.2,
+        checkName = "amt_anom"), "has_no_row_anomalies", Seq("amount")),
+      DQRowRule(RowChecks.isNotNull(col("name")), "is_not_null", Seq("name")))
+    val out = DQEngine.applyChecks(df, rules, extra)
+    assert(out.columns.toSeq == Seq("id", "name", "amount", "_errors", "_warnings", "_dq_info"))
+    // every row carries exactly one info element with the full anomaly struct
+    assert(out.where(size(col("_dq_info")) === 1).count() == 4)
+    val flagged = out.where(col("_dq_info")(0).getField("anomaly").getField("is_anomaly"))
+      .select("id").as[Int].collect().toSeq
+    val errRows = out.where(col("_errors").isNotNull &&
+      expr("exists(_errors, x -> x.function = 'has_no_row_anomalies')"))
+      .select("id").as[Int].collect().toSeq
+    assert(flagged == errRows) // info flag and error result agree
+    val a = out.select(col("_dq_info")(0).getField("anomaly")).collect().head.getStruct(0)
+    assert(a.getAs[String]("check_name") == "amt_anom")
+    assert(a.getAs[String]("model") == "multivariate_zscore")
+    assert(a.getAs[Double]("threshold") == 1.2)
+    // no info checks -> no _dq_info column at all
+    val plain = DQEngine.applyChecks(df, rules.tail, extra)
+    assert(!plain.columns.contains("_dq_info"))
+  }
+
   test("foreign_key flags keys missing from reference") {
     val ref = Seq(1, 3).toDF("rid")
     val rules = Seq(DQDatasetRule(
