@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private val registry: Seq[(String, QueryDef)] =
-    RowCheckQueries.all ++ DatasetCheckQueries.all ++ EngineQueries.all ++ PipelineQueries.all
+    RowCheckQueries.all ++ DatasetCheckQueries.all ++ EngineQueries.all ++
+      GeoQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Applies a mixed row+dataset rule suite to lineitem and returns failure

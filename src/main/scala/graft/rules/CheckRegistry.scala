@@ -106,7 +106,30 @@ object CheckRegistry {
     "has_valid_json_schema" -> (a => hasValidJsonSchema(a.column(), a.str("schema"))),
     "is_latitude" -> (a => isLatitude(a.column())),
     "is_longitude" -> (a => isLongitude(a.column())),
+    "is_geometry" -> (a => GeoChecks.isGeometry(a.column())),
+    "is_geography" -> (a => GeoChecks.isGeography(a.column())),
     "is_point" -> (a => GeoChecks.isPoint(a.column())),
+    "is_linestring" -> (a => GeoChecks.isLineString(a.column())),
+    "is_polygon" -> (a => GeoChecks.isPolygon(a.column())),
+    "is_multipoint" -> (a => GeoChecks.isMultiPoint(a.column())),
+    "is_multilinestring" -> (a => GeoChecks.isMultiLineString(a.column())),
+    "is_multipolygon" -> (a => GeoChecks.isMultiPolygon(a.column())),
+    "is_geometrycollection" -> (a => GeoChecks.isGeometryCollection(a.column())),
+    "is_ogc_valid" -> (a => GeoChecks.isOgcValid(a.column())),
+    "has_dimension" -> (a => GeoChecks.hasDimension(a.column(), a.int("dimension", 0))),
+    "is_area_equal_to" -> (a => GeoChecks.isAreaEqualTo(a.column(), a.double("value", 0.0))),
+    "is_area_not_equal_to" -> (a => GeoChecks.isAreaNotEqualTo(a.column(), a.double("value", 0.0))),
+    "is_area_not_greater_than" -> (a => GeoChecks.isAreaNotGreaterThan(a.column(), a.double("value", 0.0))),
+    "is_area_not_less_than" -> (a => GeoChecks.isAreaNotLessThan(a.column(), a.double("value", 0.0))),
+    "is_num_points_equal_to" -> (a => GeoChecks.isNumPointsEqualTo(a.column(), a.int("value", 0))),
+    "is_num_points_not_equal_to" -> (a => GeoChecks.isNumPointsNotEqualTo(a.column(), a.int("value", 0))),
+    "is_num_points_not_greater_than" -> (a => GeoChecks.isNumPointsNotGreaterThan(a.column(), a.int("value", 0))),
+    "is_num_points_not_less_than" -> (a => GeoChecks.isNumPointsNotLessThan(a.column(), a.int("value", 0))),
+    "is_geo_contains" -> (a => GeoChecks.isGeoContains(a.column(), a.str("reference_geometry"))),
+    "is_geo_covers" -> (a => GeoChecks.isGeoCovers(a.column(), a.str("reference_geometry"))),
+    "is_geo_intersects" -> (a => GeoChecks.isGeoIntersects(a.column(), a.str("reference_geometry"))),
+    "is_geo_touches" -> (a => GeoChecks.isGeoTouches(a.column(), a.str("reference_geometry"))),
+    "is_geo_within" -> (a => GeoChecks.isGeoWithin(a.column(), a.str("reference_geometry"))),
     "is_non_empty_geometry" -> (a => GeoChecks.isNonEmptyGeometry(a.column())),
     "is_not_null_island" -> (a => GeoChecks.isNotNullIsland(a.column())),
     "has_x_coordinate_between" -> (a => GeoChecks.hasXCoordinateBetween(a.column(), a.double("min_value", -180), a.double("max_value", 180))),
@@ -159,6 +182,9 @@ object CheckRegistry {
     "has_no_row_anomalies" -> ((a, _) => hasNoRowAnomalies(a.strSeq("columns"),
       a.double("threshold", 3.5), a.strOpt("row_filter"))),
     "are_polygons_mutually_disjoint" -> ((a, _) =>
+      GeoChecks.arePolygonsMutuallyDisjoint(a.str("column"), a.strOpt("row_filter"),
+        a.double("cell_size", 4.0))),
+    "are_points_mutually_disjoint" -> ((a, _) =>
       GeoChecks.arePointsMutuallyDisjoint(a.str("column"), a.strOpt("row_filter")))
   )
 
