@@ -122,24 +122,26 @@ object Dedup {
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance <= maxHamming.
-    * Pigeonhole banding: the 64-bit sketch is split into `maxHamming + 1`
-    * chunks; a pair within the Hamming budget must agree on at least one chunk
-    * exactly, so candidates come from an equi-join on (chunkIndex, chunkValue)
-    * — no all-pairs comparison, recall 1 by construction.
+    * Chunk-PAIR pigeonhole banding: the 64-bit sketch splits into
+    * `maxHamming + 2` chunks; a pair within the Hamming budget has >= 2 clean
+    * chunks, so the sketches agree exactly on at least one chunk pair —
+    * candidates come from an equi-join on (pairIndex, pairValue) with ~24-32
+    * bit bucket keys (billions of buckets, vs <= 65k for single 16-bit
+    * chunks), recall 1 by construction, no all-pairs comparison.
     */
   def simHashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
-    val nChunks = maxHamming + 1
-    // generator computes SimHash64 ONCE per row and emits (chunk, value, sketch)
+    require(maxHamming >= 0 && maxHamming <= 30, "maxHamming must be in [0, 30]")
+    val nChunks = maxHamming + 2
+    // generator computes SimHash64 ONCE per row and emits (pair, value, sketch)
     import org.apache.spark.sql.GraftColumnBridge
     val chunks = df.select(col(idCol).as("__id"),
-      GraftColumnBridge.column(SimHashChunksExplode(
+      GraftColumnBridge.column(SimHashChunkPairsExplode(
         GraftColumnBridge.expression(tokens(col(textCol))), nChunks))
-        .as(Seq("__chunk", "__chunkval", "__sim")))
-    val l = chunks.select(col("__id").as("id_a"), col("__sim").as("__sim_a"), col("__chunk"), col("__chunkval"))
-    val r = chunks.select(col("__id").as("id_b"), col("__sim").as("__sim_b"), col("__chunk"), col("__chunkval"))
-    l.join(r, Seq("__chunk", "__chunkval"))
+        .as(Seq("__pair", "__pairval", "__sim")))
+    val l = chunks.select(col("__id").as("id_a"), col("__sim").as("__sim_a"), col("__pair"), col("__pairval"))
+    val r = chunks.select(col("__id").as("id_b"), col("__sim").as("__sim_b"), col("__pair"), col("__pairval"))
+    l.join(r, Seq("__pair", "__pairval"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))))
@@ -149,21 +151,43 @@ object Dedup {
 
   // ------------------------------------------------- embedding-cosine near-dup
 
-  /** Near-duplicate pairs over an embedding column via random-hyperplane LSH
-    * buckets + exact cosine verification. `planes` sign bits form the bucket
-    * key; identical bucket => candidate. Recall is probabilistic (scale path);
-    * use [[Similarity.bruteForceTopK]] for exact small-scale answers.
+  /** Near-duplicate pairs over an embedding column via multi-table
+    * random-hyperplane LSH + exact cosine verification.
+    *
+    * Scale shape: each row gets `tables` bucket keys of `planes` sign bits
+    * (AND within a table, OR across tables — same amplification pattern as the
+    * MinHash bands). planes=20 => ~1M buckets/table, so in-bucket self-joins
+    * stay near-linear; recall for a true pair at cosine c is
+    * 1 - (1 - p^planes)^tables with p = 1 - acos(c)/pi (exactly-parallel
+    * duplicates always collide). The band join carries ONLY (id, bucket);
+    * vectors re-join for the (small) candidate set. Buckets larger than
+    * `maxBucketSize` are dropped entirely (skew guard — a degenerate bucket,
+    * e.g. all-zero vectors, would otherwise go quadratic); dropped buckets
+    * cost recall, never correctness of emitted pairs.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double = 0.95, planes: Int = 8,
-                         dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val hyper = Similarity.randomHyperplanes(planes, dim, seed)
-    val bucketed = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .withColumn("__bucket", Similarity.hyperplaneBucket(col("__v"), hyper))
-    val l = bucketed.select(col("__id").as("id_a"), col("__v").as("__va"), col("__bucket"))
-    val r = bucketed.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__bucket"))
-    l.join(r, Seq("__bucket"))
+                         threshold: Double = 0.95, planes: Int = 20,
+                         tables: Int = 8, dim: Int = 64, seed: Long = 42L,
+                         maxBucketSize: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val base = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    val buckets = GraftColumnBridge.column(HyperplaneBuckets(
+      GraftColumnBridge.expression(col("__v")), planes, tables, dim, seed))
+    val bucketed = base.select(col("__id"), explode(buckets).as("__bucket"))
+    // skew guard: drop over-full buckets before the self-join
+    val sizes = bucketed.groupBy("__bucket").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucketSize)
+      .select("__bucket")
+    val kept = bucketed.join(sizes, Seq("__bucket"))
+    val l = kept.select(col("__id").as("id_a"), col("__bucket"))
+    val r = kept.select(col("__id").as("id_b"), col("__bucket"))
+    val candidateIds = l.join(r, Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    candidateIds
+      .join(base.select(col("__id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
       .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

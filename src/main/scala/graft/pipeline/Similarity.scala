@@ -61,28 +61,31 @@ object Similarity {
   /** LSH-bucketed approximate top-k: queries meet only corpus rows sharing a
     * bucket in at least one of `tables` hash tables. Candidates are
     * exact-cosine ranked; recall < 1 by design (the 100 TB path — the bucket
-    * join replaces the cross join).
+    * join replaces the cross join). The bucket join and candidate dedup carry
+    * ONLY ids; vectors re-join for the candidate set.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, planes: Int = 12, tables: Int = 4, dim: Int = 64,
               seed: Long = 42L): DataFrame = {
-    val tableBuckets = (0 until tables).map { t =>
-      randomHyperplanes(planes, dim, seed + t * 1000L)
-    }
+    import org.apache.spark.sql.GraftColumnBridge
     def bucketed(df: DataFrame, side: String): DataFrame = {
-      val base = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"__${side}v"))
-      base.withColumn(s"__tb_$side",
-        explode(array(tableBuckets.zipWithIndex.map { case (h, t) =>
-          struct(lit(t).as("t"), hyperplaneBucket(col(s"__${side}v"), h).as("b"))
-        }: _*)))
+      val base = df.select(col(idCol).as(s"${side}_id"),
+        col(vecCol).cast("array<double>").as(s"__${side}v"))
+      val buckets = GraftColumnBridge.column(HyperplaneBuckets(
+        GraftColumnBridge.expression(col(s"__${side}v")), planes, tables, dim, seed))
+      base.select(col(s"${side}_id"), explode(buckets).as("__bucket"))
     }
-    val c = bucketed(corpus, "neighbor")
-    val q = bucketed(queries, "query")
-    val candidates = c.join(q, col("__tb_neighbor") === col("__tb_query"))
+    val candidateIds = bucketed(corpus, "neighbor")
+      .join(bucketed(queries, "query"), Seq("__bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("__queryv"), col("__neighborv"))
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = candidates.withColumn("cosine", cosine(col("__queryv"), col("__neighborv")))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__queryv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("__neighborv"))
+    val scored = candidateIds
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("__queryv"), col("__neighborv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -91,3 +91,43 @@ case class SimHashChunksExplode(child: Expression, nChunks: Int)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SimHashChunksExplode =
     copy(child = c.head)
 }
+
+/** (pairIndex, pairValue, simhash) rows from one SimHash64 evaluation:
+  * chunk-PAIR blocking. With `nChunks = maxHamming + 2`, any pair within the
+  * Hamming budget leaves >= 2 chunks error-free (pigeonhole), so the two
+  * sketches agree exactly on at least one chunk pair — recall 1 with bucket
+  * keys of ~2x chunk width (e.g. 5 chunks of 12-16 bits -> 10 keys of 24-32
+  * bits), vs <= 65k buckets/chunk for single-chunk blocking. C(nChunks, 2)
+  * rows per doc.
+  */
+case class SimHashChunkPairsExplode(child: Expression, nChunks: Int)
+    extends Generator with CodegenFallback {
+  require(nChunks >= 2 && nChunks <= 32, "nChunks must be in [2, 32]")
+  private val base = 64 / nChunks
+  private val offsets = ((0 until nChunks).map(_ * base) :+ 64).toArray
+  private val pairs: Array[(Int, Int)] =
+    (for (i <- 0 until nChunks; j <- i + 1 until nChunks) yield (i, j)).toArray
+
+  override def children: Seq[Expression] = Seq(child)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pair", IntegerType, nullable = false),
+    StructField("pairval", LongType, nullable = false),
+    StructField("simhash", LongType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val sim = SimHash64(child).nullSafeEval(v).asInstanceOf[Long]
+    def chunk(i: Int): Long = {
+      val width = offsets(i + 1) - offsets(i)
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      (sim >>> offsets(i)) & mask
+    }
+    pairs.iterator.zipWithIndex.map { case ((i, j), idx) =>
+      InternalRow(idx, (chunk(i) << 32) | chunk(j), sim)
+    }
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SimHashChunkPairsExplode =
+    copy(child = c.head)
+}

@@ -135,7 +135,7 @@ object PipelineQueries {
             .select((col("vec_id") + 100000).as("vec_id"),
               transform(col("embedding"), x => x * lit(1.01)).as("embedding")))
         Dedup.cosineNearDupPairs(planted, "vec_id", "embedding", threshold = 0.999,
-          planes = 8, dim = 64)
+          planes = 20, tables = 8, dim = 64)
           .select("id_a", "id_b").orderBy("id_a", "id_b")
       },
       Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -67,6 +67,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("cosine LSH: multi-table recall on near-parallel pairs + skew-bucket cap") {
+    val rnd = new scala.util.Random(11)
+    val baseVecs = (0 until 60).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    // planted near-dups: scaled copies (cosine exactly 1 — always co-bucketed)
+    val planted = baseVecs.take(5).map { case (i, v) => (i + 1000, v.map(x => x * 1.01f)) }
+    // degenerate skew bucket: 50 identical vectors (all pairwise cosine 1)
+    val skew = (0 until 50).map(i => (i + 2000, Array.fill(64)(0.5f)))
+    val df = (baseVecs ++ planted ++ skew).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosineNearDupPairs(df, "vec_id", "embedding", threshold = 0.999)
+      .select("id_a", "id_b").as[(Int, Int)].collect().toSet
+    (0 until 5).foreach(i => assert(pairs.contains((i, i + 1000)), s"missed planted pair $i"))
+    assert(pairs.count { case (a, b) => a >= 2000 && b >= 2000 } == 50 * 49 / 2)
+    // with a tight cap the degenerate bucket is dropped; planted pairs survive
+    // (different buckets) and the job never builds the quadratic candidate set
+    val capped = Dedup.cosineNearDupPairs(df, "vec_id", "embedding", threshold = 0.999,
+      maxBucketSize = 20)
+      .select("id_a", "id_b").as[(Int, Int)].collect().toSet
+    (0 until 5).foreach(i => assert(capped.contains((i, i + 1000)), s"capped missed pair $i"))
+    assert(!capped.exists { case (a, b) => a >= 2000 && b >= 2000 })
+  }
+
+  test("simhash chunk-pair blocking keeps recall 1 within the Hamming budget") {
+    // identical up to maxHamming bit flips must always be found
+    val doc = (1 to 60).map(i => s"token$i").mkString(" ")
+    val variants = Seq(
+      (1, doc),
+      (2, doc), // identical -> hamming 0
+      (3, doc.replace("token7", "tokenX")), // small perturbation
+      (4, (1 to 60).map(i => s"other$i").mkString(" ")) // unrelated
+    ).toDF("id", "text")
+    val pairs = Dedup.simHashDuplicatePairs(variants, "id", "text", maxHamming = 10)
+      .select("id_a", "id_b", "hamming").as[(Int, Int, Int)].collect()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1, 2)))
+    assert(pairs.find(p => (p._1, p._2) == ((1, 2))).get._3 == 0)
+    assert(!pairSet.exists { case (a, b) => b == 4 || a == 4 })
+  }
+
   test("text analysis signals and language id") {
     val df = Seq(
       (1, "The cat and the dog are in the house"),
