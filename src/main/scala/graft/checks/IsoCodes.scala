@@ -26,10 +26,17 @@ object IsoCodes {
     "SMR SEN SOM SUR SSD STP SLV SXM SYR SWZ TCA TCD ATF TGO THA TJK TKL TLS TKM TUN TON TUR TTO TUV TWN TZA UKR UGA UMI " +
     "USA URY UZB VAT VCT VEN VGB VIR VNM VUT WLF WSM YEM MYT ZAF ZMB ZWE").split(" ").toSeq
 
-  // ISO 3166-1 numeric codes are not embedded; fail loudly rather than validate
-  // against wrong data. Extend by dropping the real list here.
-  def countryNumeric: Seq[String] =
-    throw new UnsupportedOperationException("ISO 3166-1 numeric codes not bundled; use alpha2/alpha3")
+  private def resourceLines(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(s"/graft/$name")
+    require(in != null, s"Missing bundled resource: $name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filterNot(l => l.isEmpty || l.startsWith("#")).toList
+    finally in.close()
+  }
+
+  /** ISO 3166-1 numeric codes (bundled public-standard data). */
+  lazy val countryNumeric: Seq[String] =
+    resourceLines("iso_3166_1_numeric.txt").flatMap(_.split(" ")).filter(_.nonEmpty)
 
   val currency: Seq[String] = (
     "AED AFN ALL AMD ANG AOA ARS AUD AWG AZN BAM BBD BDT BGN BHD BIF BMD BND BOB BRL BSD BTN BWP BYN BZD CAD CDF CHF CLP " +
@@ -47,11 +54,12 @@ object IsoCodes {
     "no nr nv ny oc oj om or os pa pi pl ps pt qu rm rn ro ru rw sa sc sd se sg si sk sl sm sn so sq sr ss st su sv sw ta " +
     "te tg th ti tk tl tn to tr ts tt tw ty ug uk ur uz ve vi vo wa wo xh yi yo za zh zu").split(" ").toSeq
 
-  /** ISO 3166-2 subdivisions (subset registry: US states, CA provinces, DE Länder). */
-  val subdivisions: Map[String, Seq[String]] = Map(
-    "US" -> ("AL AK AZ AR CA CO CT DE FL GA HI ID IL IN IA KS KY LA ME MD MA MI MN MS MO MT NE NV NH NJ NM NY NC ND OH OK " +
-      "OR PA RI SC SD TN TX UT VT VA WA WV WI WY DC AS GU MP PR UM VI").split(" ").toSeq.map(s => s"US-$s"),
-    "CA" -> "AB BC MB NB NL NS NT NU ON PE QC SK YT".split(" ").toSeq.map(s => s"CA-$s"),
-    "DE" -> "BW BY BE BB HB HH HE MV NI NW RP SL SN ST SH TH".split(" ").toSeq.map(s => s"DE-$s")
-  )
+  /** ISO 3166-2 subdivisions, full registry for 200 countries (bundled
+    * public-standard data; one line per country, `CC:sub1,sub2,...`).
+    */
+  lazy val subdivisions: Map[String, Seq[String]] =
+    resourceLines("iso_3166_2.txt").map { line =>
+      val Array(cc, codes) = line.split(":", 2)
+      cc -> codes.split(",").toSeq.map(s => s"$cc-$s")
+    }.toMap
 }

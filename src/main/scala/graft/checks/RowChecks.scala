@@ -212,15 +212,27 @@ object RowChecks {
     makeCondition(c.isNotNull && !c.cast("string").rlike(EmailRegex),
       concat(lit(s"Value '"), valueText(c), lit(s"' in column '${c.toString}' is not a valid email address")))
 
-  /** Per-country national-ID patterns (check_funcs.py:109-120). */
+  /** Per-country national-ID patterns (check_funcs.py:109-120 defines only the
+    * US SSN; the other public-format patterns extend the registry the way the
+    * reference documents — regex shape only, no checksum validation).
+    */
   val NationalIdPatterns: Map[String, String] = Map(
-    "us" -> "^(?!000|666|9\\d{2})\\d{3}-(?!00)\\d{2}-(?!0000)\\d{4}$",
+    // SSN with consistent separator via backreference, invalid ranges excluded
+    "us" -> "^(?!000|666|9\\d{2})\\d{3}([- ]?)(?!00)\\d{2}\\1(?!0000)\\d{4}$",
     "uk" -> "^[A-CEGHJ-PR-TW-Z]{2}\\d{6}[A-D]$",
     "ca" -> "^\\d{3}-\\d{3}-\\d{3}$",
     "de" -> "^\\d{11}$",
     "fr" -> "^[12]\\d{2}(0[1-9]|1[0-2])\\d{2}\\d{3}\\d{3}\\d{2}$",
     "in" -> "^[2-9]\\d{3}\\s\\d{4}\\s\\d{4}$",
-    "au" -> "^\\d{3}-\\d{3}-\\d{3}$"
+    "au" -> "^\\d{3}-\\d{3}-\\d{3}$",
+    "it" -> "^[A-Z]{6}\\d{2}[A-EHLMPR-T]\\d{2}[A-Z]\\d{3}[A-Z]$", // codice fiscale shape
+    "es" -> "^(\\d{8}[A-Z]|[XYZ]\\d{7}[A-Z])$", // DNI / NIE
+    "nl" -> "^\\d{9}$", // BSN
+    "se" -> "^(\\d{6}|\\d{8})[-+]?\\d{4}$", // personnummer
+    "pl" -> "^\\d{11}$", // PESEL
+    "br" -> "^(\\d{3}\\.\\d{3}\\.\\d{3}-\\d{2}|\\d{11})$", // CPF
+    "mx" -> "^[A-Z]{4}\\d{6}[HM][A-Z]{5}[A-Z0-9]\\d$", // CURP
+    "jp" -> "^\\d{4}\\s?\\d{4}\\s?\\d{4}$" // My Number
   )
 
   /** check_funcs.py:1124 */

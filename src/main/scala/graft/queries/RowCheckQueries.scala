@@ -284,6 +284,25 @@ object RowCheckQueries {
       },
       Some("""SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0 ORDER BY 1""".stripMargin)),
 
+    "row_is_valid_national_id_multi" -> QueryDef(
+      (s, dir) => {
+        // Spanish DNI: 8 digits + letter; bad rows get a 7-digit body
+        val df = t(s, dir, "customer")
+          .withColumn("nid", when(col("c_custkey") % 7 === 0, lit("1234567A"))
+            .otherwise(lit("12345678Z")))
+        failing(df, row(R.isValidNationalId(col("nid"), "es"), "is_valid_national_id", "nid"), Seq("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0 ORDER BY 1""".stripMargin)),
+
+    "row_is_valid_country_code_numeric" -> QueryDef(
+      (s, dir) => {
+        // 840 = US, 999 unassigned
+        val df = t(s, dir, "customer")
+          .withColumn("cc", when(col("c_custkey") % 8 === 0, lit("999")).otherwise(lit("840")))
+        failing(df, row(R.isValidCountryCode(col("cc"), "numeric"), "is_valid_country_code", "cc"), Seq("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_custkey % 8 = 0 ORDER BY 1""".stripMargin)),
+
     "row_is_valid_country_code" -> QueryDef(
       (s, dir) => {
         val df = t(s, dir, "customer")
@@ -305,6 +324,27 @@ object RowCheckQueries {
         val df = t(s, dir, "customer")
           .withColumn("sub", when(col("c_custkey") % 6 === 0, lit("US-ZZ")).otherwise(lit("US-CA")))
         failing(df, row(R.isValidSubdivisionCode(col("sub"), "US"), "is_valid_subdivision_code", "sub"), Seq("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_custkey % 6 = 0 ORDER BY 1""".stripMargin)),
+
+    "row_is_valid_subdivision_multi" -> QueryDef(
+      (s, dir) => {
+        // rotate through three countries from the full registry; every 6th row invalid
+        val df = t(s, dir, "customer")
+          .withColumn("sub", when(col("c_custkey") % 6 === 0, lit("FR-99"))
+            .otherwise(when(col("c_custkey") % 3 === 0, lit("FR-13"))
+              .when(col("c_custkey") % 3 === 1, lit("JP-13"))
+              .otherwise(lit("GB-BIR"))))
+        val rules = Seq(
+          row(R.isValidSubdivisionCode(col("sub"), "FR"), "is_valid_subdivision_code", "sub")
+            .copy(filter = Some("c_custkey % 3 = 0")),
+          row(R.isValidSubdivisionCode(col("sub"), "JP"), "is_valid_subdivision_code", "sub")
+            .copy(name = "jp_sub", filter = Some("c_custkey % 3 = 1")),
+          row(R.isValidSubdivisionCode(col("sub"), "GB"), "is_valid_subdivision_code", "sub")
+            .copy(name = "gb_sub", filter = Some("c_custkey % 3 = 2")))
+        graft.engine.DQEngine.applyChecks(df, rules)
+          .where(col("_errors").isNotNull)
+          .select("c_custkey").orderBy("c_custkey")
       },
       Some("""SELECT c_custkey FROM customer WHERE c_custkey % 6 = 0 ORDER BY 1""".stripMargin)),
 
