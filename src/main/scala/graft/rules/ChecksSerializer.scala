@@ -52,6 +52,12 @@ object ChecksSerializer {
   def toYaml(checks: Seq[Map[String, Any]]): String =
     new Yaml().dump(checks.map(toJava).asJava)
 
+  /** Single-value encode/decode for storage round-trips (YAML is faithful for
+    * strings/numbers/booleans/lists/maps — quoted strings stay strings).
+    */
+  def encodeScalar(v: Any): String = new Yaml().dump(toJava(v)).stripLineEnd
+  def decodeScalar(s: String): Any = toScala(new Yaml().load[Any](s))
+
   /** Structural validation against the allow-list schema. Returns error
     * strings; empty = valid (checks_validator.py:52-116).
     */

@@ -50,17 +50,61 @@ class RunnerSpec extends SparkSpec {
     assert(loaded.head("check").asInstanceOf[Map[String, Any]]("function") == "is_not_null")
   }
 
-  test("table checks storage keeps latest rule set") {
+  test("table checks storage: row-per-check, versioning, latest-set load") {
     dropTableFully("dq_checks_tbl")
     val st = new TableChecksStorage(spark)
-    st.save(Seq(Map("criticality" -> "error",
-      "check" -> Map("function" -> "is_not_null", "arguments" -> Map("column" -> "a")))), "dq_checks_tbl")
+    val v1 = Seq(
+      Map("name" -> "a_nn", "criticality" -> "error",
+        "check" -> Map("function" -> "is_not_null", "arguments" -> Map("column" -> "a"))),
+      Map("name" -> "b_range", "criticality" -> "warn", "filter" -> "a > 0",
+        "check" -> Map("function" -> "is_in_range",
+          "arguments" -> Map("column" -> "b", "min_limit" -> 1, "max_limit" -> 10)),
+        "user_metadata" -> Map("owner" -> "team-x")))
+    st.saveChecks(v1, "dq_checks_tbl", mode = "append")
     Thread.sleep(5)
-    st.save(Seq(Map("criticality" -> "warn",
-      "check" -> Map("function" -> "is_null", "arguments" -> Map("column" -> "b")))), "dq_checks_tbl")
-    val loaded = st.load("dq_checks_tbl")
-    assert(loaded.size == 1)
-    assert(loaded.head("criticality") == "warn")
+    val v2 = v1 :+ Map("criticality" -> "error",
+      "check" -> Map("function" -> "is_not_empty", "arguments" -> Map("column" -> "c"),
+        "for_each_column" -> Seq("c", "d")))
+    st.saveChecks(v2, "dq_checks_tbl", mode = "append")
+    // one row per check, both versions present
+    assert(spark.read.table("dq_checks_tbl").count() == 2 + 3)
+    // latest set load, arguments round-trip typed (ints stay ints)
+    val loaded = st.loadChecks("dq_checks_tbl")
+    assert(loaded.size == 3)
+    val range = loaded.find(_.get("name").contains("b_range")).get
+    val args = range("check").asInstanceOf[Map[String, Any]]("arguments").asInstanceOf[Map[String, Any]]
+    assert(args("min_limit") == 1 && args("column") == "b")
+    assert(range("filter") == "a > 0")
+    assert(range("user_metadata") == Map("owner" -> "team-x"))
+    // specific older fingerprint still loadable
+    val fp1 = st.ruleSetFingerprint(v1)
+    assert(st.loadChecks("dq_checks_tbl", fingerprint = Some(fp1)).size == 2)
+    // idempotency: re-saving the same set writes nothing
+    st.saveChecks(v2, "dq_checks_tbl", mode = "append")
+    assert(spark.read.table("dq_checks_tbl").count() == 5)
+    // the loaded dicts run through the engine
+    import spark.implicits._
+    val df2 = Seq((1, 5, "x", "y")).toDF("a", "b", "c", "d")
+    assert(DQEngine.applyChecksByMetadata(df2, loaded).count() == 1)
+  }
+
+  test("table checks storage: overwrite replaces only its run config") {
+    dropTableFully("dq_checks_tbl2")
+    val st = new TableChecksStorage(spark)
+    val mk = (f: String, c: String) => Seq(Map("criticality" -> "error",
+      "check" -> Map("function" -> f, "arguments" -> Map("column" -> c))))
+    st.saveChecks(mk("is_not_null", "a"), "dq_checks_tbl2", runConfigName = "cfg1")
+    st.saveChecks(mk("is_not_null", "b"), "dq_checks_tbl2", runConfigName = "cfg2")
+    Thread.sleep(5)
+    st.saveChecks(mk("is_null", "a2"), "dq_checks_tbl2", runConfigName = "cfg1", mode = "overwrite")
+    val cfg1 = st.loadChecks("dq_checks_tbl2", runConfigName = "cfg1")
+    val cfg2 = st.loadChecks("dq_checks_tbl2", runConfigName = "cfg2")
+    assert(cfg1.size == 1 &&
+      cfg1.head("check").asInstanceOf[Map[String, Any]]("function") == "is_null")
+    assert(cfg2.size == 1 &&
+      cfg2.head("check").asInstanceOf[Map[String, Any]]("function") == "is_not_null")
+    // overwrite removed cfg1's old version entirely
+    assert(spark.read.table("dq_checks_tbl2").count() == 2)
   }
 
   test("summary metrics over a checked table unpivots to metric rows") {
