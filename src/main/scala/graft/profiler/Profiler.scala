@@ -21,9 +21,67 @@ final case class ProfilerOptions(
     distinctRatioMax: Double = 0.05, // low-cardinality threshold for is_in rules
     maxInListSize: Int = 32,
     sigmas: Double = 3.0, // outlier band for min/max rules
-    maxNullRatio: Double = 0.0) // above this, emit is_not_null candidate
+    maxNullRatio: Double = 0.0, // above this, emit is_not_null candidate
+    enableOutlierProfiles: Boolean = true, // MAD-based has_no_outliers candidates
+    outliersRatioMax: Double = 0.05, // emit only when outlier fraction <= this
+    madFactor: Double = 3.5)
 
 object Profiler {
+
+  /** Stratified sample with explicit per-stratum fractions
+    * (profiler.py:361-414; strata absent from the map are excluded).
+    */
+  def stratifiedSample(df: DataFrame, sampleByColumn: String,
+                       fractions: Map[Any, Double], seed: Long = 42L): DataFrame = {
+    require(df.columns.contains(sampleByColumn),
+      s"sample_by_column '$sampleByColumn' is not a column of the input DataFrame")
+    df.stat.sampleBy(col(sampleByColumn), fractions, seed)
+  }
+
+  /** Uniform stratified sample across the distinct values of the column.
+    * Distinct values are ordered before limiting so WHICH strata are kept is
+    * deterministic (profiler.py:404-410).
+    */
+  def stratifiedSampleUniform(df: DataFrame, sampleByColumn: String, fraction: Double,
+                              seed: Long = 42L, valuesLimit: Option[Int] = None): DataFrame = {
+    require(df.columns.contains(sampleByColumn),
+      s"sample_by_column '$sampleByColumn' is not a column of the input DataFrame")
+    val distinct = df.select(sampleByColumn).distinct().orderBy(col(sampleByColumn))
+    val limited = valuesLimit.map(distinct.limit).getOrElse(distinct)
+    val fractions = limited.collect().map(r => (r.get(0): Any) -> fraction).toMap
+    df.stat.sampleBy(col(sampleByColumn), fractions, seed)
+  }
+
+  /** MAD-based has_no_outliers profile candidate (profile_builder.py:780-860):
+    * same median +- factor*MAD band as the check itself; emitted only when the
+    * band is non-degenerate and the observed outlier fraction is at or below
+    * `outliersRatioMax` (inclusive, matching the sibling ratio gates).
+    */
+  def hasNoOutliersProfile(df: DataFrame, column: String,
+                           opts: ProfilerOptions = ProfilerOptions()): Option[DQProfile] = {
+    val base = df.where(col(column).isNotNull)
+    val medianRow = base.select(expr(s"approx_percentile($column, 0.5)").as("m")).first()
+    if (medianRow.isNullAt(0)) return None
+    val med = medianRow.get(0).asInstanceOf[Number].doubleValue()
+    val madRow = base.select(expr(s"approx_percentile(abs($column - $med), 0.5)").as("mad")).first()
+    val mad = if (madRow.isNullAt(0)) 0.0 else madRow.get(0).asInstanceOf[Number].doubleValue()
+    val lo = med - opts.madFactor * mad
+    val hi = med + opts.madFactor * mad
+    val bandWidth = hi - lo
+    val scale = math.max(math.abs(lo), math.abs(hi))
+    if (bandWidth <= 0 || (scale > 0 && bandWidth <= 1e-12 * scale)) return None
+    val counts = base.select(
+      count(lit(1)).as("n"),
+      count(when(col(column) < lo || col(column) > hi, lit(1))).as("out")).first()
+    val total = counts.getLong(0)
+    if (total == 0) return None
+    val ratio = counts.getLong(1).toDouble / total
+    if (ratio <= opts.outliersRatioMax)
+      Some(DQProfile("has_no_outliers", column,
+        f"Column $column has ${ratio * 100}%.1f%% of outliers (allowed: ${opts.outliersRatioMax * 100}%.1f%%). " +
+          s"Lower boundary - $lo, upper boundary - $hi"))
+    else None
+  }
 
   /** Per-column stats from one aggregation pass. */
   def summarize(df: DataFrame, columns: Seq[String] = Seq.empty,
@@ -106,7 +164,13 @@ object Profiler {
             Map("min" -> lo, "max" -> hi, "observed_min" -> mn, "observed_max" -> mx)))
         case _ => Seq.empty
       }
-      nullRule ++ emptyRule ++ inListRule ++ rangeRule
+      // builder-chain order: null_or_empty -> is_in -> min_max -> has_no_outliers
+      // (profiler.py:482-505)
+      val outlierRule =
+        if (opts.enableOutlierProfiles && s.contains("min") && total > nulls)
+          hasNoOutliersProfile(sampled, name, opts).toSeq
+        else Seq.empty
+      nullRule ++ emptyRule ++ inListRule ++ rangeRule ++ outlierRule
     }
     (stats, profiles)
   }
@@ -128,6 +192,9 @@ object Generator {
           Some(Map("function" -> "is_in_range",
             "arguments" -> Map("column" -> p.column,
               "min_limit" -> p.parameters("min"), "max_limit" -> p.parameters("max"))))
+        case "has_no_outliers" =>
+          // the check recomputes the MAD band at apply time (like the reference)
+          Some(Map("function" -> "has_no_outliers", "arguments" -> Map("column" -> p.column)))
         case _ => None
       }
       check.map(c => Map("criticality" -> criticality, "check" -> c))

@@ -118,6 +118,41 @@ class RunnerSpec extends SparkSpec {
     assert(rows.schema.fieldNames.contains("rule_set_fingerprint"))
   }
 
+  test("stratified sampleBy: dict fractions keep only listed strata; uniform covers all") {
+    val df = (1 to 3000).map(i => (i, Seq("a", "b", "c")(i % 3))).toDF("id", "g")
+    val dict = Profiler.stratifiedSample(df, "g", Map[Any, Double]("a" -> 1.0, "b" -> 0.5))
+    val byG = dict.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG("a") == 1000) // fraction 1.0 keeps every row
+    assert(byG.getOrElse("c", 0L) == 0) // absent stratum excluded
+    assert(byG("b") > 200 && byG("b") < 800)
+    val uniform = Profiler.stratifiedSampleUniform(df, "g", 1.0, valuesLimit = Some(2))
+    // ordered distinct + limit 2 -> strata a, b kept deterministically
+    assert(uniform.select("g").distinct().as[String].collect().toSet == Set("a", "b"))
+    assert(uniform.count() == 2000)
+  }
+
+  test("has_no_outliers profile: emitted for clean columns, withheld when too many outliers") {
+    // 1000 tight values + 5 extreme outliers (0.5% outliers, within 5% threshold)
+    val clean = ((1 to 1000).map(i => 100.0 + (i % 21)) ++ Seq.fill(5)(10000.0))
+      .zipWithIndex.map(_.swap).toDF("id", "v")
+    val p = Profiler.hasNoOutliersProfile(clean, "v")
+    assert(p.nonEmpty && p.get.name == "has_no_outliers")
+    // 30% outliers -> withheld
+    val dirty = ((1 to 700).map(_ => 100.0) ++ (1 to 300).map(_ => 10000.0))
+      .zipWithIndex.map(_.swap).toDF("id", "v")
+    assert(Profiler.hasNoOutliersProfile(dirty, "v").isEmpty)
+    // constant column -> degenerate band -> withheld
+    val const = (1 to 100).map(i => (i, 5.0)).toDF("id", "v")
+    assert(Profiler.hasNoOutliersProfile(const, "v").isEmpty)
+    // profile() includes the candidate and the generated rule applies
+    val (_, profiles) = Profiler.profile(clean,
+      opts = graft.profiler.ProfilerOptions(sampleFraction = 1.0))
+    assert(profiles.exists(pp => pp.name == "has_no_outliers" && pp.column == "v"))
+    val rules = Generator.generateDqRules(profiles.filter(_.name == "has_no_outliers"))
+    val out = DQEngine.applyChecksByMetadata(clean, rules)
+    assert(out.where(col("_errors").isNotNull).count() == 5) // flags exactly the planted outliers
+  }
+
   test("profiler infers null/in-list/range rules in one agg pass") {
     val df = (1 to 200).map(i => (i, if (i % 2 == 0) "A" else "B", i * 1.0))
       .toDF("id", "cat", "v")
