@@ -119,16 +119,14 @@ object DatasetChecks {
       case "stddev_pop" => stddev_pop(c)
       case "variance" | "var_samp" => var_samp(c)
       case "var_pop" => var_pop(c)
-      case "median" => expr(s"median(${c.toString})")
-      case "mode" => expr(s"mode(${c.toString})")
+      case "median" => median(c)
+      case "mode" => mode(c)
       case "skewness" => skewness(c)
       case "kurtosis" => kurtosis(c)
       case "percentile" =>
-        val p = params.getOrElse("percentile", 0.5).toString
-        expr(s"percentile(${c.toString}, $p)")
+        percentile(c, lit(params.getOrElse("percentile", 0.5).toString.toDouble))
       case "approx_percentile" =>
-        val p = params.getOrElse("percentile", 0.5).toString
-        expr(s"approx_percentile(${c.toString}, $p)")
+        percentile_approx(c, lit(params.getOrElse("percentile", 0.5).toString.toDouble), lit(10000))
       case other => expr(s"$other(${c.toString})") // non-curated by-name fallback (check_funcs.py:4101)
     }
 

@@ -55,7 +55,7 @@ object RowChecks {
       case "lower" => lower(s)
       case "title" => initcap(s)
       case "sentence" =>
-        concat(upper(substring(s, 1, 1)), lower(expr(s"substring(${c.toString}, 2)")))
+        concat(upper(substring(s, 1, 1)), lower(s.substr(lit(2), length(s))))
       case other => throw new IllegalArgumentException(s"Unknown case type: $other")
     }
     makeCondition(c.isNotNull && s =!= expected,
@@ -179,7 +179,7 @@ object RowChecks {
   /** check_funcs.py:1026 — unparseable date fails. */
   def isValidDate(c: Column, dateFormat: Option[String] = None): Column = {
     val parsed = dateFormat.map(f => try_to_timestamp(c.cast("string"), lit(f)).cast("date"))
-      .getOrElse(expr(s"try_cast(${c.toString} as date)"))
+      .getOrElse(c.try_cast("date"))
     makeCondition(c.isNotNull && parsed.isNull,
       concat(lit(s"Value '"), valueText(c), lit(s"' in column '${c.toString}' is not a valid date"),
         lit(dateFormat.map(f => s" with format '$f'").getOrElse(""))))
@@ -188,7 +188,7 @@ object RowChecks {
   /** check_funcs.py:1050 — unparseable timestamp fails. */
   def isValidTimestamp(c: Column, tsFormat: Option[String] = None): Column = {
     val parsed = tsFormat.map(f => try_to_timestamp(c.cast("string"), lit(f)))
-      .getOrElse(expr(s"try_cast(${c.toString} as timestamp)"))
+      .getOrElse(c.try_cast("timestamp"))
     makeCondition(c.isNotNull && parsed.isNull,
       concat(lit(s"Value '"), valueText(c), lit(s"' in column '${c.toString}' is not a valid timestamp"),
         lit(tsFormat.map(f => s" with format '$f'").getOrElse(""))))
@@ -292,12 +292,12 @@ object RowChecks {
 
   /** check_funcs.py:3338 — invalid JSON fails. Spark 4: try_parse_json. */
   def isValidJson(c: Column): Column =
-    makeCondition(c.isNotNull && expr(s"try_parse_json(cast(${c.toString} as string))").isNull,
+    makeCondition(c.isNotNull && try_parse_json(c.cast("string")).isNull,
       concat(lit(s"Value in column '${c.toString}' is not valid JSON")))
 
   /** check_funcs.py:3362 — outer JSON object lacks required keys. */
   def hasJsonKeys(c: Column, keys: Seq[String], requireAll: Boolean = true): Column = {
-    val present = expr(s"json_object_keys(cast(${c.toString} as string))")
+    val present = json_object_keys(c.cast("string"))
     val wanted = array(keys.map(lit): _*)
     val missing = array_except(wanted, coalesce(present, array()))
     val failCond =
@@ -338,10 +338,10 @@ object RowChecks {
 
   /** geo/check_funcs.py:63/:86 — latitude/longitude bounds (pure expressions). */
   def isLatitude(c: Column): Column =
-    makeCondition(c.isNotNull && !expr(s"try_cast(${c.toString} as double)").between(-90d, 90d),
+    makeCondition(c.isNotNull && !c.try_cast("double").between(-90d, 90d),
       concat(lit(s"Value '"), valueText(c), lit(s"' in column '${c.toString}' is not a valid latitude")))
 
   def isLongitude(c: Column): Column =
-    makeCondition(c.isNotNull && !expr(s"try_cast(${c.toString} as double)").between(-180d, 180d),
+    makeCondition(c.isNotNull && !c.try_cast("double").between(-180d, 180d),
       concat(lit(s"Value '"), valueText(c), lit(s"' in column '${c.toString}' is not a valid longitude")))
 }

@@ -128,6 +128,21 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.where(col("_warnings").isNotNull).count() == 2)
   }
 
+  test("checks on DERIVED columns (no plain name) build without stringification") {
+    val df = Seq((1, "2024-01-05x"), (2, "oops")).toDF("id", "raw")
+    val derived = substring(col("raw"), 1, 10) // not a plain attribute
+    val dateRule = DQRowRule(RowChecks.isValidDate(derived), "is_valid_date", Seq("raw"))
+    assert(errs(df, dateRule) == Seq(2))
+    val jsonDf = Seq((1, """x{"a":1}"""), (2, "xnope")).toDF("id", "raw")
+    val jsonRule = DQRowRule(RowChecks.isValidJson(substring(col("raw"), 2, 100)), "is_valid_json", Seq("raw"))
+    assert(errs(jsonDf, jsonRule) == Seq(2))
+    val lonRule = DQRowRule(RowChecks.isLongitude(col("id") * 100), "is_longitude", Seq("id"))
+    assert(errs(df, lonRule) == Seq(2)) // 200 outside +-180, 100 inside
+    val caseRule = DQRowRule(RowChecks.hasValidStringCase(concat(lit("A"), col("raw")), "sentence"),
+      "has_valid_string_case", Seq("raw"))
+    assert(errs(Seq((1, "bc"), (2, "BC")).toDF("id", "raw"), caseRule) == Seq(2))
+  }
+
   test("by-name aggregate fallback works for non-curated functions") {
     val df = Seq((1, "g", 5), (2, "g", 15)).toDF("id", "g", "v")
     // 'sum_distinct' is not in the curated registry -> expr fallback
