@@ -55,6 +55,14 @@ sealed trait CheckFn
 final case class RowCheckFn(build: CheckArgs => Column) extends CheckFn
 final case class DatasetCheckFn(build: (CheckArgs, ResolveCtx) => DatasetCheck) extends CheckFn
 
+/** Implemented by user classes/objects that bundle custom checks for
+  * classpath-based loading — the Scala analogue of the reference's
+  * module-path function resolution (checks_resolver.py:76-109).
+  */
+trait CheckProvider {
+  def checks: Map[String, CheckFn]
+}
+
 /** Name -> check function registry (reference CHECK_FUNC_REGISTRY,
   * dqx/rule.py:38-49 + checks_resolver.py:36-109). Custom checks register via
   * [[CheckRegistry.register]].
@@ -193,10 +201,51 @@ object CheckRegistry {
   /** Register a custom check function by name (checks_resolver.py:36-109). */
   def register(name: String, fn: CheckFn): Unit = custom.put(name, fn)
 
+  /** Load a [[CheckProvider]] by fully-qualified class name (Scala object or
+    * zero-arg class) and register every check it bundles. Returns the
+    * registered names. The classpath analogue of the reference's module-path
+    * resolution (checks_resolver.py:76-109).
+    */
+  def registerFromClass(fqcn: String): Seq[String] = {
+    val provider = instantiateProvider(fqcn)
+    provider.checks.foreach { case (n, f) => register(n, f) }
+    provider.checks.keys.toSeq
+  }
+
+  private def instantiateProvider(fqcn: String): CheckProvider = {
+    val instance = scala.util.Try {
+      // Scala object: companion class with a MODULE$ field
+      Class.forName(fqcn + "$").getField("MODULE$").get(null)
+    }.orElse(scala.util.Try {
+      Class.forName(fqcn).getDeclaredConstructor().newInstance()
+    }).getOrElse(throw new IllegalArgumentException(
+      s"Cannot load check provider '$fqcn': not a Scala object or zero-arg class on the classpath"))
+    instance match {
+      case p: CheckProvider => p
+      case other => throw new IllegalArgumentException(
+        s"'$fqcn' (${other.getClass.getName}) does not implement graft.rules.CheckProvider")
+    }
+  }
+
+  /** `com.example.Provider#check_name` resolves through the provider's bundle
+    * (loaded once, then cached in the custom registry under the full name).
+    */
+  private def resolveQualified(name: String): Option[CheckFn] = {
+    val idx = name.indexOf('#')
+    if (idx <= 0) None
+    else {
+      val (fqcn, fn) = (name.substring(0, idx), name.substring(idx + 1))
+      scala.util.Try(instantiateProvider(fqcn)).toOption
+        .flatMap(_.checks.get(fn))
+        .map { f => custom.putIfAbsent(name, f); f }
+    }
+  }
+
   def resolve(name: String): CheckFn =
     custom.get(name)
       .orElse(rowBuilders.get(name).map(RowCheckFn))
       .orElse(datasetBuilders.get(name).map(b => DatasetCheckFn(b)))
+      .orElse(resolveQualified(name))
       .getOrElse(throw new IllegalArgumentException(s"Unknown check function: $name"))
 
   def isRowCheck(name: String): Boolean = resolve(name).isInstanceOf[RowCheckFn]

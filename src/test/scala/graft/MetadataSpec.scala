@@ -75,6 +75,22 @@ class MetadataSpec extends SparkSpec {
     assert(bad.toSeq == Seq(-5))
   }
 
+  test("custom checks load by fully-qualified provider class name") {
+    // explicit bulk registration
+    val names = CheckRegistry.registerFromClass("graft.SampleCheckProvider")
+    assert(names.contains("sample_is_even"))
+    val out = DQEngine.applyChecksByMetadataYaml(df,
+      "- check: { function: sample_is_even, arguments: { column: amount } }")
+    assert(out.where(col("_errors").isNotNull).select("amount").as[Int].collect().toSet == Set(-5))
+    // inline qualified reference without prior registration
+    val out2 = DQEngine.applyChecksByMetadataYaml(df,
+      "- check: { function: 'graft.SampleCheckProvider#sample_is_even', arguments: { column: amount } }")
+    assert(out2.where(col("_errors").isNotNull).count() == 1)
+    // bad class / non-provider fail loudly
+    intercept[IllegalArgumentException](CheckRegistry.registerFromClass("graft.NoSuchProvider"))
+    intercept[IllegalArgumentException](CheckRegistry.registerFromClass("graft.MetadataSpec"))
+  }
+
   test("variable substitution in metadata") {
     val checks = Seq(Map(
       "criticality" -> "error",
