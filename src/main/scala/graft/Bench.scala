@@ -120,7 +120,12 @@ object Bench {
       name -> (try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 })
     }
 
-    val all = suiteTimes ++ queryTimes
+    // reference-shaped synthetic suites at BASELINE.md row scale
+    // (SPARK_GRAFT_BENCH_ROWS=100000000 for full parity; 0 disables)
+    val refRows = sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.toLong).getOrElse(BenchRef.DefaultRows)
+    val refTimes = if (refRows > 0) BenchRef.run(spark, refRows) else Seq.empty
+
+    val all = suiteTimes ++ queryTimes ++ refTimes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -1,0 +1,163 @@
+package graft
+
+import graft.checks.{DatasetChecks, NetChecks, RowChecks}
+import graft.engine.DQEngine
+import graft.rules._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-shaped benchmark suites over an in-memory synthetic frame
+  * mirroring the reference perf fixtures (tests/perf/conftest.py:96-123:
+  * 100M rows x 10 partitions, int cols with 20% nulls on col1, array/map/
+  * struct wrappers, date/timestamp ranges, ipv4/ipv6/json/geo-point strings;
+  * ref frame :211-220). Row count is env-tunable so the per-round bench can
+  * run a 10M-row slice and a full 100M parity run stays one env var away —
+  * timings are honest against BASELINE.md only at 100M.
+  */
+object BenchRef {
+
+  val DefaultRows: Long = 10000000L
+  val Partitions = 10
+
+  /** tests/perf/conftest.py:96-123 equivalent (deterministic id arithmetic
+    * instead of dbldatagen's sequential generators).
+    */
+  def generatedDf(spark: SparkSession, rows: Long): DataFrame = {
+    val ipv4 = concat_ws(".", (col("id") % 256).cast("string"), (col("id") / 7 % 256).cast("string"),
+      (col("id") / 13 % 256).cast("string"), (col("id") / 29 % 256).cast("string"))
+    val hexGroup = lpad(hex(col("id") % 65536), 4, "0")
+    spark.range(rows).repartition(Partitions)
+      .select(
+        when(col("id") % 5 === 0, lit(null)).otherwise((col("id") % 1000000).cast("int")).as("col1"),
+        (col("id") % 3456789).cast("int").as("col2"),
+        (col("id") % 97).cast("int").as("col3"),
+        col("id"))
+      .select(col("*"),
+        array(col("col1"), col("col2")).as("col4"),
+        date_add(lit("1900-01-01").cast("date"), (col("id") % 46000).cast("int")).as("col5"),
+        timestamp_seconds(col("id") % 3975000000L - 2208988800L).as("col6"),
+        map(lit("key"), col("col2")).as("col7"),
+        struct(col("col1").as("field1")).as("col8"),
+        (col("id") % 2147483).cast("int").as("col10"),
+        ipv4.as("col_ipv4"),
+        concat_ws(":", hexGroup, hexGroup, hexGroup, hexGroup,
+          hexGroup, hexGroup, hexGroup, hexGroup).as("col_ipv6"),
+        format_string("{\"key1\": \"v%d\", \"key2\": \"d%d\"}", col("id") % 1000, col("id") % 97).as("col_json_str"),
+        element_at(array(lit("POINT(4.90 52.37)"), lit("POINT(4.73 52.28)"),
+          lit("POINT(4.48 51.92)"), lit("POINT(5.20 52.35)")), (col("id") % 4 + 1).cast("int")).as("col_geo_point"))
+      .drop("id")
+  }
+
+  /** tests/perf/conftest.py:211-220 equivalent. */
+  def refDf(spark: SparkSession, rows: Long): DataFrame =
+    spark.range(rows).repartition(Partitions).select(
+      (col("id") % 1000000).cast("int").as("ref_col1"),
+      (col("id") % 3456789).cast("int").as("ref_col2"),
+      (col("id") % 97).cast("int").as("ref_col3"))
+
+  /** 5 string columns (generated_string_df fixture, conftest.py:224-237). */
+  def stringDf(spark: SparkSession, rows: Long): DataFrame =
+    spark.range(rows).repartition(Partitions).select(
+      (0 until 5).map(i => concat(lit(s"s$i"), (col("id") / (i + 1) % 5000000).cast("string")).as(s"col${i + 1}")): _*)
+
+  /** All-row-checks suite: breadth of the reference all_row_checks.yaml
+    * corpus against the generated columns, applied in one pass.
+    */
+  def allRowChecks(df: DataFrame): DataFrame = {
+    val R = RowChecks
+    val rules = Seq(
+      DQRowRule(R.isNotNull(col("col1")), "is_not_null", Seq("col1")),
+      DQRowRule(R.isNotNullAndNotEmpty(col("col2")), "is_not_null_and_not_empty", Seq("col2")),
+      DQRowRule(R.isNotEmpty(col("col2")), "is_not_empty", Seq("col2")),
+      DQRowRule(R.isInList(col("col3"), (0 until 97).map(_.asInstanceOf[Any])), "is_in_list", Seq("col3")),
+      DQRowRule(R.isNotInList(col("col3"), Seq(1000)), "is_not_in_list", Seq("col3")),
+      DQRowRule(R.isInRange(col("col2"), 0, 4000000), "is_in_range", Seq("col2")),
+      DQRowRule(R.isNotInRange(col("col2"), -10, -1), "is_not_in_range", Seq("col2")),
+      DQRowRule(R.isNotLessThan(col("col2"), 0), "is_not_less_than", Seq("col2")),
+      DQRowRule(R.isNotGreaterThan(col("col2"), 4000000), "is_not_greater_than", Seq("col2")),
+      DQRowRule(R.isEqualTo(col("col3"), col("col3")), "is_equal_to", Seq("col3")),
+      DQRowRule(R.sqlExpression("col2 >= 0"), "sql_expression"),
+      DQRowRule(R.isOlderThanNDays(col("col5"), 0, Some(lit("2026-01-01").cast("date"))), "is_older_than_n_days", Seq("col5")),
+      DQRowRule(R.isNotInFuture(col("col6"), 0, Some(lit("2026-01-01 00:00:00").cast("timestamp"))), "is_not_in_future", Seq("col6")),
+      DQRowRule(R.isNotNullAndNotEmptyArray(col("col4")), "is_not_null_and_not_empty_array", Seq("col4")),
+      DQRowRule(R.isValidDate(col("col5").cast("string")), "is_valid_date", Seq("col5")),
+      DQRowRule(R.isValidTimestamp(col("col6").cast("string")), "is_valid_timestamp", Seq("col6")),
+      DQRowRule(R.isValidIpv4Address(col("col_ipv4")), "is_valid_ipv4_address", Seq("col_ipv4")),
+      DQRowRule(NetChecks.isValidIpv6Address(col("col_ipv6")), "is_valid_ipv6_address", Seq("col_ipv6")),
+      DQRowRule(NetChecks.isIpv4AddressInCidr(col("col_ipv4"), "10.0.0.0/8"), "is_ipv4_address_in_cidr", Seq("col_ipv4")),
+      DQRowRule(R.isValidJson(col("col_json_str")), "is_valid_json", Seq("col_json_str")),
+      DQRowRule(R.hasJsonKeys(col("col_json_str"), Seq("key1", "key2")), "has_json_keys", Seq("col_json_str")),
+      DQRowRule(R.regexMatch(col("col_json_str"), "^\\{.*\\}$"), "regex_match", Seq("col_json_str")),
+      DQRowRule(graft.checks.GeoChecks.isPoint(col("col_geo_point")), "is_point", Seq("col_geo_point")),
+      DQRowRule(graft.checks.GeoChecks.isNotNullIsland(col("col_geo_point")), "is_not_null_island", Seq("col_geo_point"))
+    )
+    DQEngine.applyChecks(df, rules)
+  }
+
+  /** All-dataset-checks suite (all_dataset_checks.yaml breadth). */
+  def allDatasetChecks(df: DataFrame, ref: DataFrame): DataFrame = {
+    val D = DatasetChecks
+    val rules = Seq(
+      DQDatasetRule(D.isUnique(Seq("col2", "col10"), nullsDistinct = false), "is_unique", Seq("col2")),
+      DQDatasetRule(D.foreignKey(Seq("col1"), Seq("ref_col1"), ref), "foreign_key", Seq("col1")),
+      DQDatasetRule(D.isAggrNotGreaterThan("col2", 1e15, "sum", groupBy = Seq("col3")), "is_aggr_not_greater_than", Seq("col2")),
+      DQDatasetRule(D.isAggrNotLessThan("*", 0.0, "count"), "is_aggr_not_less_than", Seq.empty),
+      DQDatasetRule(D.isAggrEqual("col3", 97.0, "count_distinct"), "is_aggr_equal", Seq("col3")),
+      DQDatasetRule(D.isAggrNotEqual("col2", -1.0, "avg", groupBy = Seq("col3")), "is_aggr_not_equal", Seq("col2")),
+      DQDatasetRule(D.hasNoAggrOutliers("*", "col6", "count", sigma = 6.0, timeInterval = "365 days"), "has_no_aggr_outliers", Seq.empty),
+      DQDatasetRule(D.aggrMatchesDataset("col2", ref, "ref_col2", "avg"), "aggr_matches_dataset", Seq("col2")),
+      DQDatasetRule(D.isDataFreshPerTimeWindow("col6", 525600, 1, curTimestamp = Some(lit("2026-01-01 00:00:00").cast("timestamp"))), "is_data_fresh_per_time_window", Seq("col6")),
+      DQDatasetRule(D.hasValidSchema("col1 INT, col2 INT, col3 INT"), "has_valid_schema", Seq.empty)
+    )
+    DQEngine.applyChecks(df, rules)
+  }
+
+  /** The five BASELINE.md headline suites + single-check reference points.
+    * Returns (name -> seconds). Timing = warmup round then mean of `rounds`.
+    */
+  def run(spark: SparkSession, rows: Long, rounds: Int = 2): Seq[(String, Double)] = {
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def bench(f: => Unit): Double = {
+      f // warmup
+      (0 until rounds).map(_ => time(f)).sum / rounds
+    }
+    val df = generatedDf(spark, rows)
+    val ref = refDf(spark, rows)
+    val sdf = stringDf(spark, rows)
+
+    val rowSuite = allRowChecks(df)
+    val dsSuite = allDatasetChecks(df, ref)
+    val singleNotNull = DQEngine.applyChecks(df, Seq(
+      DQRowRule(RowChecks.isNotNull(col("col2")), "is_not_null", Seq("col2"))))
+    val uniqueRules = (1 to 5).map(i => DQDatasetRule(
+      DatasetChecks.isUnique(Seq(s"col$i"), nullsDistinct = false), "is_unique", Seq(s"col$i"),
+      criticality = graft.core.Criticality.Warn))
+    val foreachUnique = DQEngine.applyChecks(sdf, uniqueRules)
+    val fkSingle = DQEngine.applyChecks(df, Seq(DQDatasetRule(
+      DatasetChecks.foreignKey(Seq("col1", "col2"), Seq("ref_col1", "ref_col2"), ref),
+      "foreign_key", Seq("col1", "col2"), criticality = graft.core.Criticality.Warn)))
+    val fkForeach = DQEngine.applyChecks(sdf, (1 to 5).map(i => DQDatasetRule(
+      DatasetChecks.foreignKey(Seq(s"col$i"), Seq("ref_col1"),
+        refDf(spark, rows).select(col("ref_col1").cast("string").as("ref_col1"))),
+      "foreign_key", Seq(s"col$i"), criticality = graft.core.Criticality.Warn)))
+    val cmp = DQEngine.applyChecks(df, Seq(DQDatasetRule(
+      DatasetChecks.compareDatasets(Seq("col1", "col2"), Seq("ref_col1", "ref_col2"), ref),
+      "compare_datasets", Seq("col1", "col2"), criticality = graft.core.Criticality.Warn)))
+    val aggrOutliers = DQEngine.applyChecks(df, Seq(DQDatasetRule(
+      DatasetChecks.hasNoAggrOutliers("*", "col6", "count", sigma = 6.0, timeInterval = "30 days"),
+      "has_no_aggr_outliers", Seq.empty)))
+
+    val m = rows / 1000000
+    Seq(
+      s"ref${m}m_single_is_not_null" -> bench(singleNotNull.count()),
+      s"ref${m}m_all_row_checks" -> bench(rowSuite.count()),
+      s"ref${m}m_all_dataset_checks" -> bench(dsSuite.count()),
+      s"ref${m}m_foreach_is_unique" -> bench(foreachUnique.count()),
+      s"ref${m}m_foreign_key_single" -> bench(fkSingle.count()),
+      s"ref${m}m_foreach_foreign_key" -> bench(fkForeach.count()),
+      s"ref${m}m_compare_datasets" -> bench(cmp.count()),
+      s"ref${m}m_has_no_aggr_outliers" -> bench(aggrOutliers.count()))
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standalone runner for the reference-shaped suites only — full parity runs
+  * against BASELINE.md: `SPARK_GRAFT_BENCH_ROWS=100000000 runMain graft.BenchRefMain`.
+  */
+object BenchRefMain {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.toLong).getOrElse(BenchRef.DefaultRows)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "96g"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val times = BenchRef.run(spark, rows)
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val total = times.map(_._2).sum
+    println(f"""{"metric":"ref_total","value":$total%.4f,"unit":"sec","queries":$qs,"rows":$rows}""")
+    spark.stop()
+  }
+}

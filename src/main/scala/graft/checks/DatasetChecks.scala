@@ -594,8 +594,20 @@ object DatasetChecks {
       val spark = df.sparkSession
       val viewName = s"__dq_input_view_$id"
       df.createOrReplaceTempView(viewName)
-      refDfs.foreach { case (n, rdf) => rdf.createOrReplaceTempView(n) }
-      val sql = query.replace(s"{{$inputPlaceholder}}", viewName)
+      // suffix ref views like the input view: two concurrent checks with the
+      // same ref name on different DataFrames must not race on one global view
+      val refNames = refDfs.map { case (n, rdf) =>
+        val vn = s"__dq_ref_${n}_$id"
+        rdf.createOrReplaceTempView(vn)
+        n -> vn
+      }
+      // both {{name}} placeholders and bare names (reference contract,
+      // check_funcs.py:2127) resolve to the suffixed view
+      val sql = refNames.foldLeft(query.replace(s"{{$inputPlaceholder}}", viewName)) {
+        case (q, (n, vn)) =>
+          q.replace(s"{{$n}}", vn)
+            .replaceAll("\\b" + java.util.regex.Pattern.quote(n) + "\\b", vn)
+      }
       val result = spark.sql(sql)
       // dedup to one row per merge key (check_funcs.py:2157)
       val renamed = mergeColumns.map(m => s"__dq_sqlm_${m}_$id")

@@ -114,10 +114,13 @@ object RowChecks {
         lit(s"' ${if (negate) "is not" else "is"} older than $days or more days")))
   }
 
-  /** check_funcs.py:668 — timestamp further than offset seconds in the future fails. */
+  /** check_funcs.py:668 — timestamp further than offset seconds in the future
+    * fails. Interval arithmetic preserves sub-second precision (the reference
+    * uses make_interval; unix_timestamp would truncate to seconds).
+    */
   def isNotInFuture(c: Column, offsetSeconds: Long = 0, currTimestamp: Option[Column] = None): Column = {
     val now = currTimestamp.getOrElse(current_timestamp())
-    val bound = to_timestamp(from_unixtime(unix_timestamp(now) + offsetSeconds))
+    val bound = now + expr(s"INTERVAL $offsetSeconds SECOND")
     makeCondition(c.isNotNull && c > bound,
       concat(lit(s"Value '"), valueText(c), lit(s"' in column '${c.toString}' is in the future")))
   }
@@ -125,7 +128,7 @@ object RowChecks {
   /** check_funcs.py:702 — now < ts < now+offset fails. */
   def isNotInNearFuture(c: Column, offsetSeconds: Long = 0, currTimestamp: Option[Column] = None): Column = {
     val now = currTimestamp.getOrElse(current_timestamp())
-    val bound = to_timestamp(from_unixtime(unix_timestamp(now) + offsetSeconds))
+    val bound = now + expr(s"INTERVAL $offsetSeconds SECOND")
     makeCondition(c.isNotNull && c > now && c < bound,
       concat(lit(s"Value '"), valueText(c), lit(s"' in column '${c.toString}' is in the near future")))
   }
@@ -284,7 +287,7 @@ object RowChecks {
   /** check_funcs.py:1701 — col older than maxAgeMinutes vs base timestamp fails. */
   def isDataFresh(c: Column, maxAgeMinutes: Long, baseTimestamp: Option[Column] = None): Column = {
     val base = baseTimestamp.getOrElse(current_timestamp())
-    val bound = to_timestamp(from_unixtime(unix_timestamp(base) - maxAgeMinutes * 60))
+    val bound = base - expr(s"INTERVAL $maxAgeMinutes MINUTE")
     makeCondition(c.isNotNull && c < bound,
       concat(lit(s"Value '"), valueText(c),
         lit(s"' in column '${c.toString}' is older than $maxAgeMinutes minutes")))
