@@ -26,7 +26,7 @@ object BenchRef {
     val ipv4 = concat_ws(".", (col("id") % 256).cast("string"), (col("id") / 7 % 256).cast("string"),
       (col("id") / 13 % 256).cast("string"), (col("id") / 29 % 256).cast("string"))
     val hexGroup = lpad(hex(col("id") % 65536), 4, "0")
-    spark.range(rows).repartition(Partitions)
+    spark.range(0L, rows, 1L, Partitions)
       .select(
         when(col("id") % 5 === 0, lit(null)).otherwise((col("id") % 1000000).cast("int")).as("col1"),
         (col("id") % 3456789).cast("int").as("col2"),
@@ -50,14 +50,14 @@ object BenchRef {
 
   /** tests/perf/conftest.py:211-220 equivalent. */
   def refDf(spark: SparkSession, rows: Long): DataFrame =
-    spark.range(rows).repartition(Partitions).select(
+    spark.range(0L, rows, 1L, Partitions).select(
       (col("id") % 1000000).cast("int").as("ref_col1"),
       (col("id") % 3456789).cast("int").as("ref_col2"),
       (col("id") % 97).cast("int").as("ref_col3"))
 
   /** 5 string columns (generated_string_df fixture, conftest.py:224-237). */
   def stringDf(spark: SparkSession, rows: Long): DataFrame =
-    spark.range(rows).repartition(Partitions).select(
+    spark.range(0L, rows, 1L, Partitions).select(
       (0 until 5).map(i => concat(lit(s"s$i"), (col("id") / (i + 1) % 5000000).cast("string")).as(s"col${i + 1}")): _*)
 
   /** All-row-checks suite: breadth of the reference all_row_checks.yaml

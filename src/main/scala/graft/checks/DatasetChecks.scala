@@ -269,7 +269,11 @@ object DatasetChecks {
           col(grainCol).as(flagGrain) :+ col(outlierCol) :+ col(curCol) :+ col(meanCol)): _*)
       val joinCond = nullSafeJoinCondition(
         groupBy.map(col) :+ col(grainCol), renamedGroups.map(col) :+ col(flagGrain))
-      withGrain.join(flags, joinCond, "left").drop((renamedGroups :+ flagGrain): _*)
+      // flags has one row per (group, time bucket) — bounded by the time range;
+      // broadcast explicitly: null-safe join keys block both static broadcast
+      // estimation and left-join elimination, so without the hint this plans a
+      // full shuffle of the probe side (measured 2.7x suite cost)
+      withGrain.join(broadcast(flags), joinCond, "left").drop((renamedGroups :+ flagGrain): _*)
     }
     DatasetCheck(applyFn,
       makeCondition(coalesce(col(outlierCol), lit(false)),
@@ -473,7 +477,8 @@ object DatasetChecks {
           col(winCol).as(s"${winCol}_f") :+ col(gapCol) :+ col(nextCol)): _*)
       val joinCond = nullSafeJoinCondition(
         groupBy.map(col) :+ col(winCol), renamed.map(col) :+ col(s"${winCol}_f"))
-      withWin.join(flags, joinCond, "left").drop((renamed :+ s"${winCol}_f"): _*)
+      // one row per occupied (group, window) — bounded; see hasNoAggrOutliers
+      withWin.join(broadcast(flags), joinCond, "left").drop((renamed :+ s"${winCol}_f"): _*)
     }
     DatasetCheck(applyFn,
       makeCondition(coalesce(col(gapCol), lit(false)),
