@@ -581,6 +581,67 @@ object DatasetChecks {
       infoColName = Some(infoCol))
   }
 
+  /** D15, model-based variant (anomaly/core.py:187-225): a pure-Scala
+    * Isolation Forest trained on a driver-side sample (each tree needs only a
+    * tiny subsample — the whole forest broadcasts inside one scoring
+    * expression; no Python workers). `threshold` is a severity PERCENTILE
+    * (0-100) against the training-score distribution, matching the reference's
+    * anomaly contract; rows whose score percentile reaches it fail. Emits the
+    * anomaly struct into `_dq_info` (score, severity_percentile, is_anomaly,
+    * threshold, model). Batch-only (driver training action).
+    */
+  def hasNoRowAnomaliesIForest(columns: Seq[String], threshold: Double = 99.0,
+                               numTrees: Int = 100, subsampleSize: Int = 256,
+                               trainRows: Int = 10000, seed: Long = 42L,
+                               rowFilter: Option[String] = None,
+                               checkName: String = "has_no_row_anomalies"): DatasetCheck = {
+    require(columns.nonEmpty, "columns must not be empty")
+    require(threshold >= 0 && threshold <= 100, "threshold is a percentile in [0, 100]")
+    import graft.anomaly.{IForestScore, IsolationForest}
+    import org.apache.spark.sql.GraftColumnBridge
+    val id = uniqueSuffix()
+    val scoreCol = s"__dq_if_score_$id"
+    val sevCol = s"__dq_if_sev_$id"
+    val infoCol = s"__dq_info_anomaly_$id"
+    val features = array(columns.map(c => coalesce(col(c).cast("double"), lit(0.0))): _*)
+    val applyFn = (df: DataFrame) => {
+      val base = rowFilter.map(df.filter).getOrElse(df)
+      val sample = base.select(features.as("f")).limit(trainRows)
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "no rows available to train the anomaly model")
+      val model = IsolationForest.train(sample, numTrees, subsampleSize, seed)
+      // severity percentile from the training-score distribution (broadcast
+      // as a sorted literal array; binary search per row via SQL)
+      val trainScores = sample.map(model.score).sorted
+      val score = GraftColumnBridge.column(IForestScore(
+        GraftColumnBridge.expression(features), model))
+      val scored = df.withColumn(scoreCol, score)
+      // percentile of the row score within the training distribution
+      val sev = GraftColumnBridge.column(graft.anomaly.ScorePercentile(
+        GraftColumnBridge.expression(col(scoreCol)), trainScores))
+      scored.withColumn(sevCol, sev)
+        .withColumn(infoCol, graft.core.DQInfo.buildStruct(Map(
+          "anomaly" -> struct(
+            lit(checkName).as("check_name"),
+            col(scoreCol).as("score"),
+            col(sevCol).as("severity_percentile"),
+            (col(sevCol) >= threshold).as("is_anomaly"),
+            lit(threshold).as("threshold"),
+            lit("isolation_forest").as("model"),
+            lit(null).cast("map<string,string>").as("segment"),
+            lit(null).cast("map<string,double>").as("contributions"),
+            lit(null).cast("double").as("confidence_std")
+          ).cast(graft.core.DQInfo.anomalySchema))))
+    }
+    val filterC = rowFilter.map(expr).getOrElse(lit(true))
+    DatasetCheck(applyFn,
+      makeCondition(filterC && col(sevCol) >= threshold,
+        concat(lit(s"Row is an isolation-forest anomaly over [${columns.mkString(", ")}]: score "),
+          valueText(col(scoreCol)), lit(" at severity percentile "),
+          valueText(round(col(sevCol), 1)), lit(s" >= $threshold"))),
+      infoColName = Some(infoCol))
+  }
+
   // ---------------------------------------------------------------- sql_query
 
   /** D4 (check_funcs.py:2048): arbitrary SQL over an `{{input_view}}`

@@ -237,6 +237,13 @@ object DatasetCheckQueries {
              |WHERE abs(c_acctbal - st.m) / st.sd > 1.5
              |ORDER BY 1""".stripMargin)),
 
+    "ds_has_no_row_anomalies_iforest" -> QueryDef(
+      (s, dir) => failing(t(s, dir, "customer"),
+        ds(D.hasNoRowAnomaliesIForest(Seq("c_acctbal"), threshold = 99.0, seed = 11),
+          "has_no_row_anomalies", "c_acctbal"),
+        Seq("c_custkey")),
+      None), // model-based scoring — no SQL oracle (rows-only check)
+
     "ds_points_mutually_disjoint" -> QueryDef(
       (s, dir) => {
         val df = t(s, dir, "customer")

@@ -187,8 +187,13 @@ object CheckRegistry {
       a.bool("exact", false), a.strOpt("row_filter"))),
     "has_valid_schema" -> ((a, _) => hasValidSchema(a.str("expected_schema"), a.bool("strict", false),
       a.strSeq("columns"), a.strSeq("exclude_columns"))),
-    "has_no_row_anomalies" -> ((a, _) => hasNoRowAnomalies(a.strSeq("columns"),
-      a.double("threshold", 3.5), a.strOpt("row_filter"))),
+    "has_no_row_anomalies" -> ((a, _) => a.strOpt("method").getOrElse("zscore") match {
+      case "isolation_forest" => hasNoRowAnomaliesIForest(a.strSeq("columns"),
+        a.double("threshold", 99.0), a.int("num_trees", 100), a.int("subsample_size", 256),
+        a.int("train_rows", 10000), a.long("seed", 42L), a.strOpt("row_filter"))
+      case _ => hasNoRowAnomalies(a.strSeq("columns"),
+        a.double("threshold", 3.5), a.strOpt("row_filter"))
+    }),
     "are_polygons_mutually_disjoint" -> ((a, _) =>
       GeoChecks.arePolygonsMutuallyDisjoint(a.str("column"), a.strOpt("row_filter"),
         a.double("cell_size", 4.0))),
