@@ -34,7 +34,7 @@ object DQEngine {
     val compiled: Seq[Compiled] = rules.map {
       case r: DQRowRule =>
         // plan-time resolution probe — analysis only, no job (manager.py:323-345)
-        probe(df, r.check, r.filter) match {
+        probe(df, r.check, r.filter, r.messageExpr) match {
           case None => Compiled(r, r.check, None)
           case Some(err) =>
             // backtick-quoted retry (manager.py:323-356): rebuild the check
@@ -48,6 +48,7 @@ object DQEngine {
         Try {
           val next = r.check.applyFn(current)
           next.select(r.check.condition) // force analysis of the condition
+          r.messageExpr.foreach(me => next.select(expr(me)))
           next
         } match {
           case Success(next) =>
@@ -85,7 +86,13 @@ object DQEngine {
           else mkStruct(lit(msg), skipped = true)
         case None =>
           val filterC = r.filter.map(f => expr(f)).getOrElse(lit(true))
-          when(filterC && c.condition.isNotNull, mkStruct(c.condition, skipped = false))
+          // custom message expression replaces the default failure message,
+          // capped at 500 chars (manager.py:247-274)
+          val message = r.messageExpr match {
+            case Some(me) => substring(expr(me), 1, 500)
+            case None => c.condition
+          }
+          when(filterC && c.condition.isNotNull, mkStruct(message, skipped = false))
             .otherwise(lit(null).cast(DQSchemas.resultItem))
       }
     }
@@ -145,6 +152,7 @@ object DQEngine {
             val c = build(CheckArgs(qArgs))
             df.select(c) // analysis-only resolution probe
             r.filter.foreach(f => df.select(expr(f)))
+            r.messageExpr.foreach(me => df.select(expr(me)))
             c
           case _ => throw new IllegalStateException("not a row check")
         }
@@ -155,10 +163,12 @@ object DQEngine {
   /** Plan-time analysis probe: None if the condition+filter resolve against df,
     * Some(reason) otherwise.
     */
-  private def probe(df: DataFrame, cond: Column, filter: Option[String]): Option[String] =
+  private def probe(df: DataFrame, cond: Column, filter: Option[String],
+                    messageExpr: Option[String] = None): Option[String] =
     Try {
       df.select(cond)
       filter.foreach(f => df.select(expr(f)))
+      messageExpr.foreach(me => df.select(expr(me))) // invalid custom message -> skip (manager.py:171-176)
     } match {
       case Success(_) => None
       case Failure(e: org.apache.spark.sql.AnalysisException) => Some(s"Check skipped: ${firstLine(e.getMessage)}")

@@ -53,6 +53,7 @@ class TableChecksStorage(spark: org.apache.spark.sql.SparkSession) extends Check
     StructField("criticality", StringType),
     StructField("check", checkStruct),
     StructField("filter", StringType),
+    StructField("message_expr", StringType),
     StructField("run_config_name", StringType),
     StructField("user_metadata", MapType(StringType, StringType)),
     StructField("created_at", TimestampType),
@@ -102,6 +103,7 @@ class TableChecksStorage(spark: org.apache.spark.sql.SparkSession) extends Check
         c.get("criticality").map(String.valueOf).orNull,
         Row(check.get("function").map(String.valueOf).orNull, args, forEach),
         c.get("filter").map(String.valueOf).orNull,
+        c.get("message_expr").map(String.valueOf).orNull,
         runConfigName, userMeta, now, ruleFingerprint(c), setFp)
     }
   }
@@ -119,6 +121,7 @@ class TableChecksStorage(spark: org.apache.spark.sql.SparkSession) extends Check
         Option(row.getString(row.fieldIndex("name"))).map("name" -> _) ++
         Option(row.getString(row.fieldIndex("criticality"))).map("criticality" -> _) ++
         Option(row.getString(row.fieldIndex("filter"))).map("filter" -> _) ++
+        Option(row.getString(row.fieldIndex("message_expr"))).map("message_expr" -> _) ++
         Option(row.getMap[String, String](row.fieldIndex("user_metadata")))
           .map(m => "user_metadata" -> m.toMap)
     }

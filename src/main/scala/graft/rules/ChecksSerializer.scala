@@ -21,7 +21,7 @@ import scala.jdk.CollectionConverters._
   */
 object ChecksSerializer {
 
-  private val allowedTopKeys = Set("name", "criticality", "check", "filter", "user_metadata")
+  private val allowedTopKeys = Set("name", "criticality", "check", "filter", "user_metadata", "message_expr")
   private val allowedCheckKeys = Set("function", "arguments", "for_each_column")
 
   /** Parse YAML (or JSON — YAML superset) into check dicts. */
@@ -129,6 +129,7 @@ object ChecksSerializer {
       val criticality = c.get("criticality").map(v => Criticality.fromString(String.valueOf(v)))
         .getOrElse(Criticality.Error)
       val filter = c.get("filter").map(String.valueOf)
+      val messageExpr = c.get("message_expr").map(String.valueOf)
       val name = c.get("name").map(String.valueOf).getOrElse("")
       val userMeta = c.get("user_metadata").map(_.asInstanceOf[Map[String, Any]]
         .map { case (k, v) => k -> String.valueOf(v) }).getOrElse(Map.empty[String, String])
@@ -145,7 +146,7 @@ object ChecksSerializer {
           case (n, "") => n
           case (n, sc) => s"${n}_$sc"
         }
-        buildRule(function, args, ruleName, criticality, filter, userMeta, ctx)
+        buildRule(function, args, ruleName, criticality, filter, userMeta, ctx, messageExpr)
       }
     }
   }
@@ -171,10 +172,12 @@ object ChecksSerializer {
 
   def buildRule(function: String, args: Map[String, Any], name: String,
                 criticality: Criticality, filter: Option[String],
-                userMetadata: Map[String, String], ctx: ResolveCtx): DQRule = {
+                userMetadata: Map[String, String], ctx: ResolveCtx,
+                messageExpr: Option[String] = None): DQRule = {
     CheckRegistry.resolve(function) match {
       case RowCheckFn(build) =>
-        DQRowRule(build(CheckArgs(args)), function, columnsOf(args), name, criticality, filter, userMetadata, args)
+        DQRowRule(build(CheckArgs(args)), function, columnsOf(args), name, criticality,
+          filter, userMetadata, args, messageExpr)
       case DatasetCheckFn(build) =>
         // the rule-level filter is ALSO pushed into the aggregation as
         // row_filter (reference rule.py:471-473) so group metrics only see
@@ -184,7 +187,7 @@ object ChecksSerializer {
           case _ => args
         }
         DQDatasetRule(build(CheckArgs(argsWithFilter), ctx), function, columnsOf(args),
-          name, criticality, filter, userMetadata, args)
+          name, criticality, filter, userMetadata, args, messageExpr)
     }
   }
 
@@ -197,6 +200,7 @@ object ChecksSerializer {
         "check" -> (Map("function" -> r.function) ++
           (if (r.arguments.nonEmpty) Map("arguments" -> r.arguments) else Map.empty))
       ) ++ r.filter.map("filter" -> _).toMap ++
+        r.messageExpr.map("message_expr" -> _).toMap ++
         (if (r.userMetadata.nonEmpty) Map("user_metadata" -> r.userMetadata) else Map.empty)
     }
 }

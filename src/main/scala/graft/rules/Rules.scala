@@ -26,6 +26,9 @@ sealed trait DQRule {
   def userMetadata: Map[String, String]
   /** Arguments as given in metadata form; used only for fingerprinting. */
   def arguments: Map[String, Any]
+  /** Optional custom failure-message SQL expression (manager.py:247-274);
+    * NOT part of the fingerprint, like the reference. */
+  def messageExpr: Option[String]
   /** Explicit name, or the auto-derived `{cols}_{function}` name. */
   def resolvedName: String
 
@@ -54,7 +57,8 @@ final case class DQRowRule(
     criticality: Criticality = Criticality.Error,
     filter: Option[String] = None,
     userMetadata: Map[String, String] = Map.empty,
-    arguments: Map[String, Any] = Map.empty) extends DQRule {
+    arguments: Map[String, Any] = Map.empty,
+    messageExpr: Option[String] = None) extends DQRule {
   def resolvedName: String = if (name.nonEmpty) name else DQRule.autoName(function, columns)
 }
 
@@ -82,6 +86,7 @@ final case class DQDatasetRule(
     criticality: Criticality = Criticality.Error,
     filter: Option[String] = None,
     userMetadata: Map[String, String] = Map.empty,
-    arguments: Map[String, Any] = Map.empty) extends DQRule {
+    arguments: Map[String, Any] = Map.empty,
+    messageExpr: Option[String] = None) extends DQRule {
   def resolvedName: String = if (name.nonEmpty) name else DQRule.autoName(function, columns)
 }

@@ -91,6 +91,22 @@ class MetadataSpec extends SparkSpec {
     intercept[IllegalArgumentException](CheckRegistry.registerFromClass("graft.MetadataSpec"))
   }
 
+  test("message_expr overrides the failure message; invalid expr skips the check") {
+    val out = DQEngine.applyChecksByMetadata(df, Seq(Map(
+      "criticality" -> "error", "message_expr" -> "concat('bad amount: ', amount)",
+      "check" -> Map("function" -> "is_not_greater_than",
+        "arguments" -> Map("column" -> "amount", "limit" -> 25)))))
+    val msgs = out.where(col("_errors").isNotNull)
+      .selectExpr("_errors[0].message").as[String].collect().toSeq
+    assert(msgs == Seq("bad amount: 30"))
+    // unresolvable message_expr -> skipped result, not failure
+    val skipped = DQEngine.applyChecksByMetadata(df, Seq(Map(
+      "criticality" -> "error", "message_expr" -> "concat('x', no_such_col)",
+      "check" -> Map("function" -> "is_not_greater_than",
+        "arguments" -> Map("column" -> "amount", "limit" -> 25)))))
+    assert(skipped.selectExpr("_errors[0].skipped").as[Boolean].collect().forall(identity))
+  }
+
   test("variable substitution in metadata") {
     val checks = Seq(Map(
       "criticality" -> "error",
