@@ -153,6 +153,24 @@ class RunnerSpec extends SparkSpec {
     assert(out.where(col("_errors").isNotNull).count() == 5) // flags exactly the planted outliers
   }
 
+  test("DLT expectation generator emits SQL constraints, dict and python forms") {
+    val profiles = Seq(
+      graft.profiler.DQProfile("is_not_null", "a", ""),
+      graft.profiler.DQProfile("is_in_list", "b", "", Map("allowed" -> Seq("x", "y"))),
+      graft.profiler.DQProfile("min_max", "c", "", Map("min" -> 1, "max" -> 9)),
+      graft.profiler.DQProfile("is_not_null_and_not_empty", "d", ""),
+      graft.profiler.DQProfile("has_no_outliers", "e", "")) // unsupported -> skipped
+    val sql = graft.profiler.DltGenerator.generateSql(profiles, Some("drop"))
+    assert(sql.contains("CONSTRAINT a_is_not_null EXPECT (a is not null) ON VIOLATION DROP ROW"))
+    assert(sql.exists(_.contains("b in ('x', 'y')")))
+    assert(sql.exists(_.contains("c >= 1 and c <= 9")))
+    assert(sql.size == 4)
+    val d = graft.profiler.DltGenerator.generateDict(profiles)
+    assert(d("d_is_not_null_and_not_empty") == "d is not null and trim(d) <> ''")
+    val py = graft.profiler.DltGenerator.generatePython(profiles, Some("fail"))
+    assert(py.startsWith("@dlt.expect_all_or_fail(") && py.contains("\"a_is_not_null\""))
+  }
+
   test("profiler infers null/in-list/range rules in one agg pass") {
     val df = (1 to 200).map(i => (i, if (i % 2 == 0) "A" else "B", i * 1.0))
       .toDF("id", "cat", "v")
