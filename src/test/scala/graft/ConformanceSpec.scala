@@ -45,6 +45,16 @@ class ConformanceSpec extends SparkSpec {
       .withColumn("lat", lit(45.0))
       .withColumn("lon", lit(-120.0))
       .withColumn("wkt", lit("POINT (10 20)"))
+      .withColumn("poly", format_string("POLYGON ((%d 0, %d 0, %d 5, %d 5, %d 0))",
+        col("id") * 20, col("id") * 20 + 5, col("id") * 20 + 5, col("id") * 20, col("id") * 20))
+      .withColumn("line", lit("LINESTRING (0 0, 1 1)"))
+      .withColumn("mpoint", lit("MULTIPOINT ((1 1), (2 2))"))
+      .withColumn("mline", lit("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"))
+      .withColumn("mpoly", lit("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))"))
+      .withColumn("gcol", lit("GEOMETRYCOLLECTION (POINT (1 1))"))
+      .withColumn("numcc", lit("840"))
+      .withColumn("es_id", lit("12345678Z"))
+      .withColumn("fr_sub", lit("FR-13"))
 
     val ref = Seq("A", "B").toDF("rflag")
     val ref2 = Seq(1, 2, 3).toDF("rid")
