@@ -1,3 +1,4 @@
+// golden fingerprint vectors live in FingerprintGoldenSpec
 package graft
 
 import graft.checks.RowChecks
