@@ -20,12 +20,28 @@ object PiiChecks {
     "PHONE_NUMBER" -> "(\\+?\\d{1,3}[ .-]?)?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}",
     "US_SSN" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
     "CREDIT_CARD" -> "\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b",
-    "IP_ADDRESS" -> "\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b")
+    "IP_ADDRESS" -> "\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b",
+    "MAC_ADDRESS" -> "\\b([0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}\\b",
+    "URL" -> "https?://[A-Za-z0-9.-]+(:\\d+)?(/[^\\s]*)?",
+    // checksum-validated entities (regex key present for the registry; the
+    // actual detection goes through the validating expressions below)
+    "CREDIT_CARD_LUHN" -> "",
+    "IBAN" -> "")
 
-  /** Array of entity types detected in the column (empty array = clean). */
+  /** Array of entity types detected in the column (empty array = clean).
+    * CREDIT_CARD_LUHN and IBAN validate the check digits (Luhn / mod-97) —
+    * regex shape alone flags any 16 random digits.
+    */
   def detectedEntities(c: Column, entities: Seq[String] = EntityPatterns.map(_._1)): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
     val s = c.cast("string")
     val hits = EntityPatterns.filter { case (n, _) => entities.contains(n) }.map {
+      case ("CREDIT_CARD_LUHN", _) =>
+        when(GraftColumnBridge.column(ContainsLuhnNumber(GraftColumnBridge.expression(s))),
+          lit("CREDIT_CARD_LUHN")).otherwise(lit(null))
+      case ("IBAN", _) =>
+        when(GraftColumnBridge.column(ContainsIban(GraftColumnBridge.expression(s))),
+          lit("IBAN")).otherwise(lit(null))
       case (name, re) => when(s.rlike(re), lit(name)).otherwise(lit(null))
     }
     array_compact(array(hits: _*))

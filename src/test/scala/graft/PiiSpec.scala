@@ -1,0 +1,49 @@
+package graft
+
+import graft.checks.PiiChecks
+import graft.engine.DQEngine
+import graft.rules.DQRowRule
+import org.apache.spark.sql.functions._
+
+/** Checksum-validated PII entities (Luhn cards, IBAN mod-97) + regex set. */
+class PiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def entities(text: String, which: Seq[String]): Seq[String] = {
+    val df = Seq(Tuple1(text)).toDF("t")
+    df.select(PiiChecks.detectedEntities(col("t"), which).as("e"))
+      .as[Seq[String]].collect().head
+  }
+
+  test("Luhn-validated credit cards: valid numbers flagged, invalid shapes not") {
+    val luhn = Seq("CREDIT_CARD_LUHN")
+    assert(entities("card 4539 1488 0343 6467 on file", luhn) == Seq("CREDIT_CARD_LUHN"))
+    assert(entities("card 4539-1488-0343-6467", luhn) == Seq("CREDIT_CARD_LUHN"))
+    assert(entities("order id 4539 1488 0343 6468", luhn).isEmpty) // fails Luhn
+    assert(entities("phone 555 123 4567", luhn).isEmpty) // too short
+    // bare shape regex would flag both; the Luhn variant only the real one
+    assert(entities("order id 4539 1488 0343 6468", Seq("CREDIT_CARD")) == Seq("CREDIT_CARD"))
+  }
+
+  test("IBAN mod-97: valid IBANs flagged, near-misses not") {
+    assert(entities("pay to GB82 WEST 1234 5698 7654 32 today", Seq("IBAN")) == Seq("IBAN"))
+    assert(entities("pay to DE89370400440532013000", Seq("IBAN")) == Seq("IBAN"))
+    assert(entities("pay to GB82WEST12345698765433", Seq("IBAN")).isEmpty) // bad check digits
+    assert(entities("Customer#000000001 contact here", Seq("IBAN")).isEmpty)
+  }
+
+  test("MAC and URL entities") {
+    assert(entities("host at 00:1B:44:11:3A:B7 up", Seq("MAC_ADDRESS")) == Seq("MAC_ADDRESS"))
+    assert(entities("see https://example.com/x?y=1", Seq("URL")) == Seq("URL"))
+    assert(entities("no pii here", Seq("MAC_ADDRESS", "URL")).isEmpty)
+  }
+
+  test("does_not_contain_pii reports the detected entity set") {
+    val df = Seq((1, "email a@b.co and card 4539 1488 0343 6467"), (2, "clean")).toDF("id", "t")
+    val out = DQEngine.applyChecks(df, Seq(DQRowRule(
+      PiiChecks.doesNotContainPii(col("t")), "does_not_contain_pii", Seq("t"))))
+    val msg = out.where(col("id") === 1).selectExpr("_errors[0].message").as[String].collect().head
+    assert(msg.contains("EMAIL_ADDRESS") && msg.contains("CREDIT_CARD_LUHN"))
+    assert(out.where(col("id") === 2 && col("_errors").isNotNull).count() == 0)
+  }
+}
