@@ -353,7 +353,16 @@ object DatasetChecks {
     val applyFn = (df: DataFrame) => {
       val dfCols = df.columns.toSeq
       val refPrefix = s"__dq_ref_${id}_"
-      val ref = refDf.select(refDf.columns.map(c => col(c).as(refPrefix + c)): _*)
+      // columns compared by matching name, minus keys and exclusions and maps
+      val refNames = refDf.columns.toSet
+      val skipTypes = refDf.schema.fields.filter(_.dataType.typeName == "map").map(_.name).toSet ++
+        df.schema.fields.filter(_.dataType.typeName == "map").map(_.name).toSet
+      val compared = dfCols.filter(c => refNames.contains(c) &&
+        !columns.contains(c) && !excludeColumns.contains(c) && !skipTypes.contains(c))
+      // prune the ref side to keys + compared columns BEFORE the join: at scale
+      // the shuffle carries only what the diff actually reads
+      val refNeeded = (refColumns ++ compared).distinct
+      val ref = refDf.select(refNeeded.map(c => col(c).as(refPrefix + c)): _*)
       val leftKeys = columns.map(col)
       val rightKeys = refColumns.map(c => col(refPrefix + c))
       val joinCond =
@@ -364,12 +373,6 @@ object DatasetChecks {
       // present-markers: any key column non-null on that side
       val leftPresent = leftKeys.map(_.isNotNull).reduce(_ || _)
       val rightPresent = rightKeys.map(_.isNotNull).reduce(_ || _)
-      // columns compared by matching name, minus keys and exclusions and maps
-      val refNames = refDf.columns.toSet
-      val skipTypes = refDf.schema.fields.filter(_.dataType.typeName == "map").map(_.name).toSet ++
-        df.schema.fields.filter(_.dataType.typeName == "map").map(_.name).toSet
-      val compared = dfCols.filter(c => refNames.contains(c) &&
-        !columns.contains(c) && !excludeColumns.contains(c) && !skipTypes.contains(c))
       def colDiff(c: String): Column = {
         val a = col(c); val b = col(refPrefix + c)
         val dt = df.schema(c).dataType

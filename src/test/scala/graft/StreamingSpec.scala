@@ -32,7 +32,8 @@ class StreamingSpec extends SparkSpec {
     try {
       val observed = checked.observe("dq_stream",
         count(lit(1)).as("input_row_count"),
-        count(when(col("_errors").isNotNull, lit(1))).as("error_row_count"))
+        count(when(col("_errors").isNotNull, lit(1))).as("error_row_count"),
+        expr(graft.metrics.Metrics.checkMetricsExpr(rules.map(_.resolvedName))).as("check_metrics"))
       val q = observed.writeStream.format("memory").queryName("dq_stream_out")
         .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -40,10 +41,13 @@ class StreamingSpec extends SparkSpec {
       val out = spark.table("dq_stream_out")
       assert(out.count() == 3)
       assert(out.where(col("_errors").isNotNull).count() == 1)
-      // listener captured the per-batch observed metrics
+      // listener captured the per-batch observed metrics incl. the breakdown
       val drained = listener.drain()
       assert(drained.nonEmpty)
       assert(drained.map(_._2("error_row_count").toString.toLong).sum == 1)
+      val breakdowns = drained.map(_._2("check_metrics").toString)
+      assert(breakdowns.exists(_.contains("\"check_name\":\"name_is_not_null\"")))
+      assert(breakdowns.exists(_.contains("\"error_count\":1")))
     } finally spark.streams.removeListener(listener)
   }
 
