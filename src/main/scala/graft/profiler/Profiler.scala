@@ -101,7 +101,11 @@ object Profiler {
           min(c).cast("double").as(s"${f.name}__min"),
           max(c).cast("double").as(s"${f.name}__max"),
           avg(c).as(s"${f.name}__mean"),
-          stddev(c).as(s"${f.name}__stddev"))
+          stddev(c).as(s"${f.name}__stddev"),
+          // df.summary() quartiles (profiler.py:562-578), same single pass
+          percentile_approx(c.cast("double"), lit(0.25), lit(10000)).as(s"${f.name}__p25"),
+          percentile_approx(c.cast("double"), lit(0.5), lit(10000)).as(s"${f.name}__p50"),
+          percentile_approx(c.cast("double"), lit(0.75), lit(10000)).as(s"${f.name}__p75"))
         case _: StringType => Seq(
           count(when(trim(c.cast("string")) === "", lit(1))).as(s"${f.name}__count_empty"))
         case _ => Seq.empty

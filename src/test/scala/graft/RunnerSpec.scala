@@ -177,6 +177,9 @@ class RunnerSpec extends SparkSpec {
     val (stats, profiles) = Profiler.profile(df,
       opts = graft.profiler.ProfilerOptions(sampleFraction = 1.0, distinctRatioMax = 0.5))
     assert(stats("cat")("count_null") == 0L)
+    // df.summary()-style quartiles come from the same single pass
+    assert(math.abs(stats("v")("p50").asInstanceOf[Double] - 100.0) <= 5.0)
+    assert(stats("v")("p25").asInstanceOf[Double] < stats("v")("p75").asInstanceOf[Double])
     val names = profiles.map(p => (p.name, p.column)).toSet
     assert(names.contains(("is_not_null", "cat")))
     assert(names.contains(("is_in_list", "cat")))
