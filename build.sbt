@@ -1,4 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
+// Keep the benchmark/verify JSON line as the LAST stdout line: the driver
+// parses the final line of `sbt runMain` output, and sbt's default
+// "[success] Total time ..." trailer lands after it.
+Global / showSuccess := false
 ThisBuild / version := "0.1.0"
 name := "dqxspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):

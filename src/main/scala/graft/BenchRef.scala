@@ -23,8 +23,12 @@ object BenchRef {
     * instead of dbldatagen's sequential generators).
     */
   def generatedDf(spark: SparkSession, rows: Long): DataFrame = {
-    val ipv4 = concat_ws(".", (col("id") % 256).cast("string"), (col("id") / 7 % 256).cast("string"),
-      (col("id") / 13 % 256).cast("string"), (col("id") / 29 % 256).cast("string"))
+    // integer division for the octets: `col / 7` alone is DOUBLE division in
+    // Spark and would yield fractional "octets" (invalid addresses everywhere)
+    val ipv4 = concat_ws(".", (col("id") % 256).cast("string"),
+      (floor(col("id") / 7) % 256).cast("string"),
+      (floor(col("id") / 13) % 256).cast("string"),
+      (floor(col("id") / 29) % 256).cast("string"))
     val hexGroup = lpad(hex(col("id") % 65536), 4, "0")
     spark.range(0L, rows, 1L, Partitions)
       .select(

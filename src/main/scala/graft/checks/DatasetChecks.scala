@@ -229,7 +229,8 @@ object DatasetChecks {
   def hasNoAggrOutliers(column: String, timeColumn: String, aggrType: String = "count",
                         sigma: Double = 3.0, lookback: Int = 10, warmup: Int = 3,
                         timeInterval: String = "1 day", groupBy: Seq[String] = Seq.empty,
-                        rowFilter: Option[String] = None): DatasetCheck = {
+                        rowFilter: Option[String] = None,
+                        broadcastFlags: Option[Boolean] = None): DatasetCheck = {
     val id = uniqueSuffix()
     val grainCol = s"__dq_grain_$id"
     val outlierCol = s"__dq_outlier_$id"
@@ -269,11 +270,15 @@ object DatasetChecks {
           col(grainCol).as(flagGrain) :+ col(outlierCol) :+ col(curCol) :+ col(meanCol)): _*)
       val joinCond = nullSafeJoinCondition(
         groupBy.map(col) :+ col(grainCol), renamedGroups.map(col) :+ col(flagGrain))
-      // flags has one row per (group, time bucket) — bounded by the time range;
-      // broadcast explicitly: null-safe join keys block both static broadcast
-      // estimation and left-join elimination, so without the hint this plans a
-      // full shuffle of the probe side (measured 2.7x suite cost)
-      withGrain.join(broadcast(flags), joinCond, "left").drop((renamedGroups :+ flagGrain): _*)
+      // flags has one row per (group, time bucket). With no groupBy its size is
+      // bounded by the time range / interval, so broadcast explicitly (null-safe
+      // join keys block static broadcast estimation — measured 2.7x suite cost).
+      // With a high-cardinality groupBy a forced broadcast bypasses Spark's size
+      // checks and can OOM; leave the hint off there and let AQE upgrade the
+      // shuffle join to broadcast at runtime when the flags side is small.
+      val buildSide =
+        if (broadcastFlags.getOrElse(groupBy.isEmpty)) broadcast(flags) else flags
+      withGrain.join(buildSide, joinCond, "left").drop((renamedGroups :+ flagGrain): _*)
     }
     DatasetCheck(applyFn,
       makeCondition(coalesce(col(outlierCol), lit(false)),
@@ -456,7 +461,8 @@ object DatasetChecks {
   def hasNoGapsPerTimeWindow(column: String, windowMinutes: Int,
                              groupBy: Seq[String] = Seq.empty,
                              trailingGapMinutes: Option[Int] = None,
-                             curTimestamp: Option[Column] = None): DatasetCheck = {
+                             curTimestamp: Option[Column] = None,
+                             broadcastFlags: Option[Boolean] = None): DatasetCheck = {
     val id = uniqueSuffix()
     val winCol = s"__dq_gap_win_$id"
     val gapCol = s"__dq_gap_flag_$id"
@@ -480,8 +486,11 @@ object DatasetChecks {
           col(winCol).as(s"${winCol}_f") :+ col(gapCol) :+ col(nextCol)): _*)
       val joinCond = nullSafeJoinCondition(
         groupBy.map(col) :+ col(winCol), renamed.map(col) :+ col(s"${winCol}_f"))
-      // one row per occupied (group, window) — bounded; see hasNoAggrOutliers
-      withWin.join(broadcast(flags), joinCond, "left").drop((renamed :+ s"${winCol}_f"): _*)
+      // one row per occupied (group, window) — broadcast only when groupBy is
+      // empty (time-range-bounded); see hasNoAggrOutliers for the rationale
+      val buildSide =
+        if (broadcastFlags.getOrElse(groupBy.isEmpty)) broadcast(flags) else flags
+      withWin.join(buildSide, joinCond, "left").drop((renamed :+ s"${winCol}_f"): _*)
     }
     DatasetCheck(applyFn,
       makeCondition(coalesce(col(gapCol), lit(false)),
@@ -547,6 +556,7 @@ object DatasetChecks {
     val id = uniqueSuffix()
     val scoreCol = s"__dq_zscore_$id"
     val infoCol = s"__dq_info_anomaly_$id"
+    val filterC = rowFilter.map(expr).getOrElse(lit(true))
     val applyFn = (df: DataFrame) => {
       val base = rowFilter.map(df.filter).getOrElse(df)
       val aggs = columns.flatMap(c => Seq(
@@ -568,7 +578,9 @@ object DatasetChecks {
             lit(checkName).as("check_name"),
             col(scoreCol).as("score"),
             lit(null).cast("double").as("severity_percentile"),
-            (col(scoreCol) > threshold).as("is_anomaly"),
+            // include the row filter so the info column agrees with _errors:
+            // a filtered-out row must not report is_anomaly=true
+            (filterC && col(scoreCol) > threshold).as("is_anomaly"),
             lit(threshold).as("threshold"),
             lit("multivariate_zscore").as("model"),
             lit(null).cast("map<string,string>").as("segment"),
@@ -576,7 +588,6 @@ object DatasetChecks {
             lit(null).cast("double").as("confidence_std")
           ).cast(graft.core.DQInfo.anomalySchema))))
     }
-    val filterC = rowFilter.map(expr).getOrElse(lit(true))
     DatasetCheck(applyFn,
       makeCondition(filterC && col(scoreCol) > threshold,
         concat(lit(s"Row is a multivariate z-score anomaly over [${columns.mkString(", ")}]: score "),
@@ -606,6 +617,7 @@ object DatasetChecks {
     val scoreCol = s"__dq_if_score_$id"
     val sevCol = s"__dq_if_sev_$id"
     val infoCol = s"__dq_info_anomaly_$id"
+    val filterC = rowFilter.map(expr).getOrElse(lit(true))
     val features = array(columns.map(c => coalesce(col(c).cast("double"), lit(0.0))): _*)
     val applyFn = (df: DataFrame) => {
       val base = rowFilter.map(df.filter).getOrElse(df)
@@ -628,7 +640,8 @@ object DatasetChecks {
             lit(checkName).as("check_name"),
             col(scoreCol).as("score"),
             col(sevCol).as("severity_percentile"),
-            (col(sevCol) >= threshold).as("is_anomaly"),
+            // row filter included so _dq_info agrees with _errors on filtered rows
+            (filterC && col(sevCol) >= threshold).as("is_anomaly"),
             lit(threshold).as("threshold"),
             lit("isolation_forest").as("model"),
             lit(null).cast("map<string,string>").as("segment"),
@@ -636,7 +649,6 @@ object DatasetChecks {
             lit(null).cast("double").as("confidence_std")
           ).cast(graft.core.DQInfo.anomalySchema))))
     }
-    val filterC = rowFilter.map(expr).getOrElse(lit(true))
     DatasetCheck(applyFn,
       makeCondition(filterC && col(sevCol) >= threshold,
         concat(lit(s"Row is an isolation-forest anomaly over [${columns.mkString(", ")}]: score "),
@@ -663,19 +675,17 @@ object DatasetChecks {
       val spark = df.sparkSession
       val viewName = s"__dq_input_view_$id"
       df.createOrReplaceTempView(viewName)
-      // suffix ref views like the input view: two concurrent checks with the
-      // same ref name on different DataFrames must not race on one global view
-      val refNames = refDfs.map { case (n, rdf) =>
-        val vn = s"__dq_ref_${n}_$id"
-        rdf.createOrReplaceTempView(vn)
-        n -> vn
-      }
-      // both {{name}} placeholders and bare names (reference contract,
-      // check_funcs.py:2127) resolve to the suffixed view
-      val sql = refNames.foldLeft(query.replace(s"{{$inputPlaceholder}}", viewName)) {
-        case (q, (n, vn)) =>
-          q.replace(s"{{$n}}", vn)
-            .replaceAll("\\b" + java.util.regex.Pattern.quote(n) + "\\b", vn)
+      // Ref views register under the CALLER-GIVEN name (reference contract,
+      // check_funcs.py:2112-2134): bare `name` in the query resolves through the
+      // catalog, and only `{{ name }}` placeholders (whitespace-tolerant) are
+      // textually replaced. Rewriting bare identifiers would corrupt queries
+      // where the ref name doubles as a column name, alias, or string literal.
+      refDfs.foreach { case (n, rdf) => rdf.createOrReplaceTempView(n) }
+      def substPlaceholder(q: String, name: String, target: String): String =
+        q.replaceAll("\\{\\{\\s*" + java.util.regex.Pattern.quote(name) + "\\s*\\}\\}",
+          java.util.regex.Matcher.quoteReplacement(target))
+      val sql = refDfs.keys.foldLeft(substPlaceholder(query, inputPlaceholder, viewName)) {
+        case (q, n) => substPlaceholder(q, n, n)
       }
       val result = spark.sql(sql)
       // dedup to one row per merge key (check_funcs.py:2157)

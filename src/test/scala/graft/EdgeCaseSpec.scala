@@ -150,4 +150,17 @@ class EdgeCaseSpec extends SparkSpec {
       "v", 10.0, "sum_distinct", groupBy = Seq("g")), "is_aggr_not_greater_than", Seq("v"))
     assert(errs(df, rule) == Seq(1, 2)) // 20 > 10
   }
+
+  test("sql_query replaces only {{ placeholders }}, never bare identifiers") {
+    // ref view name 'tags' also appears as a column name and inside a string
+    // literal; both whitespace forms of the placeholder must resolve
+    val df = Seq((1, "a"), (2, "b"), (3, "zz")).toDF("id", "tags")
+    val ref = Seq("a", "b").toDF("tag")
+    val rule = DQDatasetRule(DatasetChecks.sqlQuery(
+      """SELECT i.tags AS tags, i.tags NOT IN (SELECT tag FROM {{ tags }}) AND i.tags <> 'tags' AS bad
+        |FROM {{input_view}} i""".stripMargin,
+      mergeColumns = Seq("tags"), conditionColumn = "bad",
+      refDfs = Map("tags" -> ref)), "sql_query", Seq("tags"))
+    assert(errs(df, rule) == Seq(3))
+  }
 }
