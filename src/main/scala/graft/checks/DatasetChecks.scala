@@ -245,7 +245,13 @@ object DatasetChecks {
       case (None, false) => col(column)
     }
     val aggExpr = buildAggrExpr(aggrType, aggInput, isStar = isStar && filterC.isEmpty)
-    val grain = window(col(timeColumn), timeInterval).getField("start")
+    // Null timestamps coalesce to a 1900 sentinel bucket (the D12 pattern):
+    // window() otherwise injects an isnotnull(ts) filter that silently DROPS
+    // null-ts rows from the checked output, and a non-null grain lets the
+    // join-back use plain equality — which Catalyst can prove row-preserving
+    // against the aggregated flags side and eliminate when nothing reads it.
+    val tsSafe = coalesce(col(timeColumn), lit("1900-01-01 00:00:00").cast("timestamp"))
+    val grain = window(tsSafe, timeInterval).getField("start")
 
     val applyFn = (df: DataFrame) => {
       // materialize the grain: window() only resolves inside Project/Aggregate,
@@ -268,8 +274,11 @@ object DatasetChecks {
       val flags = stats.select(
         (groupBy.zip(renamedGroups).map { case (g, nn) => col(g).as(nn) } :+
           col(grainCol).as(flagGrain) :+ col(outlierCol) :+ col(curCol) :+ col(meanCol)): _*)
-      val joinCond = nullSafeJoinCondition(
-        groupBy.map(col) :+ col(grainCol), renamedGroups.map(col) :+ col(flagGrain))
+      // grain is non-null (sentinel) -> plain === ; group keys stay null-safe
+      val grainEq = col(grainCol) === col(flagGrain)
+      val joinCond =
+        if (groupBy.isEmpty) grainEq
+        else nullSafeJoinCondition(groupBy.map(col), renamedGroups.map(col)) && grainEq
       // flags has one row per (group, time bucket). With no groupBy its size is
       // bounded by the time range / interval, so broadcast explicitly (null-safe
       // join keys block static broadcast estimation — measured 2.7x suite cost).
@@ -367,7 +376,13 @@ object DatasetChecks {
       // prune the ref side to keys + compared columns BEFORE the join: at scale
       // the shuffle carries only what the diff actually reads
       val refNeeded = (refColumns ++ compared).distinct
+      // SHUFFLE_HASH on the ref side: the diff join is one-row-per-key on both
+      // sides, so sorting 2x the data (SMJ) buys nothing. The hash build is one
+      // AQE-sized shuffle partition of the pruned ref side — bounded the same
+      // way any aggregation hash is — and AQE skew splitting still applies.
+      // Spark falls back to SMJ where SHJ is unsupported (some full-outer shapes).
       val ref = refDf.select(refNeeded.map(c => col(c).as(refPrefix + c)): _*)
+        .hint("shuffle_hash")
       val leftKeys = columns.map(col)
       val rightKeys = refColumns.map(c => col(refPrefix + c))
       val joinCond =
@@ -467,10 +482,17 @@ object DatasetChecks {
     val winCol = s"__dq_gap_win_$id"
     val gapCol = s"__dq_gap_flag_$id"
     val nextCol = s"__dq_gap_next_$id"
-    val win = window(col(column), s"$windowMinutes minutes").getField("start")
+    // Sentinel-coalesce the probe side: window() injects isnotnull(ts) and
+    // would DROP null-ts rows from the checked output. Occupied windows are
+    // still computed from real timestamps only, so a null-ts row probes the
+    // (unoccupied) 1900 bucket, matches nothing, and passes — the reference's
+    // behavior for rows its F.window aggregation never sees.
+    val winSafe = window(coalesce(col(column), lit("1900-01-01 00:00:00").cast("timestamp")),
+      s"$windowMinutes minutes").getField("start")
     val applyFn = (df: DataFrame) => {
-      val withWin = df.withColumn(winCol, win)
-      val occupied = withWin.select((groupBy.map(col) :+ col(winCol)): _*).distinct()
+      val withWin = df.withColumn(winCol, winSafe)
+      val occupied = withWin.where(col(column).isNotNull)
+        .select((groupBy.map(col) :+ col(winCol)): _*).distinct()
       val wLead = Window.partitionBy(groupBy.map(col): _*).orderBy(col(winCol))
       val now = curTimestamp.getOrElse(current_timestamp())
       val flagged = occupied
@@ -484,8 +506,11 @@ object DatasetChecks {
       val flags = flagged.select(
         (groupBy.zip(renamed).map { case (g, nn) => col(g).as(nn) } :+
           col(winCol).as(s"${winCol}_f") :+ col(gapCol) :+ col(nextCol)): _*)
-      val joinCond = nullSafeJoinCondition(
-        groupBy.map(col) :+ col(winCol), renamed.map(col) :+ col(s"${winCol}_f"))
+      // winCol is non-null (sentinel) -> plain === ; group keys stay null-safe
+      val winEq = col(winCol) === col(s"${winCol}_f")
+      val joinCond =
+        if (groupBy.isEmpty) winEq
+        else nullSafeJoinCondition(groupBy.map(col), renamed.map(col)) && winEq
       // one row per occupied (group, window) — broadcast only when groupBy is
       // empty (time-range-bounded); see hasNoAggrOutliers for the rationale
       val buildSide =

@@ -1,0 +1,109 @@
+package graft.tools
+
+import graft.BenchRef
+import graft.checks.DatasetChecks
+import graft.engine.DQEngine
+import graft.rules._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch harness for plan-shape experiments on the slow BASELINE.md suites.
+  * Not part of the driver contract; run ad hoc:
+  *   SPARK_GRAFT_BENCH_ROWS=100000000 sbt "runMain graft.tools.PerfLab"
+  */
+object PerfLab {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.toLong).getOrElse(100000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", sys.env.getOrElse("PERFLAB_LOCAL_DIR", "/tmp"))
+      .config("spark.shuffle.compress", sys.env.getOrElse("PERFLAB_SHUFFLE_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress", sys.env.getOrElse("PERFLAB_SHUFFLE_COMPRESS", "true"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Unit): Unit = {
+      f // warmup
+      val t0 = System.nanoTime(); f
+      val s1 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime(); f
+      val s2 = (System.nanoTime() - t1) / 1e9
+      println(f"LAB $name%-40s ${(s1 + s2) / 2}%8.3f s")
+    }
+
+    val df = BenchRef.generatedDf(spark, rows)
+    val ref = BenchRef.refDf(spark, rows)
+    df.count(); ref.count() // IO/codegen warmup
+
+    val which = args.headOption.getOrElse("all")
+
+    val doExplain = sys.env.get("PERFLAB_EXPLAIN").contains("1")
+
+    if (which == "all" || which == "cmp") {
+      val cmp = DQEngine.applyChecks(df, Seq(DQDatasetRule(
+        DatasetChecks.compareDatasets(Seq("col1", "col2"), Seq("ref_col1", "ref_col2"), ref),
+        "compare_datasets", Seq("col1", "col2"), criticality = graft.core.Criticality.Warn)))
+      if (doExplain) cmp.groupBy().count().explain("formatted")
+      time("compare_datasets current")(cmp.count())
+      // raw join variants: what does the count-measured shape cost?
+      val l = df.select(col("col1"), col("col2"))
+      val r = ref.select(col("ref_col1"), col("ref_col2"))
+      def nsCond = (col("col1") <=> col("ref_col1")) && (col("col2") <=> col("ref_col2"))
+      time("cmp floor: nullsafe SMJ")(l.join(r, nsCond, "left_outer").count())
+      time("cmp floor: nullsafe SHJ hint")(
+        l.join(r.hint("shuffle_hash"), nsCond, "left_outer").count())
+      time("cmp floor: struct-key SHJ hint")(
+        l.withColumn("__k", struct(col("col1"), col("col2")))
+          .join(r.withColumn("__rk", struct(col("ref_col1"), col("ref_col2"))).hint("shuffle_hash"),
+            col("__k") === col("__rk"), "left_outer").count())
+    }
+
+    if (which == "all" || which == "d9") {
+      val aggrOutliers = DQEngine.applyChecks(df, Seq(DQDatasetRule(
+        DatasetChecks.hasNoAggrOutliers("*", "col6", "count", sigma = 6.0, timeInterval = "30 days"),
+        "has_no_aggr_outliers", Seq.empty)))
+      if (doExplain) aggrOutliers.groupBy().count().explain("formatted")
+      time("has_no_aggr_outliers current")(aggrOutliers.count())
+      // cost floor: the bucketed aggregation alone
+      val agg = df.groupBy(window(col("col6"), "30 days").getField("start")).count()
+      time("d9 floor: bucketed agg only")(agg.count())
+      // cost of one bare scan of the generated frame
+      time("d9 floor: probe scan only")(df.select(col("col6")).count())
+
+      // variant: sentinel-coalesced ts, materialized grain, plain === join
+      def d9Variant(useBroadcast: Boolean): org.apache.spark.sql.DataFrame = {
+        val ts = coalesce(col("col6"), lit("1900-01-01 00:00:00").cast("timestamp"))
+        val grain = window(ts, "30 days").getField("start")
+        val withGrain = df.withColumn("__grain", grain)
+        val bucketed = withGrain.groupBy(col("__grain")).agg(count(lit(1)).as("__cur"))
+        val wPrev = org.apache.spark.sql.expressions.Window
+          .orderBy(col("__grain")).rowsBetween(-10, -1)
+        val stats = bucketed
+          .withColumn("__mean", avg(col("__cur")).over(wPrev))
+          .withColumn("__std", stddev_pop(col("__cur")).over(wPrev))
+          .withColumn("__n", count(col("__cur")).over(wPrev))
+          .withColumn("__outlier", col("__n") >= 3 && col("__std").isNotNull &&
+            abs(col("__cur") - col("__mean")) > lit(6.0) * col("__std"))
+        val flags = stats.select(col("__grain").as("__grain_f"), col("__outlier"))
+        val b = if (useBroadcast) broadcast(flags) else flags
+        withGrain.join(b, col("__grain") === col("__grain_f"), "left").drop("__grain_f")
+      }
+      time("d9 sentinel === broadcast")(d9Variant(true).count())
+      time("d9 sentinel === no-hint")(d9Variant(false).count())
+      // how much of 'current' is just the null-safe probe? same join, <=> keys
+      val ts2 = col("col6")
+      val wg2 = df.withColumn("__grain", window(ts2, "30 days").getField("start"))
+      val flags2 = wg2.select(col("__grain").as("__grain_f")).distinct()
+      time("d9 nullsafe join only")(
+        wg2.join(broadcast(flags2), col("__grain") <=> col("__grain_f"), "left").count())
+      time("d9 equality join only")(
+        wg2.join(broadcast(flags2), col("__grain") === col("__grain_f"), "left").count())
+    }
+    spark.stop()
+  }
+}

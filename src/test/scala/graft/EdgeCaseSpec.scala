@@ -151,6 +151,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(errs(df, rule) == Seq(1, 2)) // 20 > 10
   }
 
+  test("time-window checks preserve null-timestamp rows (window() isnotnull trap)") {
+    import java.sql.Timestamp
+    val df = Seq(
+      (1, Some(Timestamp.valueOf("2024-01-01 00:00:00"))),
+      (2, Some(Timestamp.valueOf("2024-01-01 00:30:00"))),
+      (3, Option.empty[Timestamp]), // window(ts) alone would drop this row
+      (4, Some(Timestamp.valueOf("2024-01-01 03:00:00")))
+    ).toDF("id", "ts")
+    val gaps = DQEngine.applyChecks(df, Seq(DQDatasetRule(
+      DatasetChecks.hasNoGapsPerTimeWindow("ts", 60), "has_no_gaps", Seq("ts"))))
+    assert(gaps.count() == 4) // all rows preserved
+    // rows of the 00:00 bucket fail (next occupied window is 03:00); the
+    // null-ts row probes the unoccupied sentinel bucket and passes
+    assert(errs(df, DQDatasetRule(
+      DatasetChecks.hasNoGapsPerTimeWindow("ts", 60), "has_no_gaps", Seq("ts"))) == Seq(1, 2))
+    val outliers = DQEngine.applyChecks(df, Seq(DQDatasetRule(
+      DatasetChecks.hasNoAggrOutliers("*", "ts", "count", timeInterval = "60 minutes"),
+      "has_no_aggr_outliers", Seq("ts"))))
+    assert(outliers.count() == 4)
+  }
+
   test("sql_query replaces only {{ placeholders }}, never bare identifiers") {
     // ref view name 'tags' also appears as a column name and inside a string
     // literal; both whitespace forms of the placeholder must resolve
