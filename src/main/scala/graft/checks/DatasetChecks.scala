@@ -452,8 +452,15 @@ object DatasetChecks {
     val win = window(ts, s"$windowMinutes minutes")
     val applyFn = (df: DataFrame) => {
       val withWin = df.withColumn(winCol, win.getField("start"))
-      val w = Window.partitionBy(col(winCol))
-      withWin.withColumn(cntCol, sum(when(filterC, lit(1)).otherwise(lit(0))).over(w))
+      // Aggregate per-window counts (one row per occupied window, bounded by
+      // the time range) and equality-join them back instead of a
+      // Window.partitionBy over the full input: that shape shuffles every row
+      // on the window key, this one shuffles only the aggregation and the
+      // non-null sentinel grain keeps the join-back provably row-preserving.
+      val winF = s"${winCol}_f"
+      val counts = withWin.groupBy(col(winCol).as(winF))
+        .agg(sum(when(filterC, lit(1)).otherwise(lit(0))).as(cntCol))
+      withWin.join(broadcast(counts), col(winCol) === col(winF), "left").drop(winF)
     }
     val now = curTimestamp.getOrElse(current_timestamp())
     val inLookback = lookbackWindows match {

@@ -12,6 +12,36 @@ object GeoQueries {
 
   val all: Seq[(String, QueryDef)] = Seq(
 
+    "row_geo_is_geometry" -> QueryDef(
+      (s, dir) => {
+        val df = t(s, dir, "customer")
+          .withColumn("wkt", when(col("c_custkey") % 17 === 0,
+              format_string("NOTWKT(%d)", col("c_custkey")))
+            .otherwise(format_string("POINT (%d %d)", col("c_custkey") % 90, col("c_custkey") % 45)))
+        failing(df, row(G.isGeometry(col("wkt")), "is_geometry", "wkt"), Seq("c_custkey"))
+      },
+      Some("SELECT c_custkey FROM customer WHERE c_custkey % 17 = 0 ORDER BY 1")),
+
+    "row_geo_is_geography" -> QueryDef(
+      (s, dir) => {
+        // x = c_custkey % 250 - 50 strays past 180 every so often
+        val x = col("c_custkey") % 250 - 50
+        val df = t(s, dir, "customer")
+          .withColumn("wkt", format_string("POINT (%d %d)", x, col("c_custkey") % 45))
+        failing(df, row(G.isGeography(col("wkt")), "is_geography", "wkt"), Seq("c_custkey"))
+      },
+      Some("SELECT c_custkey FROM customer WHERE c_custkey % 250 - 50 > 180 ORDER BY 1")),
+
+    "row_geo_is_non_empty_geometry" -> QueryDef(
+      (s, dir) => {
+        val df = t(s, dir, "customer")
+          .withColumn("wkt", when(col("c_custkey") % 31 === 0, lit("POLYGON EMPTY"))
+            .otherwise(lit("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")))
+        failing(df, row(G.isNonEmptyGeometry(col("wkt")), "is_non_empty_geometry", "wkt"),
+          Seq("c_custkey"))
+      },
+      Some("SELECT c_custkey FROM customer WHERE c_custkey % 31 = 0 ORDER BY 1")),
+
     "row_geo_is_polygon" -> QueryDef(
       (s, dir) => {
         val df = t(s, dir, "customer")
