@@ -24,6 +24,8 @@ object PerfLab {
       .config("spark.local.dir", sys.env.getOrElse("PERFLAB_LOCAL_DIR", "/tmp"))
       .config("spark.shuffle.compress", sys.env.getOrElse("PERFLAB_SHUFFLE_COMPRESS", "true"))
       .config("spark.shuffle.spill.compress", sys.env.getOrElse("PERFLAB_SHUFFLE_COMPRESS", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("PERFLAB_ADVISORY", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
