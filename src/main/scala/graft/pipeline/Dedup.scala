@@ -113,6 +113,59 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------- duplicate clustering (conn-comp)
+
+  /** Connected components over a near-duplicate pair set: every doc that
+    * appears in `pairs` is assigned the MIN doc id of its component as the
+    * canonical representative, so transitive chains (A~B, B~C) collapse into
+    * one cluster even when A~C was never emitted as a pair.
+    *
+    * Min-label propagation: each round joins the label frame to the
+    * (symmetrized) edge list and takes the min over neighbors — one join +
+    * one aggregation per round, O(component diameter) rounds. The label frame
+    * is localCheckpoint'ed every round to keep the plan linear (the standard
+    * Spark iterative-graph shape); near-dup components are shallow in
+    * practice (dup groups, not social graphs), so the default cap is generous.
+    * Convergence is checked on the materialized frame (no recompute).
+    */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                        maxIterations: Int = 20): DataFrame = {
+    val e = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.groupBy("src").agg(min("dst").as("__m"))
+      .select(col("src").as("id"), least(col("src"), col("__m")).as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val prop = edges.join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy("dst").agg(min("label").as("__nl"))
+        .select(col("dst").as("id"), col("__nl"))
+      val merged = labels.join(prop, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("__nl"), col("label"))).as("__next"))
+        .localCheckpoint()
+      converged = merged.where(col("__next") < col("label")).isEmpty
+      labels = merged.select(col("id"), col("__next").as("label"))
+      iter += 1
+    }
+    if (!converged)
+      System.err.println(s"duplicateClusters: not converged after $maxIterations rounds; " +
+        "labels are consistent but some components may still be split — raise maxIterations")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Keep one row per near-dup cluster (the min-id representative); rows that
+    * appear in no pair are untouched. One broadcast-sized anti-join when the
+    * duplicate set is small relative to the corpus — the common case.
+    */
+  def dedupByClusters(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val losers = clusters.where(col("id") =!= col("cluster"))
+      .select(col("id").as("__dq_loser_id"))
+    df.join(losers, df(idCol).cast("long") === col("__dq_loser_id"), "left_anti")
+  }
+
   // ------------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash over the token array (single-pass custom expression). */

@@ -105,6 +105,31 @@ object PipelineQueries {
               |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
               |ORDER BY 1, 2""".stripMargin)),
 
+    "pipe_dedup_clusters" -> QueryDef(
+      (s, dir) => {
+        val pairs = Dedup.minHashDuplicatePairs(plantedNearDups(s, dir), "doc_id", "text",
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        Dedup.duplicateClusters(pairs).orderBy("id")
+      },
+      // transitive closure over the same exact-Jaccard pair set; cluster =
+      // min reachable id (quadratic closure is fine at oracle scale)
+      Some(s"""WITH RECURSIVE $plantedNearDupsSql,
+              |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
+              |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+              |         THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+              |         ELSE [array_to_string(t, ' ')] END) AS s FROM toks),
+              |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+              |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+              |        UNION SELECT id_b AS a, id_a AS b FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM (SELECT a, b FROM sym UNION SELECT DISTINCT a, a AS b FROM sym)
+              |  UNION
+              |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a)
+              |SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a ORDER BY 1""".stripMargin)),
+
     "pipe_dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => Dedup.ngramJaccardPairs(plantedNearDups(s, dir), "doc_id", "text",
         n = 2, threshold = 0.75)

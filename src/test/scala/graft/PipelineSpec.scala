@@ -143,4 +143,17 @@ class PipelineSpec extends SparkSpec {
       .where(col("id") === 1).select("media_features.features").collect().head.getSeq[Float](0)
     assert(f1 == f1b)
   }
+
+  test("duplicate clusters: transitive chains collapse to the min-id representative") {
+    // components: {1,2,3,4} via chain edges, {10,11}; 99 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(clusters.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (10L, "e"), (11L, "f"), (99L, "g"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupByClusters(docs, "doc_id", Dedup.duplicateClusters(pairs))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 10L, 99L))
+  }
 }
