@@ -1,0 +1,74 @@
+package graft
+
+import graft.checks.{ContainsIban, ContainsLuhnNumber, Ipv6Valid}
+import graft.geo.{WktInfo, WktPairIntersects}
+import graft.pipeline.SimHash64
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Exposes graft's custom Catalyst expressions as SQL functions, so
+  * `sql_expression` rules (and plain `spark.sql`) can reach them without the
+  * Scala API:
+  *
+  *   spark.sql("SELECT graft_ipv6_valid(addr) FROM t")
+  *
+  * Two registration paths:
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build time
+  *    (spark-submit / connect) — the idiomatic SparkSessionExtensions hook;
+  *  - `GraftExtensions.register(spark)` on a live session (tests, notebooks).
+  *
+  * All functions are pure expressions (no UDF round-trip): they stay inside
+  * the JVM row pipeline and behave like built-ins under Catalyst.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def arity(name: String, n: Int, args: Seq[Expression]): Seq[Expression] = {
+    require(args.length == n, s"$name expects $n argument(s), got ${args.length}")
+    args
+  }
+
+  /** (name, info, builder) triples — single source for both registration paths. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_ipv6_valid",
+      info("graft_ipv6_valid", "graft_ipv6_valid(str) - true when str is a valid IPv6 address"),
+      args => Ipv6Valid(arity("graft_ipv6_valid", 1, args).head)),
+    ("graft_simhash64",
+      info("graft_simhash64", "graft_simhash64(array<string>) - 64-bit SimHash of the token array"),
+      args => SimHash64(arity("graft_simhash64", 1, args).head)),
+    ("graft_contains_luhn",
+      info("graft_contains_luhn",
+        "graft_contains_luhn(str) - true when str contains a Luhn-valid card number"),
+      args => ContainsLuhnNumber(arity("graft_contains_luhn", 1, args).head)),
+    ("graft_contains_iban",
+      info("graft_contains_iban",
+        "graft_contains_iban(str) - true when str contains a mod-97-valid IBAN"),
+      args => ContainsIban(arity("graft_contains_iban", 1, args).head)),
+    ("graft_wkt_info",
+      info("graft_wkt_info",
+        "graft_wkt_info(wkt) - struct of parsed WKT properties (type, validity, bounds, ...)"),
+      args => WktInfo(arity("graft_wkt_info", 1, args).head)),
+    ("graft_wkt_intersects",
+      info("graft_wkt_intersects",
+        "graft_wkt_intersects(wkt_a, wkt_b) - true when the two WKT geometries intersect"),
+      args => { val a = arity("graft_wkt_intersects", 2, args); WktPairIntersects(a(0), a(1)) })
+  )
+
+  /** Register on a live session (same registry the extensions path fills). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), inf, builder)
+    }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.checks.RowChecks
+import graft.engine.DQEngine
+import graft.rules._
+import org.apache.spark.sql.functions._
+
+/** graft_* SQL functions registered through GraftExtensions: reachable from
+  * plain SQL and from sql_expression rules (no UDF round-trip).
+  */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  test("registered functions evaluate from plain SQL") {
+    val row = spark.sql(
+      """SELECT graft_ipv6_valid('2001:db8::1') AS a,
+        |       graft_ipv6_valid('nope') AS b,
+        |       graft_contains_luhn('pay 4111 1111 1111 1111 now') AS c,
+        |       graft_wkt_info('POINT (3 4)').x AS x,
+        |       graft_wkt_intersects('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'POINT (2 2)') AS i
+        |""".stripMargin).head()
+    assert(row.getBoolean(0) && !row.getBoolean(1) && row.getBoolean(2))
+    assert(row.getDouble(3) == 3.0 && row.getBoolean(4))
+  }
+
+  test("sql_expression rules can call graft_* functions") {
+    val df = Seq((1, "2001:db8::1"), (2, "not-an-ip")).toDF("id", "addr")
+    val out = DQEngine.applyChecks(df, Seq(
+      DQRowRule(RowChecks.sqlExpression("graft_ipv6_valid(addr)"), "sql_expression", Seq("addr"))))
+    val bad = out.where(col("_errors").isNotNull).select("id").as[Int].collect()
+    assert(bad.toSeq == Seq(2))
+  }
+
+  test("extensions class injects the same registry entries") {
+    // the SparkSessionExtensions path shares the builder list; spot-check shape
+    assert(GraftExtensions.functions.map(_._1).distinct.size == GraftExtensions.functions.size)
+    assert(GraftExtensions.functions.nonEmpty)
+  }
+}
