@@ -692,15 +692,19 @@ object DatasetChecks {
   // ---------------------------------------------------------------- sql_query
 
   /** D4 (check_funcs.py:2048): arbitrary SQL over an `{{input_view}}`
-    * placeholder (+ optional reference views); the boolean `conditionColumn` of
-    * the result is deduped per `mergeColumns` and joined back null-safely.
+    * placeholder (+ optional reference views). Row mode (mergeColumns given):
+    * the boolean `conditionColumn` of the result is deduped per `mergeColumns`
+    * and joined back null-safely. Dataset mode (mergeColumns empty,
+    * check_funcs.py:4799): the query must return at most one row; its
+    * condition value is read on the driver and applied to every row as a
+    * literal (batch-only, like the reference).
     */
-  def sqlQuery(query: String, mergeColumns: Seq[String], conditionColumn: String,
+  def sqlQuery(query: String, mergeColumns: Seq[String] = Seq.empty,
+               conditionColumn: String,
                negate: Boolean = false, inputPlaceholder: String = "input_view",
                refDfs: Map[String, DataFrame] = Map.empty,
                rowFilter: Option[String] = None): DatasetCheck = {
     requireSafeSql(query, "SQL query")
-    require(mergeColumns.nonEmpty, "merge_columns must not be empty")
     val id = uniqueSuffix()
     val condCol = s"__dq_sql_cond_$id"
     val applyFn = (df: DataFrame) => {
@@ -720,12 +724,22 @@ object DatasetChecks {
         case (q, n) => substPlaceholder(q, n, n)
       }
       val result = spark.sql(sql)
-      // dedup to one row per merge key (check_funcs.py:2157)
-      val renamed = mergeColumns.map(m => s"__dq_sqlm_${m}_$id")
-      val deduped = result.groupBy(mergeColumns.zip(renamed).map { case (m, nn) => col(m).as(nn) }: _*)
-        .agg(max(col(conditionColumn)).as(condCol))
-      df.join(deduped, nullSafeJoinCondition(mergeColumns.map(col), renamed.map(col)), "left")
-        .drop(renamed: _*)
+      if (mergeColumns.isEmpty) {
+        // dataset mode: one condition value for the whole frame
+        val rows = result.select(col(conditionColumn).cast("boolean").as(condCol)).take(2)
+        require(rows.length <= 1,
+          "Dataset-level sql_query without merge_columns must return exactly one row; " +
+            "provide merge_columns for row-level checks or aggregate to a single row")
+        val value = rows.headOption.exists(r => !r.isNullAt(0) && r.getBoolean(0))
+        df.withColumn(condCol, lit(value))
+      } else {
+        // dedup to one row per merge key (check_funcs.py:2157)
+        val renamed = mergeColumns.map(m => s"__dq_sqlm_${m}_$id")
+        val deduped = result.groupBy(mergeColumns.zip(renamed).map { case (m, nn) => col(m).as(nn) }: _*)
+          .agg(max(col(conditionColumn)).as(condCol))
+        df.join(deduped, nullSafeJoinCondition(mergeColumns.map(col), renamed.map(col)), "left")
+          .drop(renamed: _*)
+      }
     }
     val filterC = rowFilter.map(expr).getOrElse(lit(true))
     val raw = coalesce(col(condCol).cast("boolean"), lit(false))

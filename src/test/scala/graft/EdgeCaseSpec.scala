@@ -172,6 +172,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(outliers.count() == 4)
   }
 
+  test("sql_query dataset mode: single-row condition applies to every row") {
+    val df = Seq((1, 5), (2, 50), (3, 7)).toDF("id", "v")
+    // dataset-level assertion: any v above 40 fails ALL rows
+    val rule = DQDatasetRule(DatasetChecks.sqlQuery(
+      "SELECT max(v) > 40 AS too_big FROM {{input_view}}",
+      conditionColumn = "too_big"), "sql_query", Seq("v"))
+    assert(errs(df, rule) == Seq(1, 2, 3))
+    val okRule = DQDatasetRule(DatasetChecks.sqlQuery(
+      "SELECT max(v) > 100 AS too_big FROM {{input_view}}",
+      conditionColumn = "too_big"), "sql_query", Seq("v"))
+    assert(errs(df, okRule) == Seq())
+    // multi-row result without merge_columns is rejected
+    val bad = DQDatasetRule(DatasetChecks.sqlQuery(
+      "SELECT v > 0 AS too_big FROM {{input_view}}",
+      conditionColumn = "too_big"), "sql_query", Seq("v"))
+    assertThrows[IllegalArgumentException] { errs(df, bad) }
+  }
+
   test("sql_query replaces only {{ placeholders }}, never bare identifiers") {
     // ref view name 'tags' also appears as a column name and inside a string
     // literal; both whitespace forms of the placeholder must resolve
