@@ -131,6 +131,33 @@ object GeoChecks {
   def isGeoWithin(c: Column, referenceWkt: String): Column =
     relation(c, referenceWkt, "WITHIN", "within")
 
+  /** geo:1027 `_has_topological_relationship_approximate`: the reference
+    * compares H3 cell covers of both geometries at a resolution. OSS analog:
+    * square-grid envelope-cell covers at `cellSize` (same [[WktEnvelopeCells]]
+    * machinery as the D16 spatial join) — INTERSECTS = cell sets overlap,
+    * COVERS = the value's cells are a subset of the reference's. Like the H3
+    * variant this is a fast approximation: false positives shrink with
+    * `cellSize` (finer grid), and unparseable values pass (NULL semantics).
+    */
+  def isGeoIntersectsApprox(c: Column, referenceWkt: String, cellSize: Double = 1.0): Column =
+    approxRelation(c, referenceWkt, cellSize, covers = false,
+      "does not approximately intersect the reference geometry")
+
+  def isGeoCoversApprox(c: Column, referenceWkt: String, cellSize: Double = 1.0): Column =
+    approxRelation(c, referenceWkt, cellSize, covers = true,
+      "is not approximately covered by the reference geometry")
+
+  private def approxRelation(c: Column, referenceWkt: String, cellSize: Double,
+                             covers: Boolean, what: String): Column = {
+    val cells = GraftColumnBridge.column(WktEnvelopeCells(
+      GraftColumnBridge.expression(c.cast("string")), cellSize))
+    val refCells = GraftColumnBridge.column(WktEnvelopeCells(
+      GraftColumnBridge.expression(lit(referenceWkt).cast("string")), cellSize))
+    val inter = size(array_intersect(cells, refCells))
+    val inside = if (covers) inter === size(cells) else inter > 0
+    fail(c, cells.isNotNull && !inside, what)
+  }
+
   /** geo:63/86 combined — WKT point within lat/lon bounds (x=lon, y=lat). */
   def isValidLonLatPoint(c: Column): Column = {
     val i = info(c)

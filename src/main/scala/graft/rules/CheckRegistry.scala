@@ -134,8 +134,16 @@ object CheckRegistry {
     "is_num_points_not_greater_than" -> (a => GeoChecks.isNumPointsNotGreaterThan(a.column(), a.int("value", 0))),
     "is_num_points_not_less_than" -> (a => GeoChecks.isNumPointsNotLessThan(a.column(), a.int("value", 0))),
     "is_geo_contains" -> (a => GeoChecks.isGeoContains(a.column(), a.str("reference_geometry"))),
-    "is_geo_covers" -> (a => GeoChecks.isGeoCovers(a.column(), a.str("reference_geometry"))),
-    "is_geo_intersects" -> (a => GeoChecks.isGeoIntersects(a.column(), a.str("reference_geometry"))),
+    // approximate=true switches to the envelope-grid cell-cover analog of the
+    // reference's H3 variant (geo:1027); cell_size plays the resolution role
+    "is_geo_covers" -> (a =>
+      if (a.bool("approximate", false))
+        GeoChecks.isGeoCoversApprox(a.column(), a.str("reference_geometry"), a.double("cell_size", 1.0))
+      else GeoChecks.isGeoCovers(a.column(), a.str("reference_geometry"))),
+    "is_geo_intersects" -> (a =>
+      if (a.bool("approximate", false))
+        GeoChecks.isGeoIntersectsApprox(a.column(), a.str("reference_geometry"), a.double("cell_size", 1.0))
+      else GeoChecks.isGeoIntersects(a.column(), a.str("reference_geometry"))),
     "is_geo_touches" -> (a => GeoChecks.isGeoTouches(a.column(), a.str("reference_geometry"))),
     "is_geo_within" -> (a => GeoChecks.isGeoWithin(a.column(), a.str("reference_geometry"))),
     "is_non_empty_geometry" -> (a => GeoChecks.isNonEmptyGeometry(a.column())),

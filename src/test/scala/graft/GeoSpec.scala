@@ -117,6 +117,27 @@ class GeoSpec extends SparkSpec {
       "is_geo_intersects", Seq("wkt"))) == Seq(3, 5)) // 1,2 intersect it; 3 (short line) and 5 do not; 4 unparseable passes
   }
 
+  test("approximate relations: envelope-grid cell covers (H3-analog)") {
+    val df = Seq(
+      (1, "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"),     // inside ref
+      (2, "POLYGON ((20 20, 22 20, 22 22, 20 22, 20 20))"), // far away
+      (3, "POINT (5 5)"),                              // inside ref
+      (4, "not wkt")                                   // unparseable passes
+    ).toDF("id", "wkt")
+    val ref = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    assert(errs(df, DQRowRule(GeoChecks.isGeoCoversApprox(col("wkt"), ref, cellSize = 1.0),
+      "is_geo_covers", Seq("wkt"))) == Seq(2))
+    assert(errs(df, DQRowRule(GeoChecks.isGeoIntersectsApprox(col("wkt"), ref, cellSize = 1.0),
+      "is_geo_intersects", Seq("wkt"))) == Seq(2))
+    // metadata path: approximate flag + cell_size
+    val out = DQEngine.applyChecksByMetadata(df, Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "is_geo_intersects", "arguments" -> Map(
+        "column" -> "wkt", "reference_geometry" -> ref,
+        "approximate" -> true, "cell_size" -> 1.0)))))
+    assert(out.where(col("_errors").isNotNull).select("id").as[Int].collect().toSeq == Seq(2))
+  }
+
   test("metadata path resolves the new geo functions") {
     val df = Seq((1, "POINT (1 2)"), (2, "LINESTRING (0 0, 1 1)")).toDF("id", "wkt")
     val out = DQEngine.applyChecksByMetadata(df, Seq(Map(
