@@ -58,3 +58,46 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int,
 
   override protected def withNewChildInternal(c: Expression): HyperplaneBuckets = copy(child = c)
 }
+
+/** The `nprobe` centroid ids nearest (by cosine) to an embedding vector, most
+  * similar first — the IVF assignment/probe step, one tight double loop per
+  * row (same interpreted-HOF trap as [[HyperplaneBuckets]]). Centroids ship
+  * inside the expression (driver-trained, kilobytes) and are L2-normalized
+  * once per partition so similarity is a plain dot product.
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
+                            nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty, "centroids must not be empty")
+  require(nprobe >= 1 && nprobe <= centroids.length, "nprobe must be in [1, numCentroids]")
+
+  @transient private lazy val normed: Array[Array[Double]] = centroids.map { c =>
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n == 0.0) c else c.map(_ / n)
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val vec = new Array[Double](n)
+    var i = 0
+    while (i < n) { vec(i) = if (arr.isNullAt(i)) 0.0 else arr.getDouble(i); i += 1 }
+    val sims = new Array[Double](normed.length)
+    var c = 0
+    while (c < normed.length) {
+      val cen = normed(c)
+      val d = math.min(n, cen.length)
+      var dot = 0.0
+      var j = 0
+      while (j < d) { dot += vec(j) * cen(j); j += 1 }
+      sims(c) = dot
+      c += 1
+    }
+    val order = sims.zipWithIndex.sortBy { case (s, idx) => (-s, idx) }
+    new GenericArrayData(order.take(nprobe).map(_._2))
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroids = copy(child = c)
+}

@@ -192,6 +192,28 @@ object PipelineQueries {
              |  FROM scored) t
              |WHERE rank <= 5 ORDER BY 1, 2""".stripMargin)),
 
+    "pipe_knn_ivf" -> QueryDef(
+      (s, dir) => {
+        // nprobe = numCentroids makes IVF exhaustive, so the exact brute-force
+        // oracle applies; recall-at-lower-nprobe is spec-tested
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 20), "vec_id", "embedding", 5,
+          numCentroids = 16, nprobe = 16, trainRows = 2000)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |q AS (SELECT vec_id, e FROM emb WHERE vec_id < 20),
+             |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |  list_cosine_similarity(q.e, c.e) AS cos
+             |  FROM q JOIN emb c ON c.vec_id != q.vec_id)
+             |SELECT query_id, rank, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 5 ORDER BY 1, 2""".stripMargin)),
+
     "pipe_knn_lsh" -> QueryDef(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

@@ -35,6 +35,49 @@ object StreamChecks {
   final case class GapState(lastSeenMs: Long)
   final case class GapEvent(key: String, lastSeenMs: Long, gapMs: Long)
 
+  final case class KeyedRow(key: String, rowId: Long)
+  final case class SeenState(firstRowId: Long, count: Long)
+  final case class DupEvent(key: String, rowId: Long, firstRowId: Long, dupIndex: Long)
+
+  /** Cross-batch duplicate detection: emits a [[DupEvent]] for every row whose
+    * key was already seen in this OR any earlier micro-batch — the stateful
+    * complement to the reference's is_unique, which is explicitly scoped to
+    * one micro-batch (check_funcs.py:1835). Per-key state is one (firstRowId,
+    * count) pair in the state store. Pass `stateTtlMs` to expire keys after a
+    * silence window (processing-time timeout) so state tracks the active-key
+    * working set, not the stream's whole history; None keeps state forever —
+    * right for bounded key domains, and for triggers like AvailableNow where
+    * timeout wake-up batches never run.
+    */
+  def duplicateEvents(rows: Dataset[KeyedRow],
+                      stateTtlMs: Option[Long] = None): Dataset[DupEvent] = {
+    import rows.sparkSession.implicits._
+    val timeout = if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SeenState, DupEvent](OutputMode.Append(), timeout) {
+        (key: String, it: Iterator[KeyedRow], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(SeenState(Long.MinValue, 0L))
+            val dups = scala.collection.mutable.ArrayBuffer.empty[DupEvent]
+            it.foreach { r =>
+              if (s.count == 0L) s = SeenState(r.rowId, 1L)
+              else {
+                s = s.copy(count = s.count + 1)
+                dups += DupEvent(key, r.rowId, s.firstRowId, s.count - 1)
+              }
+            }
+            state.update(s)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            dups.iterator
+          }
+      }
+  }
+
   /** Emits a [[GapEvent]] when a key goes silent for more than `maxGapMs`
     * (processing-time timeout, cross-batch state in the state store).
     */

@@ -144,6 +144,32 @@ class PipelineSpec extends SparkSpec {
     assert(f1 == f1b)
   }
 
+  test("IVF top-k: exhaustive probe matches brute force, partial probe keeps high recall") {
+    val rnd = new scala.util.Random(7)
+    // 3 well-separated gaussian clusters in 8d
+    val centers = Seq(Array.fill(8)(5.0), Array.fill(8)(-5.0),
+      Array.tabulate(8)(i => if (i % 2 == 0) 5.0 else -5.0))
+    val rows = (0 until 300).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + rnd.nextGaussian()).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 9)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exhaustive = Similarity.ivfTopK(df, queries, "vec_id", "embedding", 5,
+      numCentroids = 6, nprobe = 6, trainRows = 300)
+      .select("query_id", "rank", "neighbor_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(exhaustive == exact)
+    // nprobe=2 of 6: same-cluster neighbors live in the probed lists
+    val partial = Similarity.ivfTopK(df, queries, "vec_id", "embedding", 5,
+      numCentroids = 6, nprobe = 2, trainRows = 300)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map { case (q, _, n) => (q, n) }
+    val recall = partial.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("duplicate clusters: transitive chains collapse to the min-id representative") {
     // components: {1,2,3,4} via chain edges, {10,11}; 99 untouched
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")

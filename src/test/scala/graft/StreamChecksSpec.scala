@@ -31,4 +31,24 @@ class StreamChecksSpec extends SparkSpec {
     // never closes - watermark stops at the max event time)
     assert(rows == Set(("2024-01-01 00:10:00", 1L)))
   }
+
+  test("cross-batch duplicate detection via flatMapGroupsWithState") {
+    import StreamChecks.{DupEvent, KeyedRow}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KeyedRow]
+    val q = StreamChecks.duplicateEvents(in.toDS())
+      .writeStream.format("memory").queryName("dup_out").outputMode("append").start()
+    // batch 1: a twice (in-batch dup), b once
+    in.addData(KeyedRow("a", 1L), KeyedRow("a", 2L), KeyedRow("b", 3L))
+    q.processAllAvailable()
+    // batch 2: a again (cross-batch dup), c new
+    in.addData(KeyedRow("a", 4L), KeyedRow("c", 5L))
+    q.processAllAvailable()
+    val dups = spark.table("dup_out").as[DupEvent].collect().sortBy(_.rowId)
+    q.stop()
+    assert(dups.map(d => (d.key, d.rowId, d.firstRowId)).toSeq ==
+      Seq(("a", 2L, 1L), ("a", 4L, 1L)))
+    assert(dups.map(_.dupIndex).toSeq == Seq(1L, 2L))
+  }
 }
