@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * deterministic sampling (fraction + per-group quota) and eval-set
+  * decontamination. Beyond the reference's check surface — these are the
+  * operations a 100 TB pretraining pipeline runs between the quality checks.
+  *
+  * Scale shapes:
+  *  - hashSample: row-local predicate, zero shuffle, reproducible across runs
+  *    and engines (portable integer hash, not engine-specific RNG);
+  *  - quotaSample: one shuffle on the group key (window row_number); skewed
+  *    groups are bounded by the quota itself on the way out, and AQE skew
+  *    handling covers the shuffle;
+  *  - decontaminate: the eval set is tiny by construction (a benchmark), so
+  *    every join against it broadcasts — the corpus is never shuffled; the
+  *    only shuffled data is the contaminated-id set (distinct doc ids).
+  */
+object Curation {
+
+  /** Portable 32-bit multiplicative hash (Knuth 1973, public domain constant
+    * 2654435761 = floor(2^32/phi)). Pure int64 arithmetic so any SQL engine
+    * reproduces it bit-for-bit — unlike xxhash64/rand which are engine-bound.
+    * Input is reduced mod 2^31 first so the product cannot overflow int64.
+    */
+  def portableHash(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic fraction sample: keep rows whose portable hash of `id`
+    * falls below fraction * 2^32. Row-local — no shuffle, no RNG state; the
+    * same (id, fraction) always makes the same keep/drop decision, so samples
+    * are stable across reruns, engines, and incremental loads.
+    */
+  def hashSample(df: DataFrame, id: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.where(portableHash(id) < lit((fraction * 4294967296.0).toLong))
+  }
+
+  /** Deterministic per-group quota sample: keep up to `quota` rows per group,
+    * chosen by portable-hash order (id as tie-break) — i.e. a reproducible
+    * uniform draw per stratum. One shuffle on the group columns.
+    */
+  def quotaSample(df: DataFrame, groupCols: Seq[String], id: Column, quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(portableHash(id), id)
+    df.withColumn("__quota_rn", row_number().over(w))
+      .where(col("__quota_rn") <= quota)
+      .drop("__quota_rn")
+  }
+
+  /** Word n-grams as 64-bit hashes, distinct per document; empty array when
+    * the document has fewer than n tokens (a short doc contributes nothing —
+    * unlike `Dedup.shingles`, which falls back to the whole text for sketch
+    * stability). Row-local.
+    */
+  def wordNgramHashes(text: Column, n: Int): Column = {
+    val t = Dedup.tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(t, i, lit(n)))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Eval-set decontamination (the n-gram-overlap rule used for pretraining
+    * corpora, e.g. GPT-3 appendix C / PaLM: a document is contaminated if it
+    * shares any word n-gram with an evaluation benchmark). Returns the corpus
+    * with an `is_contaminated` boolean.
+    *
+    * Plan shape: eval n-gram hashes are deduped and broadcast (an eval
+    * benchmark is ~10^3..10^6 grams); corpus n-grams are generated row-locally
+    * and semi-joined map-side, so the full corpus never shuffles — only the
+    * matched doc ids do (distinct), and they broadcast back onto the corpus.
+    */
+  def decontaminate(corpus: DataFrame, id: Column, text: Column,
+                    evalDf: DataFrame, evalText: Column, n: Int = 8): DataFrame = {
+    val evalGrams = evalDf.select(explode(wordNgramHashes(evalText, n)).as("__ngram_h")).distinct()
+    val contaminatedIds = corpus
+      .select(id.as("__doc_id"), explode(wordNgramHashes(text, n)).as("__ngram_h"))
+      .join(broadcast(evalGrams), "__ngram_h", "left_semi")
+      .select(col("__doc_id")).distinct()
+      .withColumn("__contaminated", lit(true))
+    corpus
+      .join(broadcast(contaminatedIds), id === col("__doc_id"), "left_outer")
+      .withColumn("is_contaminated", coalesce(col("__contaminated"), lit(false)))
+      .drop("__doc_id", "__contaminated")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -69,6 +69,92 @@ object TextAnalysis {
       when(score > 0 && score === best, lit(lang)).otherwise(acc)
     }
   }
+
+  /** Word n-grams (all occurrences, not distinct) — the unit the repetition
+    * fractions count over. Empty array below n tokens. Row-local.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val t = split(text, " ")
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition signals: fraction of words/n-grams that are
+    * repeat occurrences, and the share of the single most frequent word.
+    * High values = boilerplate/spam/generated text. All row-local expressions.
+    */
+  def repetitionSignals(text: Column): Column = {
+    val t = split(text, " ")
+    def dupFrac(arr: Column): Column =
+      when(size(arr) > 0,
+        lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr))
+        .otherwise(lit(0.0))
+    val topWordFrac =
+      when(size(t) > 0,
+        array_max(transform(array_distinct(t),
+          w => size(filter(t, x => x === w)))).cast("double") / size(t))
+        .otherwise(lit(0.0))
+    struct(
+      dupFrac(t).as("dup_word_frac"),
+      topWordFrac.as("top_word_frac"),
+      dupFrac(wordNgrams(text, 2)).as("dup_2gram_frac"),
+      dupFrac(wordNgrams(text, 3)).as("dup_3gram_frac"))
+  }
+
+  /** Keep/drop decision from the repetition signals (Gopher table A1-style
+    * thresholds as defaults).
+    */
+  def repetitionFilter(text: Column, maxDupWordFrac: Double = 0.63,
+                       maxTopWordFrac: Double = 0.3,
+                       maxDup2GramFrac: Double = 0.2,
+                       maxDup3GramFrac: Double = 0.18): Column = {
+    val s = repetitionSignals(text)
+    s.getField("dup_word_frac") <= maxDupWordFrac &&
+      s.getField("top_word_frac") <= maxTopWordFrac &&
+      s.getField("dup_2gram_frac") <= maxDup2GramFrac &&
+      s.getField("dup_3gram_frac") <= maxDup3GramFrac
+  }
+
+  /** Canonical text normalization: lowercase, control chars to spaces,
+    * whitespace collapsed, trimmed. Row-local; the standard first step before
+    * fingerprinting/sharding a raw crawl.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[\\p{Cntrl}]", " "), "\\s+", " "))
+
+  /** Split documents into fixed-size token chunks with overlap (training-
+    * sequence packing). Output: one row per chunk with `chunk_id` (0-based
+    * position) and `chunk_text`. Chunk starts step by chunkSize - overlap;
+    * a document shorter than chunkSize yields exactly one chunk. Row-local
+    * explode — no shuffle; downstream repartition is the caller's choice.
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need chunkSize > 0 and 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val t = split(col(textCol), " ")
+    // k-th start = 1 + k*stride for k = 0..K, K = ceil((#tokens - chunkSize)/stride):
+    // the last chunk reaches the final token and no chunk is a suffix of the
+    // previous one (the tail chunk may be shorter than chunkSize)
+    val steps = when(size(t) > chunkSize,
+      ceil((size(t) - lit(chunkSize)).cast("double") / stride).cast("int"))
+      .otherwise(lit(0))
+    val chunks = transform(
+      sequence(lit(1), lit(1) + steps * stride, lit(stride)),
+      s => concat_ws(" ", slice(t, s, lit(chunkSize))))
+    df.select(col("*"), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+  }
+
+  /** Corpus document frequency: for each word, the number of documents
+    * containing it. One shuffle (partial-aggregated groupBy on the word);
+    * per-doc distinct is row-local, so a word repeated in one doc contributes
+    * once. The input to IDF weighting and stopword discovery.
+    */
+  def documentFrequency(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(array_distinct(split(text, " "))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("doc_freq"))
 
   /** 64-bit content fingerprint over normalized text (lowercase, collapsed
     * whitespace, punctuation stripped) — the exact-dedup key.

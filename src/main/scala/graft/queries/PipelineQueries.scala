@@ -254,6 +254,105 @@ object PipelineQueries {
         .orderBy("lang_pred"),
       Some(langIdOracleSql)), // oracle generated from the same stopword registry
 
+    "pipe_text_repetition" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.repetitionSignals(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.dup_word_frac").as("dup_word_frac"),
+          col("r.top_word_frac").as("top_word_frac"),
+          col("r.dup_2gram_frac").as("dup_2gram_frac"),
+          col("r.dup_3gram_frac").as("dup_3gram_frac"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT doc_id, w,
+             |  CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) ELSE [] END AS b2,
+             |  CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS b3
+             |FROM t)
+             |SELECT doc_id,
+             |  CASE WHEN len(w) > 0 THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) ELSE 0.0 END AS dup_word_frac,
+             |  CASE WHEN len(w) > 0 THEN CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w) ELSE 0.0 END AS top_word_frac,
+             |  CASE WHEN len(b2) > 0 THEN 1.0 - CAST(len(list_distinct(b2)) AS DOUBLE) / len(b2) ELSE 0.0 END AS dup_2gram_frac,
+             |  CASE WHEN len(b3) > 0 THEN 1.0 - CAST(len(list_distinct(b3)) AS DOUBLE) / len(b3) ELSE 0.0 END AS dup_3gram_frac
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    "pipe_text_normalize" -> QueryDef(
+      (s, dir) => {
+        val p = t(s, dir, "documents").where(col("doc_id") < 2000)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, upper(col("text")))
+              .when(col("doc_id") % 3 === 1, concat(lit("  "), col("text"), lit(" \t ")))
+              .otherwise(col("text")).as("text"))
+        p.select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("norm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN upper(text)
+             |       WHEN doc_id % 3 = 1 THEN '  ' || text || ' ' || chr(9) || ' '
+             |       ELSE text END AS text
+             |FROM documents WHERE doc_id < 2000)
+             |SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    "pipe_text_chunks" -> QueryDef(
+      (s, dir) => TextAnalysis.chunkDocuments(
+        t(s, dir, "documents").select("doc_id", "text"), "text", chunkSize = 16, overlap = 4)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |k AS (SELECT doc_id, w,
+             |        CASE WHEN len(w) > 16 THEN CAST(ceil((len(w) - 16) / 12.0) AS INT) ELSE 0 END AS kk
+             |      FROM t),
+             |c AS (SELECT doc_id,
+             |        unnest(list_transform(range(1, kk*12 + 2, 12), s -> array_to_string(w[s:s+15], ' '))) AS chunk_text,
+             |        generate_subscripts(range(1, kk*12 + 2, 12), 1) - 1 AS chunk_id
+             |      FROM k)
+             |SELECT doc_id, chunk_id, chunk_text FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    "pipe_doc_frequency" -> QueryDef(
+      (s, dir) => TextAnalysis.documentFrequency(
+        t(s, dir, "documents"), col("text"))
+        .orderBy(col("doc_freq").desc, col("word"))
+        .limit(50),
+      Some("""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents)
+             |SELECT word, count(*) AS doc_freq FROM t GROUP BY 1
+             |ORDER BY doc_freq DESC, word LIMIT 50""".stripMargin)),
+
+    "pipe_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val eval = docs.where(col("doc_id") % 97 === 3)
+        Curation.decontaminate(docs, col("doc_id"), col("text"), eval, col("text"), n = 8)
+          .select(col("doc_id"), col("is_contaminated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |eg AS (SELECT DISTINCT unnest(list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))) AS g
+             |       FROM d WHERE doc_id % 97 = 3 AND len(w) >= 8),
+             |cont AS (SELECT DISTINCT doc_id
+             |         FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))) AS g
+             |               FROM d WHERE len(w) >= 8)
+             |         WHERE g IN (SELECT g FROM eg))
+             |SELECT doc_id, (doc_id IN (SELECT doc_id FROM cont)) AS is_contaminated
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "pipe_curation_hash_sample" -> QueryDef(
+      (s, dir) => Curation.hashSample(
+        t(s, dir, "documents"), col("doc_id"), 0.25)
+        .select("doc_id").orderBy("doc_id"),
+      Some("""SELECT doc_id FROM documents
+             |WHERE (doc_id % 2147483648) * 2654435761 % 4294967296 < 1073741824
+             |ORDER BY doc_id""".stripMargin)),
+
+    "pipe_curation_quota" -> QueryDef(
+      (s, dir) => Curation.quotaSample(
+        t(s, dir, "documents"), Seq("lang"), col("doc_id"), quota = 200)
+        .select("doc_id").orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id, lang,
+             |            (doc_id % 2147483648) * 2654435761 % 4294967296 AS hv FROM documents),
+             |r AS (SELECT doc_id, row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn FROM h)
+             |SELECT doc_id FROM r WHERE rn <= 200 ORDER BY doc_id""".stripMargin)),
+
     "pipe_multimodal_stub" -> QueryDef(
       (s, dir) => {
         val df = t(s, dir, "documents")

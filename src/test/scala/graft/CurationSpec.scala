@@ -1,0 +1,88 @@
+package graft
+
+import graft.pipeline.{Curation, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash sample is deterministic and roughly proportional") {
+    val df = spark.range(0, 10000).toDF("id")
+    val a = Curation.hashSample(df, col("id"), 0.25).select("id").as[Long].collect().toSet
+    val b = Curation.hashSample(df, col("id"), 0.25).select("id").as[Long].collect().toSet
+    assert(a == b)
+    assert(math.abs(a.size - 2500) < 300)
+    // monotone: a larger fraction strictly contains a smaller one
+    val wider = Curation.hashSample(df, col("id"), 0.5).select("id").as[Long].collect().toSet
+    assert(a.subsetOf(wider))
+  }
+
+  test("quota sample keeps at most the quota per group, deterministically") {
+    val df = Seq.tabulate(500)(i => (i.toLong, if (i % 5 == 0) "a" else "b")).toDF("id", "g")
+    val out = Curation.quotaSample(df, Seq("g"), col("id"), quota = 30)
+    val sizes = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes("a") == 30 && sizes("b") == 30)
+    val again = Curation.quotaSample(df, Seq("g"), col("id"), quota = 30)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // a group smaller than the quota survives whole
+    val tiny = Curation.quotaSample(df.where(col("g") === "a"), Seq("g"), col("id"), quota = 1000)
+    assert(tiny.count() == 100)
+  }
+
+  test("decontaminate flags docs sharing an 8-gram with the eval set, and only those") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"prefix words here $shared suffix tail"), // contaminated: contains the eval 8-gram
+      (2L, (1 to 12).map(i => s"c$i").mkString(" ")), // clean
+      (3L, shared),                                   // exactly the 8-gram
+      (4L, "short doc")                               // < 8 tokens: never contaminated
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, s"eval lead-in $shared trailing words pad pad")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, col("doc_id"), col("text"), eval, col("text"))
+      .select("doc_id", "is_contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
+  test("repetition signals: clean text low, repeated text high") {
+    val df = Seq(
+      (1, "one two three four five six seven eight"),
+      (2, "spam spam spam spam spam spam spam spam")
+    ).toDF("id", "text")
+    val r = df.select(col("id"), TextAnalysis.repetitionSignals(col("text")).as("r"))
+      .select(col("id"), col("r.dup_word_frac"), col("r.top_word_frac"), col("r.dup_2gram_frac"))
+      .as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(r(0) == ((1, 0.0, 1.0 / 8, 0.0)))
+    assert(r(1)._2 == 7.0 / 8 && r(1)._3 == 1.0 && r(1)._4 == 1.0 - 1.0 / 7)
+    assert(df.where(TextAnalysis.repetitionFilter(col("text"))).select("id").as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("chunking covers every token, respects overlap, single chunk for short docs") {
+    val doc = (1 to 30).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "text", chunkSize = 16, overlap = 4)
+      .select("doc_id", "chunk_id", "chunk_text").as[(Long, Int, String)].collect()
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // starts 1, 13, 25 (stride 12): chunk 0 = t1..t16, chunk 1 = t13..t28, chunk 2 = t25..t30
+    assert(d1.length == 3)
+    assert(d1(0).startsWith("t1 ") && d1(0).endsWith(" t16"))
+    assert(d1(1).startsWith("t13 ") && d1(1).endsWith(" t28"))
+    assert(d1(2) == (25 to 30).map(i => s"t$i").mkString(" "))
+    // every token appears in some chunk
+    assert(d1.flatMap(_.split(" ")).toSet == (1 to 30).map(i => s"t$i").toSet)
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b c")))
+  }
+
+  test("document frequency counts docs, not occurrences") {
+    val df = Seq((1, "a a a b"), (2, "a c"), (3, "c c")).toDF("id", "text")
+    val got = TextAnalysis.documentFrequency(df, col("text"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2, "b" -> 1, "c" -> 2))
+  }
+
+  test("normalizeText collapses case, control chars and whitespace") {
+    val df = Seq((1, "  Hello\tWorld  \n  AGAIN ")).toDF("id", "text")
+    val got = df.select(TextAnalysis.normalizeText(col("text"))).as[String].head()
+    assert(got == "hello world again")
+  }
+}
