@@ -22,7 +22,7 @@ object BenchRef {
   /** tests/perf/conftest.py:96-123 equivalent (deterministic id arithmetic
     * instead of dbldatagen's sequential generators).
     */
-  def generatedDf(spark: SparkSession, rows: Long): DataFrame = {
+  def generatedDf(spark: SparkSession, rows: Long, partitions: Int = Partitions): DataFrame = {
     // integer division for the octets: `col / 7` alone is DOUBLE division in
     // Spark and would yield fractional "octets" (invalid addresses everywhere)
     val ipv4 = concat_ws(".", (col("id") % 256).cast("string"),
@@ -30,7 +30,7 @@ object BenchRef {
       (floor(col("id") / 13) % 256).cast("string"),
       (floor(col("id") / 29) % 256).cast("string"))
     val hexGroup = lpad(hex(col("id") % 65536), 4, "0")
-    spark.range(0L, rows, 1L, Partitions)
+    spark.range(0L, rows, 1L, partitions)
       .select(
         when(col("id") % 5 === 0, lit(null)).otherwise((col("id") % 1000000).cast("int")).as("col1"),
         (col("id") % 3456789).cast("int").as("col2"),
@@ -53,8 +53,8 @@ object BenchRef {
   }
 
   /** tests/perf/conftest.py:211-220 equivalent. */
-  def refDf(spark: SparkSession, rows: Long): DataFrame =
-    spark.range(0L, rows, 1L, Partitions).select(
+  def refDf(spark: SparkSession, rows: Long, partitions: Int = Partitions): DataFrame =
+    spark.range(0L, rows, 1L, partitions).select(
       (col("id") % 1000000).cast("int").as("ref_col1"),
       (col("id") % 3456789).cast("int").as("ref_col2"),
       (col("id") % 97).cast("int").as("ref_col3"))
@@ -63,6 +63,11 @@ object BenchRef {
   def stringDf(spark: SparkSession, rows: Long): DataFrame =
     spark.range(0L, rows, 1L, Partitions).select(
       (0 until 5).map(i => concat(lit(s"s$i"), (col("id") / (i + 1) % 5000000).cast("string")).as(s"col${i + 1}")): _*)
+
+  /** 5 int columns (generated_integer_df fixture, conftest.py:241-250). */
+  def intDf(spark: SparkSession, rows: Long): DataFrame =
+    spark.range(0L, rows, 1L, Partitions).select(
+      (1 to 5).map(i => ((col("id") + i) % 3456789).cast("int").as(s"col$i")): _*)
 
   /** All-row-checks suite: breadth of the reference all_row_checks.yaml
     * corpus against the generated columns, applied in one pass.
@@ -149,9 +154,41 @@ object BenchRef {
     val cmp = DQEngine.applyChecks(df, Seq(DQDatasetRule(
       DatasetChecks.compareDatasets(Seq("col1", "col2"), Seq("ref_col1", "ref_col2"), ref),
       "compare_datasets", Seq("col1", "col2"), criticality = graft.core.Criticality.Warn)))
+    // parity probe: same compare with inputs at 32 partitions — the fixture's
+    // 10 input partitions leave 22 of our 32 threads idle in the shuffle-map
+    // stage, while the reference's 8-core runner was oversubscribed; this
+    // entry isolates that map-parallelism gap from plan shape
+    val cmp32 = DQEngine.applyChecks(generatedDf(spark, rows, 32), Seq(DQDatasetRule(
+      DatasetChecks.compareDatasets(Seq("col1", "col2"), Seq("ref_col1", "ref_col2"),
+        refDf(spark, rows, 32)),
+      "compare_datasets", Seq("col1", "col2"), criticality = graft.core.Criticality.Warn)))
     val aggrOutliers = DQEngine.applyChecks(df, Seq(DQDatasetRule(
       DatasetChecks.hasNoAggrOutliers("*", "col6", "count", sigma = 6.0, timeInterval = "30 days"),
       "has_no_aggr_outliers", Seq.empty)))
+
+    // foreach suites over the integer fixture — the reference times
+    // apply_checks INSIDE the benchmark for these three (driver-side stats
+    // actions included), so the thunks re-apply per round
+    val idf = intDf(spark, rows)
+    def foreachSqlQuery(): Unit = {
+      val rules = (1 to 5).map(i => DQDatasetRule(
+        DatasetChecks.sqlQuery(
+          "SELECT col2, SUM(col1) > 1 AS condition FROM {{input_view}} GROUP BY col2",
+          mergeColumns = Seq("col2"), conditionColumn = "condition", negate = true),
+        "sql_query", Seq(s"col$i"), criticality = graft.core.Criticality.Warn))
+      DQEngine.applyChecks(idf, rules).count()
+    }
+    def foreachHasNoOutliers(): Unit = {
+      val rules = (1 to 5).map(i => DQDatasetRule(
+        DatasetChecks.hasNoOutliers(s"col$i"), "has_no_outliers", Seq(s"col$i")))
+      DQEngine.applyChecks(idf, rules).count()
+    }
+    def foreachCompareDatasets(): Unit = {
+      val rules = (1 to 5).map(i => DQDatasetRule(
+        DatasetChecks.compareDatasets(Seq(s"col$i"), Seq("ref_col1"), ref),
+        "compare_datasets", Seq(s"col$i"), criticality = graft.core.Criticality.Warn))
+      DQEngine.applyChecks(idf, rules).count()
+    }
 
     val m = rows / 1000000
     Seq(
@@ -162,6 +199,10 @@ object BenchRef {
       s"ref${m}m_foreign_key_single" -> bench(fkSingle.count()),
       s"ref${m}m_foreach_foreign_key" -> bench(fkForeach.count()),
       s"ref${m}m_compare_datasets" -> bench(cmp.count()),
+      s"ref${m}m_compare_datasets_p32" -> bench(cmp32.count()),
+      s"ref${m}m_foreach_sql_query" -> bench(foreachSqlQuery()),
+      s"ref${m}m_foreach_has_no_outliers" -> bench(foreachHasNoOutliers()),
+      s"ref${m}m_foreach_compare_datasets" -> bench(foreachCompareDatasets()),
       s"ref${m}m_has_no_aggr_outliers" -> bench(aggrOutliers.count()))
   }
 }

@@ -2,9 +2,10 @@ package graft.checks
 
 import graft.core.CheckUtils._
 import graft.rules.DatasetCheck
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Dataset-level checks (SURVEY §2.2): each returns a [[DatasetCheck]] whose
   * `applyFn` adds hidden metric columns (windows/joins/aggregations) and whose
@@ -358,7 +359,9 @@ object DatasetChecks {
                       excludeColumns: Seq[String] = Seq.empty,
                       nullSafeRowMatching: Boolean = true,
                       nullSafeColumnValueMatching: Boolean = true,
-                      absTolerance: Double = 0.0, relTolerance: Double = 0.0): DatasetCheck = {
+                      absTolerance: Double = 0.0, relTolerance: Double = 0.0,
+                      hashPrefilter: Boolean = true,
+                      maxCollectedDiffs: Int = 1000000): DatasetCheck = {
     require(columns.length == refColumns.length, "columns and ref_columns must align")
     val id = uniqueSuffix()
     val missingCol = s"__dq_cmp_missing_$id"
@@ -376,20 +379,12 @@ object DatasetChecks {
       // prune the ref side to keys + compared columns BEFORE the join: at scale
       // the shuffle carries only what the diff actually reads
       val refNeeded = (refColumns ++ compared).distinct
-      // SHUFFLE_HASH on the ref side: the diff join is one-row-per-key on both
-      // sides, so sorting 2x the data (SMJ) buys nothing. The hash build is one
-      // AQE-sized shuffle partition of the pruned ref side — bounded the same
-      // way any aggregation hash is — and AQE skew splitting still applies.
-      // Spark falls back to SMJ where SHJ is unsupported (some full-outer shapes).
-      val ref = refDf.select(refNeeded.map(c => col(c).as(refPrefix + c)): _*)
-        .hint("shuffle_hash")
       val leftKeys = columns.map(col)
       val rightKeys = refColumns.map(c => col(refPrefix + c))
       val joinCond =
         if (nullSafeRowMatching) nullSafeJoinCondition(leftKeys, rightKeys)
         else equalityJoinCondition(leftKeys, rightKeys)
       val joinType = if (checkMissingRecords) "full_outer" else "left_outer"
-      val joined = df.join(ref, joinCond, joinType)
       // present-markers: any key column non-null on that side
       val leftPresent = leftKeys.map(_.isNotNull).reduce(_ || _)
       val rightPresent = rightKeys.map(_.isNotNull).reduce(_ || _)
@@ -412,16 +407,126 @@ object DatasetChecks {
             when(colDiff(c), concat_ws(" -> ", valueText(col(c)), valueText(col(refPrefix + c))))
           )): _*),
           (_, v) => v.isNotNull)
-      // Flags FIRST (they read the pre-coalesce left keys), then coalesce PKs so
-      // downstream sees the key on appended missing rows (check_funcs.py:2941).
-      val flagged = joined
-        .withColumn(missingCol, !leftPresent && rightPresent)
-        .withColumn(extraCol, leftPresent && !rightPresent)
-        .withColumn(changedCol, when(leftPresent && rightPresent, changedMap))
-      val keyFixed = columns.zip(refColumns).foldLeft(flagged) { case (d, (c, rc)) =>
-        d.withColumn(c, coalesce(col(c), col(refPrefix + rc)))
+
+      /** Wide path: one outer join carrying every compared column — the
+        * reference's shape (check_funcs.py:2885). SHUFFLE_HASH on the ref
+        * side: the diff join is one-row-per-key on both sides, so sorting 2x
+        * the data (SMJ) buys nothing, and AQE skew splitting still applies.
+        */
+      def wideApply(): DataFrame = {
+        val ref = refDf.select(refNeeded.map(c => col(c).as(refPrefix + c)): _*)
+          .hint("shuffle_hash")
+        val joined = df.join(ref, joinCond, joinType)
+        // Flags FIRST (they read the pre-coalesce left keys), then coalesce PKs so
+        // downstream sees the key on appended missing rows (check_funcs.py:2941).
+        val flagged = joined
+          .withColumn(missingCol, !leftPresent && rightPresent)
+          .withColumn(extraCol, leftPresent && !rightPresent)
+          .withColumn(changedCol, when(leftPresent && rightPresent, changedMap))
+        val keyFixed = columns.zip(refColumns).foldLeft(flagged) { case (d, (c, rc)) =>
+          d.withColumn(c, coalesce(col(c), col(refPrefix + rc)))
+        }
+        keyFixed.drop(refDf.columns.map(refPrefix + _): _*)
       }
-      keyFixed.drop(refDf.columns.map(refPrefix + _): _*)
+
+      /** Hash-prefilter path: at 100 TB the wide join shuffles both datasets
+        * in full even when 0.01% of rows differ. Instead: (1) shuffle only
+        * (keys, 128-bit row hash over null-tagged compared values) per side
+        * and outer-join that; (2) collect the diff candidates (missing /
+        * extra / hash-mismatch / duplicated ref key — a recall-complete
+        * superset of every row the wide path would flag) up to
+        * `maxCollectedDiffs`; (3) attach verdicts and exact per-column diffs
+        * to the full frame via broadcast joins, so the wide rows never
+        * shuffle. Hash equality standing in for value equality is the only
+        * approximation (two independent 64-bit seeds; false-clean odds are
+        * 2^-128 per pair). Value semantics (tolerances, null-safe modes) are
+        * still decided by the exact expressions — the hash only selects
+        * candidates. Falls back to the wide path when the candidate set
+        * exceeds the cap (degenerate "everything changed" inputs).
+        */
+      def prefilterApply(): Option[DataFrame] = {
+        val spark = df.sparkSession
+        val seed1 = 0x9E3779B97F4A7C15L
+        val seed2 = 0xC2B2AE3D27D4EB4FL
+        def pairHash(seed: Long): Column =
+          xxhash64((lit(seed) +: compared.flatMap(c => Seq(col(c).isNull.cast("int"), col(c)))): _*)
+        val dfSlim = df.select(columns.map(col) ++ Seq(
+          pairHash(seed1).as("__l_h1"), pairHash(seed2).as("__l_h2")): _*)
+        val refSlim = refDf.select(
+          refColumns.map(c => col(c).as(refPrefix + c)) ++ Seq(
+            pairHash(seed1).as("__r_h1"), pairHash(seed2).as("__r_h2")): _*)
+        // duplicated ref keys multiply output rows in the wide path; flag them
+        // as candidates so the broadcast side keeps every copy (window reuses
+        // the join shuffle's partitioning)
+        val refCnt = refSlim.withColumn("__r_cnt",
+          count(lit(1)).over(Window.partitionBy(rightKeys: _*)))
+        val slim = dfSlim.join(refCnt.hint("shuffle_hash"), joinCond, joinType)
+        val interesting = !leftPresent || !rightPresent ||
+          col("__l_h1") =!= col("__r_h1") || col("__l_h2") =!= col("__r_h2") ||
+          coalesce(col("__r_cnt") > 1, lit(false))
+        val slimDiff = slim.where(interesting).select(
+          columns.map(col) ++ refColumns.map(c => col(refPrefix + c)) ++
+            Seq(leftPresent.as("__lp"), rightPresent.as("__rp")): _*)
+        val collected = slimDiff.limit(maxCollectedDiffs + 1).collect()
+        if (collected.length > maxCollectedDiffs) None
+        else Some {
+          import scala.jdk.CollectionConverters._
+          val k = columns.length
+          def lp(r: Row) = r.getBoolean(2 * k)
+          def rp(r: Row) = r.getBoolean(2 * k + 1)
+          val markerCol = s"__dq_cmp_xmark_$id"
+          val xKeyNames = columns.indices.map(i => s"__dq_cmp_xk${i}_$id")
+          val xSchema = StructType(columns.zipWithIndex.map { case (c, i) =>
+            df.schema(c).copy(name = xKeyNames(i), nullable = true)
+          })
+          val extrasDf = spark.createDataFrame(
+            collected.filter(r => lp(r) && !rp(r))
+              .map(r => Row.fromSeq(xKeyNames.indices.map(r.get))).distinct.toList.asJava, xSchema)
+            .withColumn(markerCol, lit(true))
+          val changedKeysDf = spark.createDataFrame(
+            collected.filter(r => lp(r) && rp(r))
+              .map(r => Row.fromSeq((k until 2 * k).map(r.get))).distinct.toList.asJava,
+            StructType(refColumns.map(c => refDf.schema(c).copy(nullable = true))))
+          val refDetail = refDf.select(refNeeded.map(c => col(c).as(refPrefix + c)): _*)
+          val refFiltered = refDetail.join(broadcast(changedKeysDf),
+            nullSafeJoinCondition(rightKeys, refColumns.map(changedKeysDf(_))), "left_semi")
+          // exact-key (null-safe) match for the extras marker: it re-finds the
+          // rows the slim join left unmatched, whatever the matching mode
+          val joined = df
+            .join(broadcast(refFiltered), joinCond, "left_outer")
+            .join(broadcast(extrasDf),
+              nullSafeJoinCondition(leftKeys, xKeyNames.map(extrasDf(_))), "left_outer")
+          val isExtra = coalesce(col(markerCol), lit(false))
+          val flagged = joined
+            .withColumn(missingCol, lit(false))
+            .withColumn(extraCol, isExtra)
+            .withColumn(changedCol,
+              when(isExtra, lit(null).cast("map<string,string>"))
+                .when(rightPresent, changedMap) // candidate with its ref row: exact diff
+                .otherwise(map().cast("map<string,string>"))) // hash-clean match
+            .drop(refNeeded.map(refPrefix + _): _*).drop(markerCol).drop(xKeyNames: _*)
+          if (!checkMissingRecords) flagged
+          else {
+            val missSchema = StructType(columns.map(c => df.schema(c).copy(nullable = true)))
+            val missingKeysDf = spark.createDataFrame(
+              collected.filter(r => !lp(r) && rp(r))
+                .map(r => Row.fromSeq((k until 2 * k).map(r.get))).toList.asJava, missSchema)
+            val missingFull = missingKeysDf.select(df.columns.map(c =>
+                if (columns.contains(c)) col(c) else lit(null).cast(df.schema(c).dataType).as(c)): _*)
+              .withColumn(missingCol, lit(true))
+              .withColumn(extraCol, lit(false))
+              .withColumn(changedCol, lit(null).cast("map<string,string>"))
+            flagged.unionByName(missingFull)
+          }
+        }
+      }
+
+      val typesAlign =
+        columns.zip(refColumns).forall { case (c, rc) => df.schema(c).dataType == refDf.schema(rc).dataType } &&
+          compared.forall(c => df.schema(c).dataType == refDf.schema(c).dataType)
+      if (hashPrefilter && compared.nonEmpty && typesAlign && !df.isStreaming)
+        prefilterApply().getOrElse(wideApply())
+      else wideApply()
     }
     val anyChanged = coalesce(size(map_keys(col(changedCol))) > 0, lit(false))
     val failCond = col(missingCol) || col(extraCol) || anyChanged

@@ -22,7 +22,8 @@ object PlanAudit {
       else Seq("row_is_in_range", "ds_is_unique", "ds_foreign_key",
         "ds_is_aggr_not_greater_than", "pipe_dedup_minhash", "pipe_knn_bruteforce",
         "ds_polygons_mutually_disjoint", "pipe_dedup_cosine", "ds_has_no_aggr_outliers",
-        "eng_check_metrics")
+        "eng_check_metrics", "ds_compare_datasets", "pipe_decontaminate",
+        "pipe_curation_quota")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")

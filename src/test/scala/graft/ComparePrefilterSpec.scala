@@ -1,0 +1,96 @@
+package graft
+
+import graft.checks.DatasetChecks
+import graft.engine.DQEngine
+import graft.rules.DQDatasetRule
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The hash-prefilter path of compare_datasets must be observationally
+  * identical to the wide-join path on every row the check flags. Runs both
+  * paths on the same planted-diff inputs and diffs the full result.
+  */
+class ComparePrefilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base: DataFrame = Seq(
+    (1, "a", 10.0, "x"), // clean
+    (2, "b", 20.0, "x"), // value changed in ref
+    (3, "c", 30.0, "x"), // extra: key absent from ref
+    (4, null, 40.0, "x"), // null in a compared column, equal on both sides
+    (5, "e", 50.0, "x"), // null-vs-value diff in ref
+    (7, "g", 70.0, "x") // ref has this key twice (one equal copy, one changed)
+  ).toDF("id", "s", "v", "tag")
+
+  private def ref: DataFrame = Seq(
+    (1, "a", 10.0, "y"),
+    (2, "CHANGED", 20.0, "y"),
+    (4, null, 40.0, "y"),
+    (5, null, 50.0, "y"),
+    (6, "f", 60.0, "y"), // missing: key absent from input
+    (7, "g", 70.0, "y"),
+    (7, "g2", 70.5, "y")
+  ).toDF("id", "s", "v", "tag")
+
+  private def run(hashPrefilter: Boolean, checkMissing: Boolean,
+                  nullSafeVals: Boolean = true, absTol: Double = 0.0): Seq[(Option[Int], String)] = {
+    val rule = DQDatasetRule(
+      DatasetChecks.compareDatasets(Seq("id"), Seq("id"), ref,
+        checkMissingRecords = checkMissing, excludeColumns = Seq("tag"),
+        nullSafeColumnValueMatching = nullSafeVals, absTolerance = absTol,
+        hashPrefilter = hashPrefilter),
+      "compare_datasets", Seq("id"))
+    DQEngine.applyChecks(base, Seq(rule))
+      .select(col("id"), coalesce(col("_errors")(0)("message"), lit("pass")).as("m"))
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Int]), r.getString(1)))
+      .sortBy(p => (p._1.getOrElse(-1), p._2)).toSeq
+  }
+
+  test("prefilter path matches wide path: left-join mode") {
+    assert(run(hashPrefilter = true, checkMissing = false) ==
+      run(hashPrefilter = false, checkMissing = false))
+  }
+
+  test("prefilter path matches wide path: full-outer with appended missing rows") {
+    val p = run(hashPrefilter = true, checkMissing = true)
+    assert(p == run(hashPrefilter = false, checkMissing = true))
+    // the missing ref-only key must actually be appended
+    assert(p.exists { case (id, m) => id.contains(6) && m.contains("\"row_missing\":true") })
+  }
+
+  test("prefilter path matches wide path: non-null-safe value matching") {
+    assert(run(hashPrefilter = true, checkMissing = true, nullSafeVals = false) ==
+      run(hashPrefilter = false, checkMissing = true, nullSafeVals = false))
+  }
+
+  test("prefilter path matches wide path: tolerance absorbs hash candidates") {
+    // v differs by 0.5 on the duplicated key 7; tolerance 1.0 clears it in
+    // both paths even though the hashes differ
+    assert(run(hashPrefilter = true, checkMissing = true, absTol = 1.0) ==
+      run(hashPrefilter = false, checkMissing = true, absTol = 1.0))
+  }
+
+  test("duplicated ref keys multiply rows identically in both paths") {
+    def rows(pf: Boolean) = run(hashPrefilter = pf, checkMissing = false)
+    val p = rows(true)
+    assert(p.count(_._1.contains(7)) == 2)
+    assert(p == rows(false))
+  }
+
+  test("candidate cap exceeded falls back to the wide path (same answer)") {
+    assert(run(hashPrefilter = true, checkMissing = true) ==
+      runWithCap(1))
+  }
+
+  private def runWithCap(cap: Int): Seq[(Option[Int], String)] = {
+    val rule = DQDatasetRule(
+      DatasetChecks.compareDatasets(Seq("id"), Seq("id"), ref,
+        checkMissingRecords = true, excludeColumns = Seq("tag"),
+        maxCollectedDiffs = cap),
+      "compare_datasets", Seq("id"))
+    DQEngine.applyChecks(base, Seq(rule))
+      .select(col("id"), coalesce(col("_errors")(0)("message"), lit("pass")).as("m"))
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Int]), r.getString(1)))
+      .sortBy(p => (p._1.getOrElse(-1), p._2)).toSeq
+  }
+}
