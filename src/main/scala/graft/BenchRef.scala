@@ -52,22 +52,31 @@ object BenchRef {
       .drop("id")
   }
 
-  /** tests/perf/conftest.py:211-220 equivalent. */
+  /** tests/perf/conftest.py:211-220 equivalent. `withColumnSpec` with no
+    * generator args is dbldatagen's default int spec = the sequential seed
+    * (id) value — NOT a modulo pattern; unique keys keep the compare/FK joins
+    * 1:1 like the reference's measured runs.
+    */
   def refDf(spark: SparkSession, rows: Long, partitions: Int = Partitions): DataFrame =
     spark.range(0L, rows, 1L, partitions).select(
-      (col("id") % 1000000).cast("int").as("ref_col1"),
-      (col("id") % 3456789).cast("int").as("ref_col2"),
-      (col("id") % 97).cast("int").as("ref_col3"))
+      col("id").cast("int").as("ref_col1"),
+      col("id").cast("int").as("ref_col2"),
+      col("id").cast("int").as("ref_col3"))
 
   /** 5 string columns (generated_string_df fixture, conftest.py:224-237). */
   def stringDf(spark: SparkSession, rows: Long): DataFrame =
     spark.range(0L, rows, 1L, Partitions).select(
       (0 until 5).map(i => concat(lit(s"s$i"), (col("id") / (i + 1) % 5000000).cast("string")).as(s"col${i + 1}")): _*)
 
-  /** 5 int columns (generated_integer_df fixture, conftest.py:241-250). */
+  /** 5 int columns (generated_integer_df fixture, conftest.py:241-250):
+    * default int spec per column = the sequential id value, so all five
+    * columns are identical unique sequences (e.g. the sql_query groupBy runs
+    * over n_rows distinct groups — that cardinality is the workload).
+    */
   def intDf(spark: SparkSession, rows: Long): DataFrame =
     spark.range(0L, rows, 1L, Partitions).select(
-      (1 to 5).map(i => ((col("id") + i) % 3456789).cast("int").as(s"col$i")): _*)
+      (1 to 5).map(_ => col("id").cast("int")).zipWithIndex
+        .map { case (c, i) => c.as(s"col${i + 1}") }: _*)
 
   /** All-row-checks suite: breadth of the reference all_row_checks.yaml
     * corpus against the generated columns, applied in one pass.

@@ -409,13 +409,14 @@ object DatasetChecks {
           (_, v) => v.isNotNull)
 
       /** Wide path: one outer join carrying every compared column — the
-        * reference's shape (check_funcs.py:2885). SHUFFLE_HASH on the ref
-        * side: the diff join is one-row-per-key on both sides, so sorting 2x
-        * the data (SMJ) buys nothing, and AQE skew splitting still applies.
+        * reference's shape (check_funcs.py:2885). No join-strategy hint: a
+        * forced SHUFFLE_HASH build is ~20% faster for ONE compare at 100M
+        * rows, but several compare checks composed into one plan build their
+        * hash maps simultaneously per task and OOM where sort-merge spills
+        * gracefully — robustness wins at scale.
         */
       def wideApply(): DataFrame = {
         val ref = refDf.select(refNeeded.map(c => col(c).as(refPrefix + c)): _*)
-          .hint("shuffle_hash")
         val joined = df.join(ref, joinCond, joinType)
         // Flags FIRST (they read the pre-coalesce left keys), then coalesce PKs so
         // downstream sees the key on appended missing rows (check_funcs.py:2941).
@@ -460,7 +461,7 @@ object DatasetChecks {
         // the join shuffle's partitioning)
         val refCnt = refSlim.withColumn("__r_cnt",
           count(lit(1)).over(Window.partitionBy(rightKeys: _*)))
-        val slim = dfSlim.join(refCnt.hint("shuffle_hash"), joinCond, joinType)
+        val slim = dfSlim.join(refCnt, joinCond, joinType)
         val interesting = !leftPresent || !rightPresent ||
           col("__l_h1") =!= col("__r_h1") || col("__l_h2") =!= col("__r_h2") ||
           coalesce(col("__r_cnt") > 1, lit(false))

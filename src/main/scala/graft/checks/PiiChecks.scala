@@ -47,6 +47,27 @@ object PiiChecks {
     array_compact(array(hits: _*))
   }
 
+  /** Redaction order: emails/URLs first so their digit/dot runs can't be
+    * half-eaten by the looser numeric patterns; phone last (loosest).
+    */
+  val RedactionOrder: Seq[String] = Seq(
+    "EMAIL_ADDRESS", "URL", "MAC_ADDRESS", "IP_ADDRESS", "US_SSN",
+    "CREDIT_CARD", "PHONE_NUMBER")
+
+  /** Replace every PII entity occurrence with an `[ENTITY_NAME]` placeholder —
+    * the transform counterpart of [[doesNotContainPii]] for publishing
+    * training corpora. Sequential regexp_replace chain in [[RedactionOrder]];
+    * row-local, codegen'd, no shuffle. Checksum-validated entities
+    * (CREDIT_CARD_LUHN/IBAN) have no redaction regex — the CREDIT_CARD shape
+    * pattern covers card redaction.
+    */
+  def redactPii(c: Column, entities: Seq[String] = RedactionOrder): Column = {
+    val patterns = EntityPatterns.toMap
+    RedactionOrder.filter(entities.contains).foldLeft(c.cast("string")) { (acc, name) =>
+      regexp_replace(acc, patterns(name), s"[$name]")
+    }
+  }
+
   /** Check: any detected entity fails, message lists the entity types. */
   def doesNotContainPii(c: Column, entities: Seq[String] = EntityPatterns.map(_._1)): Column = {
     val found = detectedEntities(c, entities)

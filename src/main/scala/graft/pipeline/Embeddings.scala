@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column utilities for training-data pipelines: norms, L2
+  * normalization, and per-group statistics (the health dashboard a 100 TB
+  * embedding corpus needs before ANN indexing — norm drift, degenerate
+  * all-zero vectors, centroid collapse per shard/label).
+  *
+  * Scale shapes: norms and normalization are row-local expressions;
+  * groupStats is one partial-aggregated shuffle on the group key; centroids
+  * aggregate per (group, dimension) — group-count x dim rows, partial-agg
+  * map-side, never a full-vector shuffle.
+  */
+object Embeddings {
+
+  /** L2 norm, accumulated in double (row-local). */
+  def l2Norm(vec: Column): Column =
+    sqrt(aggregate(vec, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Vector scaled to unit L2 norm; all-zero vectors pass through unchanged
+    * (guard against divide-by-zero). Row-local.
+    */
+  def l2Normalize(vec: Column): Column = {
+    val n = l2Norm(vec)
+    when(n > 0, transform(vec, x => x.cast("double") / n)).otherwise(transform(vec, _.cast("double")))
+  }
+
+  /** Per-group embedding statistics: row count, zero-vector count, and
+    * min/avg/max L2 norm (rounded to `roundTo` decimals — cross-engine stable
+    * under distributed summation order).
+    */
+  def groupStats(df: DataFrame, groupCol: String, vecCol: String, roundTo: Int = 6): DataFrame = {
+    val n = l2Norm(col(vecCol))
+    df.groupBy(groupCol).agg(
+      count(lit(1)).as("n_vectors"),
+      sum(when(n === 0 || col(vecCol).isNull, 1).otherwise(0)).as("n_zero"),
+      round(min(n), roundTo).as("min_norm"),
+      round(avg(n), roundTo).as("avg_norm"),
+      round(max(n), roundTo).as("max_norm"))
+  }
+
+  /** Per-group centroid (element-wise mean), one output row per group:
+    * explode to (group, dim, value), partial-agg the means, regroup into an
+    * ordered array. Returns (groupCol, centroid array<double>, centroid_norm).
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String, roundTo: Int = 6): DataFrame = {
+    val exploded = df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+    val dimMeans = exploded.groupBy(col(groupCol), col("__dim"))
+      .agg(round(avg(col("__v").cast("double")), roundTo).as("__mean"))
+    dimMeans.groupBy(groupCol)
+      .agg(array_sort(collect_list(struct(col("__dim"), col("__mean")))).as("__pairs"))
+      .select(col(groupCol),
+        transform(col("__pairs"), p => p.getField("__mean")).as("centroid"))
+      .withColumn("centroid_norm", round(l2Norm(col("centroid")), roundTo))
+  }
+}

@@ -61,6 +61,27 @@ object PipelineQueries {
        |SELECT lang_pred, count(*) AS n FROM p GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** DuckDB replica of PiiChecks.redactPii over planted entities, generated
+    * from the SAME EntityPatterns registry (redaction-order chain) so the two
+    * can never drift. The patterns use only RE2-compatible syntax.
+    */
+  private def piiRedactOracleSql: String = {
+    val pats = graft.checks.PiiChecks.EntityPatterns.toMap
+    val chain = graft.checks.PiiChecks.RedactionOrder
+      .filter(Seq("EMAIL_ADDRESS", "IP_ADDRESS", "US_SSN").contains)
+      .foldLeft("text") { (acc, name) =>
+        val re = pats(name).replace("'", "''")
+        s"regexp_replace($acc, '$re', '[$name]', 'g')"
+      }
+    s"""WITH p AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || doc_id || '@example.com now'
+       |       WHEN doc_id % 5 = 1 THEN text || ' ssn 123-45-6789 ok'
+       |       WHEN doc_id % 5 = 2 THEN text || ' from 10.1.2.33 host'
+       |       ELSE text END AS text
+       |FROM documents)
+       |SELECT doc_id, $chain AS redacted FROM p ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, QueryDef)] = Seq(
 
     "pipe_dedup_exact" -> QueryDef(
@@ -352,6 +373,48 @@ object PipelineQueries {
              |            (doc_id % 2147483648) * 2654435761 % 4294967296 AS hv FROM documents),
              |r AS (SELECT doc_id, row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn FROM h)
              |SELECT doc_id FROM r WHERE rn <= 200 ORDER BY doc_id""".stripMargin)),
+
+    "pipe_embedding_stats" -> QueryDef(
+      (s, dir) => Embeddings.groupStats(
+        t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label"),
+      Some("""WITH n AS (SELECT label, embedding,
+             |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+             |FROM embeddings)
+             |SELECT label, count(*) AS n_vectors,
+             |  sum(CASE WHEN nrm = 0 OR embedding IS NULL THEN 1 ELSE 0 END) AS n_zero,
+             |  round(min(nrm), 6) AS min_norm,
+             |  round(avg(nrm), 6) AS avg_norm,
+             |  round(max(nrm), 6) AS max_norm
+             |FROM n GROUP BY label ORDER BY label""".stripMargin)),
+
+    "pipe_embedding_centroids" -> QueryDef(
+      (s, dir) => Embeddings.groupCentroids(
+        t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label"),
+      Some("""WITH e AS (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS dim
+             |           FROM embeddings),
+             |m AS (SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 6) AS mean FROM e GROUP BY 1, 2),
+             |c AS (SELECT label, list(mean ORDER BY dim) AS centroid FROM m GROUP BY 1)
+             |SELECT label, centroid,
+             |       round(sqrt(list_sum(list_transform(centroid, x -> x * x))), 6) AS centroid_norm
+             |FROM c ORDER BY label""".stripMargin)),
+
+    "pipe_pii_redact" -> QueryDef(
+      (s, dir) => {
+        val p = t(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com now")))
+              .when(col("doc_id") % 5 === 1, concat(col("text"), lit(" ssn 123-45-6789 ok")))
+              .when(col("doc_id") % 5 === 2, concat(col("text"), lit(" from 10.1.2.33 host")))
+              .otherwise(col("text")).as("text"))
+        p.select(col("doc_id"),
+          graft.checks.PiiChecks.redactPii(col("text"),
+            Seq("EMAIL_ADDRESS", "IP_ADDRESS", "US_SSN")).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some(piiRedactOracleSql)), // oracle generated from the same pattern registry
 
     "pipe_multimodal_stub" -> QueryDef(
       (s, dir) => {

@@ -1,0 +1,39 @@
+package graft
+
+import graft.pipeline.Embeddings
+import org.apache.spark.sql.functions._
+
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(3.0f, 4.0f), "a"),   // norm 5
+    (2L, Array(0.0f, 0.0f), "a"),   // zero vector
+    (3L, Array(6.0f, 8.0f), "b"),   // norm 10
+    (4L, Array(0.0f, 2.0f), "b")
+  ).toDF("vec_id", "embedding", "g")
+
+  test("l2Norm and l2Normalize") {
+    val out = vecs.select(col("vec_id"), Embeddings.l2Norm(col("embedding")).as("n"),
+      Embeddings.l2Normalize(col("embedding")).as("u"))
+      .as[(Long, Double, Array[Double])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 == 5.0 && out(1L)._2.toSeq == Seq(0.6, 0.8))
+    assert(out(2L)._1 == 0.0 && out(2L)._2.toSeq == Seq(0.0, 0.0)) // zero vec passes through
+    assert(math.abs(out(3L)._2.map(x => x * x).sum - 1.0) < 1e-12) // unit norm after scaling
+  }
+
+  test("groupStats counts zeros and aggregates norms per group") {
+    val got = Embeddings.groupStats(vecs, "g", "embedding")
+      .as[(String, Long, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 2L, 1L, 0.0, 2.5, 5.0)))
+    assert(got("b") == (("b", 2L, 0L, 2.0, 6.0, 10.0)))
+  }
+
+  test("groupCentroids computes element-wise means in dimension order") {
+    val got = Embeddings.groupCentroids(vecs, "g", "embedding")
+      .as[(String, Array[Double], Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("a")._2.toSeq == Seq(1.5, 2.0)) // mean of (3,4),(0,0)
+    assert(got("b")._2.toSeq == Seq(3.0, 5.0)) // mean of (6,8),(0,2)
+    assert(got("b")._3 == math.sqrt(34.0).floor / 1 || got("b")._3 == 5.830952) // rounded norm
+  }
+}

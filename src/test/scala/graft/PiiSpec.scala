@@ -46,4 +46,23 @@ class PiiSpec extends SparkSpec {
     assert(msg.contains("EMAIL_ADDRESS") && msg.contains("CREDIT_CARD_LUHN"))
     assert(out.where(col("id") === 2 && col("_errors").isNotNull).count() == 0)
   }
+
+  test("redactPii replaces entities with placeholders in redaction order") {
+    val df = Seq(
+      (1, "mail a.user@site.org from 192.168.0.7 ssn 123-45-6789"),
+      (2, "clean text stays untouched")
+    ).toDF("id", "t")
+    val got = df.select(col("id"), PiiChecks.redactPii(col("t"),
+      Seq("EMAIL_ADDRESS", "IP_ADDRESS", "US_SSN")).as("r"))
+      .as[(Int, String)].collect().toMap
+    assert(got(1) == "mail [EMAIL_ADDRESS] from [IP_ADDRESS] ssn [US_SSN]")
+    assert(got(2) == "clean text stays untouched")
+  }
+
+  test("redactPii default entity set covers urls, macs, cards and phones") {
+    val s0 = "see http://ex.com/a 00:1B:44:11:3A:B7 4539 1488 0343 6467 call (555) 123-4567"
+    val got = Seq((1, s0)).toDF("id", "t")
+      .select(PiiChecks.redactPii(col("t"))).as[String].head()
+    assert(got == "see [URL] [MAC_ADDRESS] [CREDIT_CARD] call [PHONE_NUMBER]")
+  }
 }
