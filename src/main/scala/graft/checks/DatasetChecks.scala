@@ -161,12 +161,20 @@ object DatasetChecks {
       if (groupBy.nonEmpty && !windowIncompatible.contains(aggrType)) {
         df.withColumn(metricCol, aggExpr.over(Window.partitionBy(groupBy.map(col): _*)))
       } else if (groupBy.nonEmpty) {
-        // two-stage groupBy + null-safe join back (DISTINCT aggregates)
-        val renamed = groupBy.map(g => s"__dq_grp_${g}_$id")
-        val aggDf = df.groupBy(groupBy.zip(renamed).map { case (g, nn) => col(g).as(nn) }: _*)
+        // two-stage groupBy + join back (DISTINCT aggregates). The aggregate
+        // groups by ONE struct key and the join is a plain === on it: struct
+        // comparison is null-safe per field (same semantics as a <=> chain),
+        // the condition is never-null, and the join key is exactly the
+        // aggregate's unique grouping attribute — so when the metric goes
+        // unread (e.g. a bare count() action) Catalyst can prove the left
+        // join row-preserving and eliminate it, which a <=> chain defeats.
+        val kr = s"__dq_grpk_${id}_r"
+        val kl = s"__dq_grpk_${id}_l"
+        val aggDf = df.groupBy(struct(groupBy.map(col): _*).as(kr))
           .agg(aggExpr.as(metricCol))
-        df.join(aggDf, nullSafeJoinCondition(groupBy.map(col), renamed.map(col)), "left")
-          .drop(renamed: _*)
+        df.withColumn(kl, struct(groupBy.map(col): _*))
+          .join(aggDf, col(kl) === col(kr), "left")
+          .drop(kl, kr)
       } else {
         // global scalar: 1-row aggregate broadcast via crossJoin
         val aggDf = df.select(aggExpr.as(metricCol)).limit(1)
@@ -321,13 +329,17 @@ object DatasetChecks {
     }
     val applyFn = (df: DataFrame) => {
       if (groupBy.nonEmpty) {
-        val renamed = refGroups.map(g => s"__dq_amg_${g}_$id")
-        val refAgg = refDf.groupBy(refGroups.zip(renamed).map { case (g, nn) => col(g).as(nn) }: _*)
+        // struct-key === join-back (null-safe per field, join-eliminable when
+        // the metric goes unread — see aggrCompare)
+        val kr = s"__dq_amgk_${id}_r"
+        val kl = s"__dq_amgk_${id}_l"
+        val refAgg = refDf.groupBy(struct(refGroups.map(col): _*).as(kr))
           .agg(aggOf(refColumn, refRowFilter).as(refMetricCol))
         val cur = df.withColumn(metricCol,
           aggOf(column, rowFilter).over(Window.partitionBy(groupBy.map(col): _*)))
-        cur.join(refAgg, nullSafeJoinCondition(groupBy.map(col), renamed.map(col)), "left")
-          .drop(renamed: _*)
+        cur.withColumn(kl, struct(groupBy.map(col): _*))
+          .join(refAgg, col(kl) === col(kr), "left")
+          .drop(kl, kr)
       } else {
         val refAgg = refDf.select(aggOf(refColumn, refRowFilter).as(refMetricCol)).limit(1)
         val curAgg = df.select(aggOf(column, rowFilter).as(metricCol)).limit(1)
@@ -522,10 +534,40 @@ object DatasetChecks {
         }
       }
 
-      val typesAlign =
-        columns.zip(refColumns).forall { case (c, rc) => df.schema(c).dataType == refDf.schema(rc).dataType } &&
-          compared.forall(c => df.schema(c).dataType == refDf.schema(c).dataType)
-      if (hashPrefilter && compared.nonEmpty && typesAlign && !df.isStreaming)
+      /** Presence path: with no compared columns and no missing-record mode,
+        * the diff degenerates to "does the key exist in ref" — the FK shape.
+        * Aggregate ref to unique struct keys and left-join on plain ===
+        * (struct comparison is null-safe per field): the build side shrinks
+        * to distinct keys, and when the flags go unread the row-preserving
+        * join is eliminated outright. Known divergence from the wide join:
+        * ref rows fully duplicated on the keys no longer multiply the
+        * matching input rows (flags are identical either way — a PK-diff
+        * against a ref with duplicate PKs is degenerate input).
+        */
+      def presenceApply(): DataFrame = {
+        val kr = s"__dq_cmpk_${id}_r"
+        val kl = s"__dq_cmpk_${id}_l"
+        val presCol = s"__dq_cmp_pres_$id"
+        val refAgg = refDf
+          .groupBy(struct(refColumns.map(col): _*).as(kr))
+          .agg(count(lit(1)).as(presCol))
+        df.withColumn(kl, struct(columns.map(col): _*))
+          .join(refAgg, col(kl) === col(kr), "left")
+          .withColumn(missingCol, lit(false))
+          // all-null-key rows never count as extra (leftPresent guard, as in
+          // the wide path's present-marker semantics)
+          .withColumn(extraCol, leftPresent && col(presCol).isNull)
+          .withColumn(changedCol, lit(null).cast("map<string,string>"))
+          .drop(kl, kr, presCol)
+      }
+
+      val keysAlign =
+        columns.zip(refColumns).forall { case (c, rc) => df.schema(c).dataType == refDf.schema(rc).dataType }
+      val typesAlign = keysAlign &&
+        compared.forall(c => df.schema(c).dataType == refDf.schema(c).dataType)
+      if (hashPrefilter && compared.isEmpty && !checkMissingRecords && nullSafeRowMatching && keysAlign)
+        presenceApply()
+      else if (hashPrefilter && compared.nonEmpty && typesAlign && !df.isStreaming)
         prefilterApply().getOrElse(wideApply())
       else wideApply()
     }
@@ -839,12 +881,17 @@ object DatasetChecks {
         val value = rows.headOption.exists(r => !r.isNullAt(0) && r.getBoolean(0))
         df.withColumn(condCol, lit(value))
       } else {
-        // dedup to one row per merge key (check_funcs.py:2157)
-        val renamed = mergeColumns.map(m => s"__dq_sqlm_${m}_$id")
-        val deduped = result.groupBy(mergeColumns.zip(renamed).map { case (m, nn) => col(m).as(nn) }: _*)
+        // dedup to one row per merge key (check_funcs.py:2157); struct-key
+        // === join-back (null-safe per field) so that when the condition goes
+        // unread Catalyst proves the join row-preserving and prunes the whole
+        // query subtree — a <=> chain blocks that proof
+        val kr = s"__dq_sqlk_${id}_r"
+        val kl = s"__dq_sqlk_${id}_l"
+        val deduped = result.groupBy(struct(mergeColumns.map(col): _*).as(kr))
           .agg(max(col(conditionColumn)).as(condCol))
-        df.join(deduped, nullSafeJoinCondition(mergeColumns.map(col), renamed.map(col)), "left")
-          .drop(renamed: _*)
+        df.withColumn(kl, struct(mergeColumns.map(col): _*))
+          .join(deduped, col(kl) === col(kr), "left")
+          .drop(kl, kr)
       }
     }
     val filterC = rowFilter.map(expr).getOrElse(lit(true))

@@ -106,6 +106,42 @@ object PerfLab {
       time("d9 equality join only")(
         wg2.join(broadcast(flags2), col("__grain") === col("__grain_f"), "left").count())
     }
+    if (which == "all" || which == "sqlq") {
+      val idf = BenchRef.intDf(spark, rows)
+      idf.count()
+      val rules = (1 to 5).map(i => DQDatasetRule(
+        DatasetChecks.sqlQuery(
+          "SELECT col2, SUM(col1) > 1 AS condition FROM {{input_view}} GROUP BY col2",
+          mergeColumns = Seq("col2"), conditionColumn = "condition", negate = true),
+        "sql_query", Seq(s"col$i"), criticality = graft.core.Criticality.Warn))
+      val suite = DQEngine.applyChecks(idf, rules)
+      if (doExplain) suite.groupBy().count().explain("formatted")
+      time("foreach_sql_query current")(suite.count())
+      // floor: ONE aggregation + ONE null-safe join-back
+      val one = DQEngine.applyChecks(idf, rules.take(1))
+      time("single sql_query current")(one.count())
+      // floor: the user aggregation alone
+      time("sqlq floor: agg only")(
+        idf.groupBy(col("col2")).agg((sum(col("col1")) > 1).as("condition")).count())
+      // variant: struct-key grouping + plain === join-back — null-safe via
+      // struct comparison semantics, and the join key IS the aggregate's
+      // grouping attribute (provably unique -> join eliminable under count)
+      def structVariant(): org.apache.spark.sql.DataFrame = {
+        val q = idf.groupBy(struct(col("col2")).as("__k"))
+          .agg((sum(col("col1")) > 1).as("__cond"))
+        idf.withColumn("__lk", struct(col("col2")))
+          .join(q, col("__lk") === col("__k"), "left")
+          .drop("__k", "__lk")
+      }
+      if (doExplain) structVariant().groupBy().count().explain("formatted")
+      time("sqlq struct === join-back")(structVariant().count())
+      // struct null-equality semantics probe
+      import spark.implicits._
+      val probe = Seq((Option.empty[Int], Option.empty[Int]), (Some(1), Some(1)), (Some(1), Option.empty[Int]))
+        .toDF("a", "b")
+        .select(col("a"), col("b"), (struct(col("a")) === struct(col("b"))).as("eq"))
+      probe.show()
+    }
     spark.stop()
   }
 }

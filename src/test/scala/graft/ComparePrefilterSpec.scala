@@ -82,6 +82,21 @@ class ComparePrefilterSpec extends SparkSpec {
       runWithCap(1))
   }
 
+  test("presence path (no compared columns) matches wide path flags") {
+    def runPresence(pf: Boolean): Seq[(Int, String)] = {
+      val rule = DQDatasetRule(
+        DatasetChecks.compareDatasets(Seq("id"), Seq("id"), ref.where(col("id") =!= 7),
+          excludeColumns = Seq("s", "v", "tag"), hashPrefilter = pf),
+        "compare_datasets", Seq("id"))
+      DQEngine.applyChecks(base, Seq(rule))
+        .select(col("id"), coalesce(col("_errors")(0)("message"), lit("pass")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(identity).toSeq
+    }
+    // ref sans key 7 so no duplicate ref keys: row sets identical in both paths
+    assert(runPresence(true) == runPresence(false))
+    assert(runPresence(true).count(_._2.contains("\"row_extra\":true")) == 2) // ids 3 and 7
+  }
+
   private def runWithCap(cap: Int): Seq[(Option[Int], String)] = {
     val rule = DQDatasetRule(
       DatasetChecks.compareDatasets(Seq("id"), Seq("id"), ref,
