@@ -27,9 +27,19 @@ object Embeddings {
     when(n > 0, transform(vec, x => x.cast("double") / n)).otherwise(transform(vec, _.cast("double")))
   }
 
+  /** Order-independent mean: per-row values are rounded to `scale` decimals,
+    * summed exactly as DECIMAL(38,scale) (partial-aggregatable, no FP drift
+    * across partition orders), then one deterministic double division. This
+    * makes distributed Spark bit-match a sequential engine at any parallelism.
+    */
+  private def stableAvg(v: Column, scale: Int, roundTo: Int): Column =
+    round(sum(round(v, scale).cast(s"decimal(38,$scale)")).cast("double") /
+      count(v), roundTo)
+
   /** Per-group embedding statistics: row count, zero-vector count, and
     * min/avg/max L2 norm (rounded to `roundTo` decimals — cross-engine stable
-    * under distributed summation order).
+    * under distributed summation order: min/max are order-free, avg uses an
+    * exact decimal sum so partition order can't flip the last rounded digit).
     */
   def groupStats(df: DataFrame, groupCol: String, vecCol: String, roundTo: Int = 6): DataFrame = {
     val n = l2Norm(col(vecCol))
@@ -37,7 +47,7 @@ object Embeddings {
       count(lit(1)).as("n_vectors"),
       sum(when(n === 0 || col(vecCol).isNull, 1).otherwise(0)).as("n_zero"),
       round(min(n), roundTo).as("min_norm"),
-      round(avg(n), roundTo).as("avg_norm"),
+      stableAvg(n, 6, roundTo).as("avg_norm"),
       round(max(n), roundTo).as("max_norm"))
   }
 
@@ -48,7 +58,7 @@ object Embeddings {
   def groupCentroids(df: DataFrame, groupCol: String, vecCol: String, roundTo: Int = 6): DataFrame = {
     val exploded = df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("__dim", "__v")))
     val dimMeans = exploded.groupBy(col(groupCol), col("__dim"))
-      .agg(round(avg(col("__v").cast("double")), roundTo).as("__mean"))
+      .agg(stableAvg(col("__v").cast("double"), 6, roundTo).as("__mean"))
     dimMeans.groupBy(groupCol)
       .agg(array_sort(collect_list(struct(col("__dim"), col("__mean")))).as("__pairs"))
       .select(col(groupCol),

@@ -237,12 +237,32 @@ object DatasetCheckQueries {
              |WHERE abs(c_acctbal - st.m) / st.sd > 1.5
              |ORDER BY 1""".stripMargin)),
 
+    // Model-based scoring has no SQL analog, so the gate asserts the two
+    // properties an oracle CAN check: (1) planted extreme outliers (1e6
+    // balance vs the natural -999..9999 range) must all be flagged at the
+    // 99th-percentile threshold, and (2) two independent applyChecks runs
+    // with the same seed must flag the identical row set (symmetric diff 0).
     "ds_has_no_row_anomalies_iforest" -> QueryDef(
-      (s, dir) => failing(t(s, dir, "customer"),
-        ds(D.hasNoRowAnomaliesIForest(Seq("c_acctbal"), threshold = 99.0, seed = 11),
-          "has_no_row_anomalies", "c_acctbal"),
-        Seq("c_custkey")),
-      None), // model-based scoring — no SQL oracle (rows-only check)
+      (s, dir) => {
+        val base = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+        val planted = base.unionByName(
+          base.where(col("c_custkey") % 150 === 7)
+            .select((col("c_custkey") + 900000).as("c_custkey"),
+              lit(1000000.0).as("c_acctbal")))
+        def run(): org.apache.spark.sql.DataFrame = failing(planted,
+          ds(D.hasNoRowAnomaliesIForest(Seq("c_acctbal"), threshold = 99.0, seed = 11),
+            "has_no_row_anomalies", "c_acctbal"),
+          Seq("c_custkey"))
+        val r1 = run()
+        val r2 = run()
+        val diff = r1.select("c_custkey").exceptAll(r2.select("c_custkey"))
+          .unionByName(r2.select("c_custkey").exceptAll(r1.select("c_custkey")))
+        r1.where(col("c_custkey") >= 900000)
+          .agg(count(lit(1)).as("n_planted_flagged"))
+          .crossJoin(diff.agg(count(lit(1)).as("n_run_diff")))
+      },
+      Some("""SELECT count(*) AS n_planted_flagged, CAST(0 AS BIGINT) AS n_run_diff
+             |FROM customer WHERE c_custkey % 150 = 7""".stripMargin)),
 
     "ds_points_mutually_disjoint" -> QueryDef(
       (s, dir) => {

@@ -166,11 +166,35 @@ object PipelineQueries {
               |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.75
               |ORDER BY 1, 2""".stripMargin)),
 
+    // SimHash gate = recall + precision, both DuckDB-expressible:
+    //  - recall: planted EXACT copies (doc_id%10==1 at +200000) share every
+    //    chunk value with their source, so the pigeonhole banding emits them
+    //    with hamming 0 BY CONSTRUCTION — the output must contain exactly the
+    //    planted pair list;
+    //  - precision: any emitted pair whose distinct-token jaccard < 0.5 is
+    //    also emitted (probe-measured min on sf0.01 is 0.76, so zero such
+    //    rows are expected — an extra row fails the hash compare).
+    // Planted 80%-prefix near-dups stay in the input to keep the candidate
+    // space realistic, but their recall is sketch-dependent (token-multiset
+    // weighting) and is deliberately not asserted.
     "pipe_dedup_simhash" -> QueryDef(
-      (s, dir) => Dedup.simHashDuplicatePairs(plantedNearDups(s, dir), "doc_id", "text",
-        maxHamming = 3)
-        .select("id_a", "id_b").orderBy("id_a", "id_b"),
-      None), // sketch-specific (murmur3 bit votes) — rows-only check
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val input = plantedNearDups(s, dir).unionByName(
+          docs.where(col("doc_id") % 10 === 1)
+            .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        val pairs = Dedup.simHashDuplicatePairs(input, "doc_id", "text", maxHamming = 3)
+        val tk = input.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
+        pairs
+          .join(tk.select(col("doc_id").as("id_a"), col("tk").as("tk_a")), "id_a")
+          .join(tk.select(col("doc_id").as("id_b"), col("tk").as("tk_b")), "id_b")
+          .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))))
+          .withColumn("uni", size(col("tk_a")) + size(col("tk_b")) - col("inter"))
+          .where((col("id_b") === col("id_a") + 200000) || (col("inter") * 2 < col("uni")))
+          .select("id_a", "id_b").orderBy("id_a", "id_b")
+      },
+      Some("""SELECT doc_id AS id_a, doc_id + 200000 AS id_b FROM documents
+             |WHERE doc_id % 10 = 1 ORDER BY 1, 2""".stripMargin)),
 
     "pipe_dedup_cosine" -> QueryDef(
       (s, dir) => {
@@ -235,15 +259,31 @@ object PipelineQueries {
              |  FROM scored) t
              |WHERE rank <= 5 ORDER BY 1, 2""".stripMargin)),
 
+    // LSH-ANN gate: plant a scaled copy (x*1.01) of every query vector —
+    // scaling never flips a hyperplane sign, so the copy lands in the SAME
+    // bucket in every table (guaranteed candidate), and cosine(x, 1.01x)=1.0
+    // beats every natural neighbor (probe-measured max natural cosine ~0.3).
+    // Deterministic assertions: each query returns exactly k neighbors and
+    // its rank-1 neighbor IS the planted copy. Deeper ranks are approximate
+    // by design and deliberately not asserted.
     "pipe_knn_lsh" -> QueryDef(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.lshTopK(emb, emb.where(col("vec_id") < 20), "vec_id", "embedding", 5,
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val queries = emb.where(col("vec_id") < 20)
+        val corpus = emb.unionByName(queries.select(
+          (col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01)).as("embedding")))
+        Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 5,
           planes = 6, tables = 6, dim = 64)
-          .select("query_id", "rank", "neighbor_id")
-          .orderBy("query_id", "rank")
+          .groupBy("query_id").agg(
+            count(lit(1)).as("n_neighbors"),
+            max(when(col("rank") === 1, col("neighbor_id"))).as("top1_id"))
+          .orderBy("query_id")
       },
-      None), // approximate by design — rows-only check
+      Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_neighbors,
+             |       vec_id + 100000 AS top1_id
+             |FROM embeddings WHERE vec_id < 20 ORDER BY 1""".stripMargin)),
 
     "pipe_text_signals" -> QueryDef(
       (s, dir) => t(s, dir, "documents")
@@ -384,21 +424,24 @@ object PipelineQueries {
              |SELECT label, count(*) AS n_vectors,
              |  sum(CASE WHEN nrm = 0 OR embedding IS NULL THEN 1 ELSE 0 END) AS n_zero,
              |  round(min(nrm), 6) AS min_norm,
-             |  round(avg(nrm), 6) AS avg_norm,
+             |  round(CAST(sum(CAST(round(nrm, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(nrm), 6) AS avg_norm,
              |  round(max(nrm), 6) AS max_norm
              |FROM n GROUP BY label ORDER BY label""".stripMargin)),
 
+    // Gate emits scalar (label, dim, mean) rows — the driver's pandas-based
+    // hasher cannot sort/hash an array<double> column, so the array-valued
+    // operator output is exploded back to one row per dimension for the gate.
     "pipe_embedding_centroids" -> QueryDef(
       (s, dir) => Embeddings.groupCentroids(
         t(s, dir, "embeddings"), "label", "embedding")
-        .orderBy("label"),
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "mean")))
+        .select(col("label"), (col("dim") + 1).cast("long").as("dim"), col("mean"))
+        .orderBy("label", "dim"),
       Some("""WITH e AS (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS dim
-             |           FROM embeddings),
-             |m AS (SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 6) AS mean FROM e GROUP BY 1, 2),
-             |c AS (SELECT label, list(mean ORDER BY dim) AS centroid FROM m GROUP BY 1)
-             |SELECT label, centroid,
-             |       round(sqrt(list_sum(list_transform(centroid, x -> x * x))), 6) AS centroid_norm
-             |FROM c ORDER BY label""".stripMargin)),
+             |           FROM embeddings)
+             |SELECT label, CAST(dim AS BIGINT) AS dim,
+             |  round(CAST(sum(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE) / count(v), 6) AS mean
+             |FROM e GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)),
 
     "pipe_pii_redact" -> QueryDef(
       (s, dir) => {
