@@ -19,6 +19,16 @@ object BenchRef {
   val DefaultRows: Long = 10000000L
   val Partitions = 10
 
+  /** Result-reading benchmark action: counts rows with any error/warning, so
+    * the plan must materialize the `_errors`/`_warnings` arrays for every row.
+    * A bare `count()` lets Catalyst eliminate provably row-preserving check
+    * joins (the struct-key join-backs are deliberately eliminable) and prune
+    * check projections outright, timing a hollowed-out plan; a real pipeline
+    * always reads the verdicts, so this is the honest cost.
+    */
+  def touch(checked: DataFrame): Long =
+    checked.where(col("_errors").isNotNull || col("_warnings").isNotNull).count()
+
   /** tests/perf/conftest.py:96-123 equivalent (deterministic id arithmetic
     * instead of dbldatagen's sequential generators).
     */
@@ -185,33 +195,53 @@ object BenchRef {
           "SELECT col2, SUM(col1) > 1 AS condition FROM {{input_view}} GROUP BY col2",
           mergeColumns = Seq("col2"), conditionColumn = "condition", negate = true),
         "sql_query", Seq(s"col$i"), criticality = graft.core.Criticality.Warn))
-      DQEngine.applyChecks(idf, rules).count()
+      touch(DQEngine.applyChecks(idf, rules))
     }
     def foreachHasNoOutliers(): Unit = {
       val rules = (1 to 5).map(i => DQDatasetRule(
         DatasetChecks.hasNoOutliers(s"col$i"), "has_no_outliers", Seq(s"col$i")))
-      DQEngine.applyChecks(idf, rules).count()
+      touch(DQEngine.applyChecks(idf, rules))
     }
     def foreachCompareDatasets(): Unit = {
       val rules = (1 to 5).map(i => DQDatasetRule(
         DatasetChecks.compareDatasets(Seq(s"col$i"), Seq("ref_col1"), ref),
         "compare_datasets", Seq(s"col$i"), criticality = graft.core.Criticality.Warn))
-      DQEngine.applyChecks(idf, rules).count()
+      touch(DQEngine.applyChecks(idf, rules))
     }
+
+    // Value-compare suite: a 1:1-keyed ref frame sharing FOUR value-column
+    // names with the input, ~0.01% planted diffs + sporadic planted nulls —
+    // this is the shape that exercises the hash-prefilter diff path. (The
+    // keyed suites above mirror the reference fixture, whose ref frame shares
+    // NO value-column names with the input — those compares are pure PK
+    // presence diffs on both engines.)
+    val refValues = spark.range(0L, rows, 1L, Partitions).select(
+      col("id").cast("int").as("col1"),
+      col("id").cast("int").as("col2"),
+      when(col("id") % 10000 === 0, col("id") + 1).otherwise(col("id")).cast("int").as("col3"),
+      col("id").cast("int").as("col4"),
+      when(col("id") % 20000 === 3, lit(null).cast("int"))
+        .otherwise(col("id").cast("int")).as("col5"))
+    // apply INSIDE the thunk: the prefilter collects diff candidates eagerly
+    // during applyChecks, and that driver work belongs in the measurement
+    def cmpValuesRun(): Unit = touch(DQEngine.applyChecks(idf, Seq(DQDatasetRule(
+      DatasetChecks.compareDatasets(Seq("col1"), Seq("col1"), refValues),
+      "compare_datasets", Seq("col1"), criticality = graft.core.Criticality.Warn))))
 
     val m = rows / 1000000
     Seq(
-      s"ref${m}m_single_is_not_null" -> bench(singleNotNull.count()),
-      s"ref${m}m_all_row_checks" -> bench(rowSuite.count()),
-      s"ref${m}m_all_dataset_checks" -> bench(dsSuite.count()),
-      s"ref${m}m_foreach_is_unique" -> bench(foreachUnique.count()),
-      s"ref${m}m_foreign_key_single" -> bench(fkSingle.count()),
-      s"ref${m}m_foreach_foreign_key" -> bench(fkForeach.count()),
-      s"ref${m}m_compare_datasets" -> bench(cmp.count()),
-      s"ref${m}m_compare_datasets_p32" -> bench(cmp32.count()),
+      s"ref${m}m_single_is_not_null" -> bench(touch(singleNotNull)),
+      s"ref${m}m_all_row_checks" -> bench(touch(rowSuite)),
+      s"ref${m}m_all_dataset_checks" -> bench(touch(dsSuite)),
+      s"ref${m}m_foreach_is_unique" -> bench(touch(foreachUnique)),
+      s"ref${m}m_foreign_key_single" -> bench(touch(fkSingle)),
+      s"ref${m}m_foreach_foreign_key" -> bench(touch(fkForeach)),
+      s"ref${m}m_compare_datasets" -> bench(touch(cmp)),
+      s"ref${m}m_compare_datasets_p32" -> bench(touch(cmp32)),
+      s"ref${m}m_compare_datasets_values" -> bench(cmpValuesRun()),
       s"ref${m}m_foreach_sql_query" -> bench(foreachSqlQuery()),
       s"ref${m}m_foreach_has_no_outliers" -> bench(foreachHasNoOutliers()),
       s"ref${m}m_foreach_compare_datasets" -> bench(foreachCompareDatasets()),
-      s"ref${m}m_has_no_aggr_outliers" -> bench(aggrOutliers.count()))
+      s"ref${m}m_has_no_aggr_outliers" -> bench(touch(aggrOutliers)))
   }
 }

@@ -30,6 +30,21 @@ object IsolationForest {
       val avg = sum / trees.length
       math.pow(2.0, -avg / cFactor)
     }
+
+    /** Per-feature contribution percentages (sum 100) from depth-weighted
+      * path attribution over all trees; uniform when no split was taken.
+      */
+    def contributions(row: Array[Double], nFeatures: Int): Array[Double] = {
+      val acc = new Array[Double](nFeatures)
+      var i = 0
+      while (i < trees.length) { pathWeights(trees(i), row, 0, acc); i += 1 }
+      var total = 0.0
+      i = 0
+      while (i < nFeatures) { total += acc(i); i += 1 }
+      if (total <= 0) java.util.Arrays.fill(acc, 100.0 / nFeatures)
+      else { i = 0; while (i < nFeatures) { acc(i) = acc(i) / total * 100.0; i += 1 } }
+      acc
+    }
   }
 
   private def c(n: Int): Double =
@@ -42,6 +57,21 @@ object IsolationForest {
       val x = if (f < row.length) row(f) else 0.0
       if (x < v) pathLength(l, row, depth + 1) else pathLength(r, row, depth + 1)
   }
+
+  /** Depth-weighted split-feature attribution (the deterministic stand-in for
+    * the reference's SHAP explanations, anomaly/explainability.py:256): each
+    * split on the row's path credits its feature 1/(depth+1) — early splits
+    * isolate more, so they weigh more. Accumulated over all trees into `acc`
+    * (length = feature count).
+    */
+  private def pathWeights(node: Node, row: Array[Double], depth: Int, acc: Array[Double]): Unit =
+    node match {
+      case Leaf(_) => ()
+      case Split(f, v, l, r) =>
+        if (f < acc.length) acc(f) += 1.0 / (depth + 1)
+        val x = if (f < row.length) row(f) else 0.0
+        pathWeights(if (x < v) l else r, row, depth + 1, acc)
+    }
 
   /** Train on a driver-side sample: `numTrees` trees, each over a random
     * subsample of `subsampleSize` rows, split until isolation or the height
@@ -100,6 +130,29 @@ case class IForestScore(child: Expression, model: IsolationForest.Model)
   }
 
   override protected def withNewChildInternal(c: Expression): IForestScore = copy(child = c)
+}
+
+/** Per-feature contribution percentages as array<double> (aligned with the
+  * check's column list, summing to ~100). Row-local; NULL input -> NULL.
+  * Wrap in `when(is_anomaly, ...)` so the second forest walk is only paid on
+  * flagged rows, like the reference computes SHAP for anomalies only.
+  */
+case class IForestContrib(child: Expression, model: IsolationForest.Model, nFeatures: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val row = new Array[Double](n)
+    var i = 0
+    while (i < n) { row(i) = if (arr.isNullAt(i)) 0.0 else arr.getDouble(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(model.contributions(row, nFeatures))
+  }
+
+  override protected def withNewChildInternal(c: Expression): IForestContrib = copy(child = c)
 }
 
 /** Percentile (0-100) of a double value within a sorted reference

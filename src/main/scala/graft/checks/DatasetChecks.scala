@@ -365,6 +365,18 @@ object DatasetChecks {
     * `checkMissingRecords`, which switches to a full-outer join and APPENDS
     * those rows), extra rows (in input, not in ref), and per-column value
     * changes with numeric tolerance. Map-type columns are skipped.
+    *
+    * `hashPrefilter=true` (default) behavior notes vs the reference's single
+    * lazy wide join:
+    *  - the candidate pass evaluates the input an extra time and collects
+    *    candidates EAGERLY at apply time — for non-deterministic inputs
+    *    (rand-derived columns, files changing mid-run) cache/checkpoint the
+    *    input first, or set `hashPrefilter=false`;
+    *  - in presence mode (no shared value columns), ref rows fully
+    *    duplicated on the key columns no longer multiply matching input rows;
+    *  - the candidate collect is capped at `maxCollectedDiffs` rows AND
+    *    `maxPrefilterBytes` of estimated ref-detail width, whichever is
+    *    smaller; past the cap it falls back to the wide join.
     */
   def compareDatasets(columns: Seq[String], refColumns: Seq[String], refDf: DataFrame,
                       checkMissingRecords: Boolean = false,
@@ -373,7 +385,8 @@ object DatasetChecks {
                       nullSafeColumnValueMatching: Boolean = true,
                       absTolerance: Double = 0.0, relTolerance: Double = 0.0,
                       hashPrefilter: Boolean = true,
-                      maxCollectedDiffs: Int = 1000000): DatasetCheck = {
+                      maxCollectedDiffs: Int = 1000000,
+                      maxPrefilterBytes: Long = 128L * 1024 * 1024): DatasetCheck = {
     require(columns.length == refColumns.length, "columns and ref_columns must align")
     val id = uniqueSuffix()
     val missingCol = s"__dq_cmp_missing_$id"
@@ -463,11 +476,26 @@ object DatasetChecks {
         val seed2 = 0xC2B2AE3D27D4EB4FL
         def pairHash(seed: Long): Column =
           xxhash64((lit(seed) +: compared.flatMap(c => Seq(col(c).isNull.cast("int"), col(c)))): _*)
+        // NaN forces candidacy when a tolerance is set: NaN-vs-NaN hashes
+        // EQUAL (identical bits) but the tolerance predicate `abs(a-b) <= tol`
+        // is false for NaN, so the wide path flags the row as changed — any
+        // row with a NaN on either side must reach the exact predicate.
+        val nanCols =
+          if (absTolerance > 0 || relTolerance > 0)
+            compared.filter(c => df.schema(c).dataType match {
+              case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+              case _ => false
+            })
+          else Seq.empty
+        def anyNan(cs: Seq[String]): Column =
+          cs.map(c => col(c).isNotNull && isnan(col(c))).reduceOption(_ || _).getOrElse(lit(false))
         val dfSlim = df.select(columns.map(col) ++ Seq(
-          pairHash(seed1).as("__l_h1"), pairHash(seed2).as("__l_h2")): _*)
+          pairHash(seed1).as("__l_h1"), pairHash(seed2).as("__l_h2"),
+          anyNan(nanCols).as("__l_nan")): _*)
         val refSlim = refDf.select(
           refColumns.map(c => col(c).as(refPrefix + c)) ++ Seq(
-            pairHash(seed1).as("__r_h1"), pairHash(seed2).as("__r_h2")): _*)
+            pairHash(seed1).as("__r_h1"), pairHash(seed2).as("__r_h2"),
+            anyNan(nanCols).as("__r_nan")): _*)
         // duplicated ref keys multiply output rows in the wide path; flag them
         // as candidates so the broadcast side keeps every copy (window reuses
         // the join shuffle's partitioning)
@@ -476,12 +504,20 @@ object DatasetChecks {
         val slim = dfSlim.join(refCnt, joinCond, joinType)
         val interesting = !leftPresent || !rightPresent ||
           col("__l_h1") =!= col("__r_h1") || col("__l_h2") =!= col("__r_h2") ||
+          coalesce(col("__l_nan"), lit(false)) || coalesce(col("__r_nan"), lit(false)) ||
           coalesce(col("__r_cnt") > 1, lit(false))
         val slimDiff = slim.where(interesting).select(
           columns.map(col) ++ refColumns.map(c => col(refPrefix + c)) ++
             Seq(leftPresent.as("__lp"), rightPresent.as("__rp")): _*)
-        val collected = slimDiff.limit(maxCollectedDiffs + 1).collect()
-        if (collected.length > maxCollectedDiffs) None
+        // cap by rows AND by estimated bytes of the ref-detail side that the
+        // candidate keys will pull into driver broadcasts: with wide rows a
+        // row-only cap could exceed driver/executor memory long before 1M rows
+        val refRowWidth = refDf.schema.fields
+          .filter(f => refNeeded.contains(f.name)).map(_.dataType.defaultSize).sum.max(8)
+        val capRows = math.min(maxCollectedDiffs.toLong,
+          math.max(1L, maxPrefilterBytes / refRowWidth)).toInt
+        val collected = slimDiff.limit(capRows + 1).collect()
+        if (collected.length > capRows) None
         else Some {
           import scala.jdk.CollectionConverters._
           val k = columns.length
@@ -685,6 +721,11 @@ object DatasetChecks {
     * literal-folded bounds. `exact=true` uses exact percentile (oracle-stable);
     * default approx matches the reference (percentile_approx).
     * Batch-only (driver actions) — gate for streaming.
+    *
+    * Carries a [[graft.rules.MadSpec]] so `DQEngine.applyChecks` can batch the
+    * stats of every MAD rule in a rule set into two actions total; the
+    * standalone `applyFn` below (2 actions per rule) is only used outside the
+    * engine.
     */
   def hasNoOutliers(column: String, factor: Double = 3.5, exact: Boolean = false,
                     rowFilter: Option[String] = None): DatasetCheck = {
@@ -713,7 +754,68 @@ object DatasetChecks {
         (col(column) < col(loCol) || col(column) > col(hiCol)),
         concat(lit(s"Value '"), valueText(col(column)),
           lit(s"' in column '$column' is outside MAD band ["),
-          valueText(col(loCol)), lit(", "), valueText(col(hiCol)), lit("]"))))
+          valueText(col(loCol)), lit(", "), valueText(col(hiCol)), lit("]"))),
+      madSpec = Some(graft.rules.MadSpec(column, factor, exact, rowFilter, loCol, hiCol)))
+  }
+
+  /** Batched MAD stats for the engine: ONE action computes every spec's
+    * median (conditional aggregation folds each rowFilter into its
+    * percentile, so differing filters still share the scan), then ONE action
+    * computes every MAD against the fetched medians. Returns loCol ->
+    * (lo, hi) band, or None for null-median (empty/filtered-out) columns.
+    * Specs are deduplicated on (column, filter, exact) so repeated rules
+    * don't widen the scan.
+    */
+  /** Analysis-only probe: does this spec's median aggregate resolve against
+    * `df`? (Unresolvable specs fall back to the per-rule path, which yields
+    * the engine's skip-don't-fail semantics.)
+    */
+  def madSpecResolves(df: DataFrame, sp: graft.rules.MadSpec): Boolean = {
+    val pct = if (sp.exact) "percentile" else "approx_percentile"
+    val in = sp.rowFilter.map(f => s"CASE WHEN ($f) THEN ${sp.column} END").getOrElse(sp.column)
+    scala.util.Try(df.select(expr(s"$pct($in, 0.5)"))).isSuccess
+  }
+
+  def computeMadBands(df: DataFrame, specs: Seq[graft.rules.MadSpec]): Map[String, Option[(Double, Double)]] = {
+    def statKey(sp: graft.rules.MadSpec) = (sp.column, sp.rowFilter, sp.exact)
+    def pctOf(sp: graft.rules.MadSpec) = if (sp.exact) "percentile" else "approx_percentile"
+    def inputOf(sp: graft.rules.MadSpec) = sp.rowFilter match {
+      case Some(f) => s"CASE WHEN ($f) THEN ${sp.column} END" // percentile ignores NULLs
+      case None => sp.column
+    }
+    val distinct = specs.groupBy(statKey).map(_._2.head).toSeq
+    val medExprs = distinct.zipWithIndex.map { case (sp, i) =>
+      expr(s"${pctOf(sp)}(${inputOf(sp)}, 0.5)").as(s"m$i")
+    }
+    val medRow = df.select(medExprs: _*).first()
+    val medians: Map[(String, Option[String], Boolean), Option[Double]] =
+      distinct.zipWithIndex.map { case (sp, i) =>
+        statKey(sp) -> (if (medRow.isNullAt(i)) None
+                        else Some(medRow.get(i).asInstanceOf[Number].doubleValue()))
+      }.toMap
+    val withMed = distinct.filter(sp => medians(statKey(sp)).isDefined)
+    val mads: Map[(String, Option[String], Boolean), Double] =
+      if (withMed.isEmpty) Map.empty
+      else {
+        val madExprs = withMed.zipWithIndex.map { case (sp, i) =>
+          // Double.toString: shortest round-trip literal (BigDecimal's plain
+          // form can exceed Spark's 38-digit decimal-literal limit); Spark
+          // parses E-notation as DOUBLE
+          val med = medians(statKey(sp)).get.toString
+          expr(s"${pctOf(sp)}(abs((${inputOf(sp)}) - CAST($med AS DOUBLE)), 0.5)").as(s"d$i")
+        }
+        val madRow = df.select(madExprs: _*).first()
+        withMed.zipWithIndex.map { case (sp, i) =>
+          statKey(sp) -> (if (madRow.isNullAt(i)) 0.0
+                          else madRow.get(i).asInstanceOf[Number].doubleValue())
+        }.toMap
+      }
+    specs.map { sp =>
+      sp.loCol -> medians(statKey(sp)).map { med =>
+        val mad = mads.getOrElse(statKey(sp), 0.0)
+        (med - sp.factor * mad, med + sp.factor * mad)
+      }
+    }.toMap
   }
 
   // ------------------------------------------------------------ row anomalies
@@ -791,11 +893,12 @@ object DatasetChecks {
                                checkName: String = "has_no_row_anomalies"): DatasetCheck = {
     require(columns.nonEmpty, "columns must not be empty")
     require(threshold >= 0 && threshold <= 100, "threshold is a percentile in [0, 100]")
-    import graft.anomaly.{IForestScore, IsolationForest}
+    import graft.anomaly.{IForestContrib, IForestScore, IsolationForest}
     import org.apache.spark.sql.GraftColumnBridge
     val id = uniqueSuffix()
     val scoreCol = s"__dq_if_score_$id"
     val sevCol = s"__dq_if_sev_$id"
+    val contribCol = s"__dq_if_contrib_$id"
     val infoCol = s"__dq_info_anomaly_$id"
     val filterC = rowFilter.map(expr).getOrElse(lit(true))
     val features = array(columns.map(c => coalesce(col(c).cast("double"), lit(0.0))): _*)
@@ -814,18 +917,28 @@ object DatasetChecks {
       // percentile of the row score within the training distribution
       val sev = GraftColumnBridge.column(graft.anomaly.ScorePercentile(
         GraftColumnBridge.expression(col(scoreCol)), trainScores))
+      // depth-weighted per-feature attribution (SHAP stand-in), computed only
+      // for flagged rows — the when() guard skips the second forest walk on
+      // the clean 99%+
+      val contribArr = GraftColumnBridge.column(IForestContrib(
+        GraftColumnBridge.expression(features), model, columns.length))
+      val isAnomaly = filterC && col(sevCol) >= threshold
+      val contribMap = map(columns.zipWithIndex.flatMap { case (c, i) =>
+        Seq(lit(c), col(contribCol)(i))
+      }: _*)
       scored.withColumn(sevCol, sev)
+        .withColumn(contribCol, when(isAnomaly, contribArr))
         .withColumn(infoCol, graft.core.DQInfo.buildStruct(Map(
           "anomaly" -> struct(
             lit(checkName).as("check_name"),
             col(scoreCol).as("score"),
             col(sevCol).as("severity_percentile"),
             // row filter included so _dq_info agrees with _errors on filtered rows
-            (filterC && col(sevCol) >= threshold).as("is_anomaly"),
+            isAnomaly.as("is_anomaly"),
             lit(threshold).as("threshold"),
             lit("isolation_forest").as("model"),
             lit(null).cast("map<string,string>").as("segment"),
-            lit(null).cast("map<string,double>").as("contributions"),
+            when(isAnomaly, contribMap).as("contributions"),
             lit(null).cast("double").as("confidence_std")
           ).cast(graft.core.DQInfo.anomalySchema))))
     }

@@ -51,22 +51,31 @@ object PiiChecks {
     * half-eaten by the looser numeric patterns; phone last (loosest).
     */
   val RedactionOrder: Seq[String] = Seq(
-    "EMAIL_ADDRESS", "URL", "MAC_ADDRESS", "IP_ADDRESS", "US_SSN",
-    "CREDIT_CARD", "PHONE_NUMBER")
+    "EMAIL_ADDRESS", "URL", "MAC_ADDRESS", "IP_ADDRESS", "IBAN", "US_SSN",
+    "CREDIT_CARD", "CREDIT_CARD_LUHN", "PHONE_NUMBER")
+
+  /** Redaction regexes: the detection patterns, except cards and IBANs widen
+    * to shape-only patterns. Redaction must cover MORE than detection flags:
+    * a Luhn-valid 15-digit Amex (378282246310005) matches CREDIT_CARD_LUHN
+    * detection but not the 4-4-4-4 CREDIT_CARD shape, and a published corpus
+    * must not leak it — so any 13-19 digit run (optional separators) redacts.
+    * Over-redaction is the safe failure mode here.
+    */
+  val RedactionPatterns: Map[String, String] = EntityPatterns.toMap ++ Map(
+    "CREDIT_CARD" -> "\\b\\d(?:[ -]?\\d){12,18}\\b",
+    "CREDIT_CARD_LUHN" -> "\\b\\d(?:[ -]?\\d){12,18}\\b",
+    "IBAN" -> "\\b[A-Z]{2}\\d{2}(?: ?[A-Z0-9]{2,4}){2,8}\\b")
 
   /** Replace every PII entity occurrence with an `[ENTITY_NAME]` placeholder —
     * the transform counterpart of [[doesNotContainPii]] for publishing
     * training corpora. Sequential regexp_replace chain in [[RedactionOrder]];
-    * row-local, codegen'd, no shuffle. Checksum-validated entities
-    * (CREDIT_CARD_LUHN/IBAN) have no redaction regex — the CREDIT_CARD shape
-    * pattern covers card redaction.
+    * row-local, codegen'd, no shuffle. Every entity in [[EntityPatterns]] has
+    * a redaction regex (checksum-validated entities redact on shape).
     */
-  def redactPii(c: Column, entities: Seq[String] = RedactionOrder): Column = {
-    val patterns = EntityPatterns.toMap
+  def redactPii(c: Column, entities: Seq[String] = RedactionOrder): Column =
     RedactionOrder.filter(entities.contains).foldLeft(c.cast("string")) { (acc, name) =>
-      regexp_replace(acc, patterns(name), s"[$name]")
+      regexp_replace(acc, RedactionPatterns(name), s"[$name]")
     }
-  }
 
   /** Check: any detected entity fails, message lists the entity types. */
   def doesNotContainPii(c: Column, entities: Seq[String] = EntityPatterns.map(_._1)): Column = {

@@ -1,5 +1,6 @@
 package graft.engine
 
+import graft.checks.DatasetChecks
 import graft.core._
 import graft.rules._
 import org.apache.spark.sql.{Column, DataFrame, Observation}
@@ -28,6 +29,24 @@ object DQEngine {
     val runId: String = extra.runIdOverwrite.getOrElse(java.util.UUID.randomUUID().toString)
     val ruleSetFp = Fingerprint.ruleSetFingerprint(rules.map(_.fingerprint))
 
+    // Batched MAD stats: every has_no_outliers rule whose column/filter
+    // resolves against the input shares TWO driver actions (all medians, then
+    // all MADs) instead of 2 per rule. Bands come from the input frame `df` —
+    // for a rule set where an earlier compare_datasets(checkMissingRecords)
+    // APPENDS rows, the appended rows don't move the band (they would,
+    // marginally, under the reference's per-rule-position stats).
+    val batchableSpecs: Seq[graft.rules.MadSpec] = rules.collect {
+      case r: DQDatasetRule if r.check.madSpec.isDefined => r.check.madSpec.get
+    }.filter(sp => DatasetChecks.madSpecResolves(df, sp))
+    val batchKeys = batchableSpecs.map(_.loCol).toSet
+    lazy val madBands: Map[String, Option[(Double, Double)]] =
+      DatasetChecks.computeMadBands(df, batchableSpecs)
+    def attachBand(d: DataFrame, sp: graft.rules.MadSpec): DataFrame = madBands(sp.loCol) match {
+      case Some((lo, hi)) => d.withColumn(sp.loCol, lit(lo)).withColumn(sp.hiCol, lit(hi))
+      case None => d.withColumn(sp.loCol, lit(null).cast("double"))
+        .withColumn(sp.hiCol, lit(null).cast("double"))
+    }
+
     // Sequential fold of dataset-check applies; row checks are plan-time only.
     var current = df
     val infoCols = scala.collection.mutable.ArrayBuffer[String]()
@@ -46,7 +65,10 @@ object DQEngine {
         }
       case r: DQDatasetRule =>
         Try {
-          val next = r.check.applyFn(current)
+          val next = r.check.madSpec.filter(sp => batchKeys(sp.loCol)) match {
+            case Some(sp) => attachBand(current, sp) // batched MAD band
+            case None => r.check.applyFn(current)
+          }
           next.select(r.check.condition) // force analysis of the condition
           r.messageExpr.foreach(me => next.select(expr(me)))
           next

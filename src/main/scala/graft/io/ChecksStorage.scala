@@ -13,6 +13,25 @@ trait ChecksStorage {
   def save(checks: Seq[Map[String, Any]], location: String): Unit
 }
 
+/** Fingerprints of metadata-form checks, shared by every versioned backend. */
+object CheckFingerprints {
+  /** Per-rule fingerprint over the canonical definition (rule.py:644-681). */
+  def ruleFingerprint(c: Map[String, Any]): String = {
+    val check = c.getOrElse("check", Map.empty).asInstanceOf[Map[String, Any]]
+    Fingerprint.ruleFingerprint(Map(
+      "name" -> c.get("name").map(String.valueOf).orNull,
+      "criticality" -> c.get("criticality").map(String.valueOf).orNull,
+      "function" -> check.get("function").map(String.valueOf).orNull,
+      "arguments" -> check.getOrElse("arguments", Map.empty[String, Any]),
+      "filter" -> c.get("filter").map(String.valueOf).orNull,
+      "for_each_column" -> check.getOrElse("for_each_column", null)))
+  }
+
+  /** Set-level fingerprint (rule_fingerprint.py:17-50). */
+  def ruleSetFingerprint(checks: Seq[Map[String, Any]]): String =
+    Fingerprint.ruleSetFingerprint(checks.map(ruleFingerprint))
+}
+
 /** YAML/JSON file storage (checks_storage.py:1070-1125). Format by extension. */
 object FileChecksStorage extends ChecksStorage {
   override def load(location: String): Seq[Map[String, Any]] =
@@ -67,20 +86,11 @@ class TableChecksStorage(spark: org.apache.spark.sql.SparkSession) extends Check
   private def decodeValue(s: String): Any = ChecksSerializer.decodeScalar(s)
 
   /** Per-rule fingerprint over the canonical definition (rule.py:644-681). */
-  def ruleFingerprint(c: Map[String, Any]): String = {
-    val check = c.getOrElse("check", Map.empty).asInstanceOf[Map[String, Any]]
-    Fingerprint.ruleFingerprint(Map(
-      "name" -> c.get("name").map(String.valueOf).orNull,
-      "criticality" -> c.get("criticality").map(String.valueOf).orNull,
-      "function" -> check.get("function").map(String.valueOf).orNull,
-      "arguments" -> check.getOrElse("arguments", Map.empty[String, Any]),
-      "filter" -> c.get("filter").map(String.valueOf).orNull,
-      "for_each_column" -> check.getOrElse("for_each_column", null)))
-  }
+  def ruleFingerprint(c: Map[String, Any]): String = CheckFingerprints.ruleFingerprint(c)
 
   /** Set-level fingerprint (rule_fingerprint.py:17-50). */
   def ruleSetFingerprint(checks: Seq[Map[String, Any]]): String =
-    Fingerprint.ruleSetFingerprint(checks.map(ruleFingerprint))
+    CheckFingerprints.ruleSetFingerprint(checks)
 
   private def tableExists(location: String): Boolean =
     spark.catalog.tableExists(location)
@@ -176,6 +186,7 @@ class TableChecksStorage(spark: org.apache.spark.sql.SparkSession) extends Check
 /** Factory by location shape (checks_storage.py:1344-1441). */
 object ChecksStorageFactory {
   def forLocation(location: String, spark: org.apache.spark.sql.SparkSession): ChecksStorage =
-    if (IO.isTableLocation(location)) new TableChecksStorage(spark)
+    if (location.startsWith("jdbc:")) new JdbcChecksStorage(location)
+    else if (IO.isTableLocation(location)) new TableChecksStorage(spark)
     else FileChecksStorage
 }

@@ -237,31 +237,41 @@ object DatasetCheckQueries {
              |WHERE abs(c_acctbal - st.m) / st.sd > 1.5
              |ORDER BY 1""".stripMargin)),
 
-    // Model-based scoring has no SQL analog, so the gate asserts the two
+    // Model-based scoring has no SQL analog, so the gate asserts the three
     // properties an oracle CAN check: (1) planted extreme outliers (1e6
     // balance vs the natural -999..9999 range) must all be flagged at the
-    // 99th-percentile threshold, and (2) two independent applyChecks runs
-    // with the same seed must flag the identical row set (symmetric diff 0).
+    // 99th-percentile threshold, (2) two independent applyChecks runs with
+    // the same seed must flag the identical row set (symmetric diff 0), and
+    // (3) every flagged row's per-feature contribution percentages (the SHAP
+    // stand-in) must sum to ~100.
     "ds_has_no_row_anomalies_iforest" -> QueryDef(
       (s, dir) => {
-        val base = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+        val base = t(s, dir, "customer").select("c_custkey", "c_acctbal", "c_nationkey")
         val planted = base.unionByName(
           base.where(col("c_custkey") % 150 === 7)
             .select((col("c_custkey") + 900000).as("c_custkey"),
-              lit(1000000.0).as("c_acctbal")))
-        def run(): org.apache.spark.sql.DataFrame = failing(planted,
-          ds(D.hasNoRowAnomaliesIForest(Seq("c_acctbal"), threshold = 99.0, seed = 11),
-            "has_no_row_anomalies", "c_acctbal"),
-          Seq("c_custkey"))
+              lit(1000000.0).as("c_acctbal"), col("c_nationkey")))
+        def run(): org.apache.spark.sql.DataFrame =
+          graft.engine.DQEngine.applyChecks(planted, Seq(
+            ds(D.hasNoRowAnomaliesIForest(Seq("c_acctbal", "c_nationkey"),
+              threshold = 99.0, seed = 11), "has_no_row_anomalies", "c_acctbal")))
+            .where(col("_errors").isNotNull)
+            .select(col("c_custkey"),
+              col("_dq_info")(0).getField("anomaly").getField("contributions").as("contrib"))
         val r1 = run()
         val r2 = run()
         val diff = r1.select("c_custkey").exceptAll(r2.select("c_custkey"))
           .unionByName(r2.select("c_custkey").exceptAll(r1.select("c_custkey")))
+        val contribSum = aggregate(map_values(col("contrib")), lit(0.0), _ + _)
         r1.where(col("c_custkey") >= 900000)
           .agg(count(lit(1)).as("n_planted_flagged"))
-          .crossJoin(diff.agg(count(lit(1)).as("n_run_diff")))
+          .crossJoin(broadcast(diff.agg(count(lit(1)).as("n_run_diff"))))
+          .crossJoin(broadcast(r1.agg(sum(
+            when(col("contrib").isNull || abs(contribSum - 100.0) > 0.1, 1).otherwise(0)
+          ).cast("bigint").as("n_bad_contrib"))))
       },
-      Some("""SELECT count(*) AS n_planted_flagged, CAST(0 AS BIGINT) AS n_run_diff
+      Some("""SELECT count(*) AS n_planted_flagged, CAST(0 AS BIGINT) AS n_run_diff,
+             |       CAST(0 AS BIGINT) AS n_bad_contrib
              |FROM customer WHERE c_custkey % 150 = 7""".stripMargin)),
 
     "ds_points_mutually_disjoint" -> QueryDef(

@@ -66,7 +66,7 @@ object PipelineQueries {
     * can never drift. The patterns use only RE2-compatible syntax.
     */
   private def piiRedactOracleSql: String = {
-    val pats = graft.checks.PiiChecks.EntityPatterns.toMap
+    val pats = graft.checks.PiiChecks.RedactionPatterns
     val chain = graft.checks.PiiChecks.RedactionOrder
       .filter(Seq("EMAIL_ADDRESS", "IP_ADDRESS", "US_SSN").contains)
       .foldLeft("text") { (acc, name) =>

@@ -11,7 +11,18 @@ import org.apache.spark.sql.{Column, DataFrame}
   * (reporting_columns.py:22-52).
   */
 final case class DatasetCheck(applyFn: DataFrame => DataFrame, condition: Column,
-                              infoColName: Option[String] = None)
+                              infoColName: Option[String] = None,
+                              madSpec: Option[MadSpec] = None)
+
+/** Declarative description of a MAD-outlier band so the engine can batch the
+  * driver-side stats of N `has_no_outliers` rules into two actions total (one
+  * for all medians, one for all MADs) instead of 2·N full scans — the N+1
+  * shape the reference pays (check_funcs.py:1743 approxQuantile per rule).
+  * `applyFn` stays self-contained for standalone use; the engine prefers the
+  * spec when present.
+  */
+final case class MadSpec(column: String, factor: Double, exact: Boolean,
+                         rowFilter: Option[String], loCol: String, hiCol: String)
 
 /** Rule definitions. Mirrors dqx/rule.py:504-641 but idiomatic Scala: the check
   * is an already-built Column / DatasetCheck; metadata deserialization builds

@@ -142,6 +142,33 @@ object PerfLab {
         .select(col("a"), col("b"), (struct(col("a")) === struct(col("b"))).as("eq"))
       probe.show()
     }
+    if (which == "rowprof") {
+      // per-check honest cost of the all-row-checks suite: which checks pay
+      // for the 10M-row scan under the result-reading action?
+      val wholeSuite = BenchRef.allRowChecks(df)
+      time("all_row_checks (whole suite)")(BenchRef.touch(wholeSuite))
+      time("all_row_checks bare count")(wholeSuite.count())
+      val R = graft.checks.RowChecks
+      val singles: Seq[(String, DQRowRule)] = Seq(
+        "is_not_null" -> DQRowRule(R.isNotNull(col("col1")), "is_not_null", Seq("col1")),
+        "is_in_list_97" -> DQRowRule(R.isInList(col("col3"), (0 until 97).map(_.asInstanceOf[Any])), "is_in_list", Seq("col3")),
+        "is_not_null_and_not_empty" -> DQRowRule(R.isNotNullAndNotEmpty(col("col2")), "x", Seq("col2")),
+        "sql_expression" -> DQRowRule(R.sqlExpression("col2 >= 0"), "sql_expression"),
+        "is_older_than_n_days" -> DQRowRule(R.isOlderThanNDays(col("col5"), 0, Some(lit("2026-01-01").cast("date"))), "x", Seq("col5")),
+        "is_valid_date" -> DQRowRule(R.isValidDate(col("col5").cast("string")), "x", Seq("col5")),
+        "is_valid_timestamp" -> DQRowRule(R.isValidTimestamp(col("col6").cast("string")), "x", Seq("col6")),
+        "is_valid_ipv4" -> DQRowRule(R.isValidIpv4Address(col("col_ipv4")), "x", Seq("col_ipv4")),
+        "is_valid_ipv6" -> DQRowRule(graft.checks.NetChecks.isValidIpv6Address(col("col_ipv6")), "x", Seq("col_ipv6")),
+        "ipv4_in_cidr" -> DQRowRule(graft.checks.NetChecks.isIpv4AddressInCidr(col("col_ipv4"), "10.0.0.0/8"), "x", Seq("col_ipv4")),
+        "is_valid_json" -> DQRowRule(R.isValidJson(col("col_json_str")), "x", Seq("col_json_str")),
+        "has_json_keys" -> DQRowRule(R.hasJsonKeys(col("col_json_str"), Seq("key1", "key2")), "x", Seq("col_json_str")),
+        "regex_match" -> DQRowRule(R.regexMatch(col("col_json_str"), "^\\{.*\\}$"), "x", Seq("col_json_str")),
+        "geo_is_point" -> DQRowRule(graft.checks.GeoChecks.isPoint(col("col_geo_point")), "x", Seq("col_geo_point")),
+        "geo_not_null_island" -> DQRowRule(graft.checks.GeoChecks.isNotNullIsland(col("col_geo_point")), "x", Seq("col_geo_point")))
+      singles.foreach { case (name, rule) =>
+        time(s"single $name")(BenchRef.touch(DQEngine.applyChecks(df, Seq(rule))))
+      }
+    }
     spark.stop()
   }
 }

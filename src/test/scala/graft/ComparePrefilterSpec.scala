@@ -82,6 +82,46 @@ class ComparePrefilterSpec extends SparkSpec {
       runWithCap(1))
   }
 
+  test("byte cap exceeded falls back to the wide path (same answer)") {
+    // 16-byte cap is below any ref row width -> capRows = 1 -> fallback
+    val rule = DQDatasetRule(
+      DatasetChecks.compareDatasets(Seq("id"), Seq("id"), ref,
+        checkMissingRecords = true, excludeColumns = Seq("tag"),
+        maxPrefilterBytes = 16L),
+      "compare_datasets", Seq("id"))
+    val capped = DQEngine.applyChecks(base, Seq(rule))
+      .select(col("id"), coalesce(col("_errors")(0)("message"), lit("pass")).as("m"))
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Int]), r.getString(1)))
+      .sortBy(p => (p._1.getOrElse(-1), p._2)).toSeq
+    assert(run(hashPrefilter = true, checkMissing = true) == capped)
+  }
+
+  test("NaN with tolerance: prefilter matches wide path (NaN rows stay flagged)") {
+    val nanBase = Seq((1, 1.0), (2, Double.NaN), (3, 3.0), (4, Double.NaN))
+      .toDF("id", "v")
+    val nanRef = Seq((1, 1.2), (2, Double.NaN), (3, 3.0), (4, 4.0))
+      .toDF("id", "v")
+    def go(pf: Boolean): Seq[(Int, String)] = {
+      val rule = DQDatasetRule(
+        DatasetChecks.compareDatasets(Seq("id"), Seq("id"), nanRef,
+          absTolerance = 0.5, hashPrefilter = pf),
+        "compare_datasets", Seq("id"))
+      DQEngine.applyChecks(nanBase, Seq(rule))
+        .select(col("id"), coalesce(col("_errors")(0)("message"), lit("pass")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(identity).toSeq
+    }
+    val p = go(true)
+    assert(p == go(false))
+    // Wide-path tolerance semantics (ground truth): NaN-vs-NaN passes — the
+    // band `abs + rel*|b|` is NaN for a NaN ref value and NaN <= NaN holds in
+    // Spark — while NaN-vs-value is changed (NaN <= 0.5 is false). The
+    // prefilter forces NaN rows into candidacy so the exact predicate, not
+    // hash equality, decides both cases.
+    assert(p == Seq(
+      (1, "pass"), (2, "pass"), (3, "pass"),
+      (4, """{"row_missing":false,"row_extra":false,"changed":{"v":"NaN -> 4.0"}}""")))
+  }
+
   test("presence path (no compared columns) matches wide path flags") {
     def runPresence(pf: Boolean): Seq[(Int, String)] = {
       val rule = DQDatasetRule(

@@ -65,6 +65,26 @@ class Ipv6PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("allocation-free validBytes agrees with parse on every input class") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def check(s: String): Unit =
+      assert(Ipv6Util.validBytes(UTF8String.fromString(s)) == Ipv6Util.parse(s).isDefined,
+        s"validBytes disagrees with parse on '$s'")
+    val bad = Seq("", ":::", "1:2:3:4:5:6:7:8:9", "g::1", "1::2::3", "12345::",
+      "1.2.3.4", "::ffff:999.1.1.1", "fe80::1%eth0", "1.2.3.4::",
+      "1:2:3:1.2.3.4::5", "::1.2.3.4:5", "::", "::1", "1::", "1:", ":1",
+      " ::1 ", "\t1::2\n", "01.2.3.4", "::ffff:1.2.3.4", "0:0:0:0:0:0:1.2.3.4",
+      "1:2:3:4:5:6:7::8", "abcd::efg", "ABCD:ef01::", "1::2:3:4:5:6:7",
+      "x", "a:b", "::0.0.0.0", "::00.1.2.3", "::255.255.255.255", "::256.1.1.1")
+    bad.foreach(check)
+    forAll(fullAddr)(check)
+    forAll(compressedAddr)(check)
+    // random noise over the ipv6 alphabet
+    val noise = Gen.listOf(Gen.oneOf(('0' to '9') ++ Seq(':', '.', 'a', 'f', 'g', ' ')))
+      .map(_.mkString)
+    forAll(noise, 500)(check)
+  }
+
   test("CIDR membership: address always within its own /128 and /0") {
     forAll(fullAddr) { s =>
       val b = Ipv6Util.parse(s).get

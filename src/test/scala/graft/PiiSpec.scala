@@ -65,4 +65,21 @@ class PiiSpec extends SparkSpec {
       .select(PiiChecks.redactPii(col("t"))).as[String].head()
     assert(got == "see [URL] [MAC_ADDRESS] [CREDIT_CARD] call [PHONE_NUMBER]")
   }
+
+  test("redactPii covers oddly-grouped and Amex-length cards plus IBANs") {
+    // 15-digit Luhn-valid Amex and a 16-digit card in 8-8 grouping both fall
+    // outside the 4-4-4-4 detection shape but must not survive redaction
+    val got = Seq(
+      (1, "amex 378282246310005 ok"),
+      (2, "odd 45391488 03436467 ok"),
+      (3, "iban DE89 3704 0044 0532 0130 00 ok"),
+      (4, "short 1234 5678 stays")
+    ).toDF("id", "t")
+      .select(col("id"), PiiChecks.redactPii(col("t")).as("r"))
+      .as[(Int, String)].collect().toMap
+    assert(got(1) == "amex [CREDIT_CARD] ok")
+    assert(got(2) == "odd [CREDIT_CARD] ok")
+    assert(got(3) == "iban [IBAN] ok")
+    assert(got(4) == "short 1234 5678 stays")
+  }
 }
