@@ -25,9 +25,19 @@ object BenchRef {
     * joins (the struct-key join-backs are deliberately eliminable) and prune
     * check projections outright, timing a hollowed-out plan; a real pipeline
     * always reads the verdicts, so this is the honest cost.
+    *
+    * Aggregate form, not `where(...).count()`: a filter predicate gets pushed
+    * down and inlined into a FilterExec, which does no subexpression
+    * elimination — every check would evaluate 2-3x there. The aggregate keeps
+    * the result arrays in a ProjectExec (CSE'd, whole-stage codegen'd), which
+    * is also how a real pipeline consumes them.
     */
-  def touch(checked: DataFrame): Long =
-    checked.where(col("_errors").isNotNull || col("_warnings").isNotNull).count()
+  def touch(checked: DataFrame): Long = {
+    val flagged = checked.select(
+      sum(when(col("_errors").isNotNull || col("_warnings").isNotNull, 1L).otherwise(0L)).as("n"))
+      .first().getLong(0)
+    flagged
+  }
 
   /** tests/perf/conftest.py:96-123 equivalent (deterministic id arithmetic
     * instead of dbldatagen's sequential generators).

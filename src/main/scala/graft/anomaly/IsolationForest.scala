@@ -1,7 +1,7 @@
 package graft.anomaly
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -111,62 +111,31 @@ object IsolationForest {
   }
 }
 
-/** Row-local scoring expression over an array<double> feature vector; the
-  * trained forest ships inside the expression (tiny: <=100 trees over <=256
-  * rows). NULL input -> NULL score.
+/** Static (Java-callable) evaluation helpers for the codegen'd forest
+  * expressions: scoring stays a JVM tree-walk either way, but real doGenCode
+  * keeps a composed rule set's shared projection inside whole-stage codegen
+  * (one CodegenFallback expression would de-codegen every check in it).
   */
-case class IForestScore(child: Expression, model: IsolationForest.Model)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
-
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+object IForestOps {
+  private def toRow(arr: ArrayData): Array[Double] = {
     val n = arr.numElements()
     val row = new Array[Double](n)
     var i = 0
     while (i < n) { row(i) = if (arr.isNullAt(i)) 0.0 else arr.getDouble(i); i += 1 }
-    model.score(row)
+    row
   }
 
-  override protected def withNewChildInternal(c: Expression): IForestScore = copy(child = c)
-}
+  // model passed as Object: the codegen reference slot must use a Java
+  // source-level type name, and the nested case class's binary name
+  // (IsolationForest$Model) is not one
+  def score(arr: ArrayData, model: Object): Double =
+    model.asInstanceOf[IsolationForest.Model].score(toRow(arr))
 
-/** Per-feature contribution percentages as array<double> (aligned with the
-  * check's column list, summing to ~100). Row-local; NULL input -> NULL.
-  * Wrap in `when(is_anomaly, ...)` so the second forest walk is only paid on
-  * flagged rows, like the reference computes SHAP for anomalies only.
-  */
-case class IForestContrib(child: Expression, model: IsolationForest.Model, nFeatures: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
-  override def nullable: Boolean = true
+  def contrib(arr: ArrayData, model: Object, nFeatures: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      model.asInstanceOf[IsolationForest.Model].contributions(toRow(arr), nFeatures))
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val row = new Array[Double](n)
-    var i = 0
-    while (i < n) { row(i) = if (arr.isNullAt(i)) 0.0 else arr.getDouble(i); i += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(model.contributions(row, nFeatures))
-  }
-
-  override protected def withNewChildInternal(c: Expression): IForestContrib = copy(child = c)
-}
-
-/** Percentile (0-100) of a double value within a sorted reference
-  * distribution — binary search, O(log n) per row (vs an interpreted
-  * higher-order aggregate over a 10k-literal array).
-  */
-case class ScorePercentile(child: Expression, sorted: Array[Double])
-    extends UnaryExpression with CodegenFallback {
-  require(sorted.nonEmpty, "reference distribution must not be empty")
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
-
-  override def nullSafeEval(v: Any): Any = {
-    val x = v.asInstanceOf[Double]
+  def percentile(x: Double, sorted: Array[Double]): Double = {
     // mean-rank percentile: (count(< x) + count(<= x)) / 2 — ties land mid-rank
     // (a constant distribution maps to 50, not 100)
     var lo = 0; var hi = sorted.length
@@ -182,6 +151,66 @@ case class ScorePercentile(child: Expression, sorted: Array[Double])
     }
     val lessEq = lo
     (less + lessEq).toDouble / 2.0 / sorted.length * 100.0
+  }
+}
+
+/** Row-local scoring expression over an array<double> feature vector; the
+  * trained forest ships inside the expression (tiny: <=100 trees over <=256
+  * rows). NULL input -> NULL score.
+  */
+case class IForestScore(child: Expression, model: IsolationForest.Model)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = IForestOps.score(v.asInstanceOf[ArrayData], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("model", model, "java.lang.Object")
+    defineCodeGen(ctx, ev, c => s"graft.anomaly.IForestOps.score($c, $modelRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): IForestScore = copy(child = c)
+}
+
+/** Per-feature contribution percentages as array<double> (aligned with the
+  * check's column list, summing to ~100). Row-local; NULL input -> NULL.
+  * Wrap in `when(is_anomaly, ...)` so the second forest walk is only paid on
+  * flagged rows, like the reference computes SHAP for anomalies only.
+  */
+case class IForestContrib(child: Expression, model: IsolationForest.Model, nFeatures: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    IForestOps.contrib(v.asInstanceOf[ArrayData], model, nFeatures)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("model", model, "java.lang.Object")
+    defineCodeGen(ctx, ev, c => s"graft.anomaly.IForestOps.contrib($c, $modelRef, $nFeatures)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): IForestContrib = copy(child = c)
+}
+
+/** Percentile (0-100) of a double value within a sorted reference
+  * distribution — binary search, O(log n) per row (vs an interpreted
+  * higher-order aggregate over a 10k-literal array).
+  */
+case class ScorePercentile(child: Expression, sorted: Array[Double])
+    extends UnaryExpression {
+  require(sorted.nonEmpty, "reference distribution must not be empty")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    IForestOps.percentile(v.asInstanceOf[Double], sorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sortedRef = ctx.addReferenceObj("sorted", sorted, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.anomaly.IForestOps.percentile($c, $sortedRef)")
   }
 
   override protected def withNewChildInternal(c: Expression): ScorePercentile = copy(child = c)

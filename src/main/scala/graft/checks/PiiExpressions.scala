@@ -1,24 +1,19 @@
 package graft.checks
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Checksum-validated PII detectors: regex shape alone over-flags (any 16
   * random digits look like a card number); these expressions scan the text
   * once and validate candidates with the real check digit algorithms.
+  * Codegen'd via static [[PiiOps]] calls — a CodegenFallback here would
+  * disable whole-stage codegen for every check sharing the projection.
   */
-
-/** True when the text contains a 13-19 digit sequence (spaces/dashes allowed
-  * between groups) that passes the Luhn checksum — credit-card detection with
-  * far fewer false positives than the bare digit-shape regex.
-  */
-case class ContainsLuhnNumber(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = BooleanType
-
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+object PiiOps {
+  def containsLuhn(u: UTF8String): Boolean = {
+    val s = u.toString
     var i = 0
     val n = s.length
     while (i < n) {
@@ -55,21 +50,10 @@ case class ContainsLuhnNumber(child: Expression) extends UnaryExpression with Co
     sum % 10 == 0
   }
 
-  override protected def withNewChildInternal(c: Expression): ContainsLuhnNumber = copy(child = c)
-}
-
-/** True when the text contains an IBAN-shaped token (CC + 2 check digits +
-  * 11-30 alphanumerics) whose ISO 7064 mod-97 checksum is 1.
-  */
-case class ContainsIban(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = BooleanType
-
   private val ibanShape = "[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}".r
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    ibanShape.findAllIn(s.replace(" ", "")).exists(mod97Valid)
-  }
+  def containsIban(u: UTF8String): Boolean =
+    ibanShape.findAllIn(u.toString.replace(" ", "")).exists(mod97Valid)
 
   private def mod97Valid(iban: String): Boolean = {
     val rearranged = iban.substring(4) + iban.substring(0, 4)
@@ -83,6 +67,33 @@ case class ContainsIban(child: Expression) extends UnaryExpression with CodegenF
     }
     rem == 1
   }
+}
+
+/** True when the text contains a 13-19 digit sequence (spaces/dashes allowed
+  * between groups) that passes the Luhn checksum — credit-card detection with
+  * far fewer false positives than the bare digit-shape regex.
+  */
+case class ContainsLuhnNumber(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(v: Any): Any = PiiOps.containsLuhn(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.checks.PiiOps.containsLuhn($c)")
+
+  override protected def withNewChildInternal(c: Expression): ContainsLuhnNumber = copy(child = c)
+}
+
+/** True when the text contains an IBAN-shaped token (CC + 2 check digits +
+  * 11-30 alphanumerics) whose ISO 7064 mod-97 checksum is 1.
+  */
+case class ContainsIban(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(v: Any): Any = PiiOps.containsIban(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.checks.PiiOps.containsIban($c)")
 
   override protected def withNewChildInternal(c: Expression): ContainsIban = copy(child = c)
 }

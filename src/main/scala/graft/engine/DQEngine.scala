@@ -83,13 +83,26 @@ object DQEngine {
         }
     }
 
-    def resultStruct(c: Compiled): Column = {
-      val r = c.rule
+    // Each active rule's condition (message-or-null) materializes EXACTLY once,
+    // in its own projection; the result projection below references only these
+    // attributes. CollapseProject declines to re-inline a non-cheap alias
+    // referenced more than once, so the check expressions never evaluate
+    // twice — inlining them directly into the result structs measured ~2x on
+    // a 24-check suite (guard + message both re-evaluate the check).
+    val condCols: Seq[Option[String]] = compiled.zipWithIndex.map { case (c, i) =>
+      if (c.skipped.isEmpty) Some(s"__dq_cond_$i") else None
+    }
+    val withConds = {
+      val adds = compiled.zip(condCols).collect { case (c, Some(n)) => c.condition.as(n) }
+      if (adds.isEmpty) current else current.select(col("*") +: adds: _*)
+    }
+
+    def mkStruct(r: DQRule, message: Column, skipped: Boolean): Column = {
       val meta = extra.userMetadata ++ r.userMetadata
       val metadataCol =
         if (meta.isEmpty) lit(null).cast("map<string,string>")
         else map(meta.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-      def mkStruct(message: Column, skipped: Boolean): Column = struct(
+      struct(
         lit(r.resolvedName).as("name"),
         message.as("message"),
         (if (r.columns.isEmpty) lit(null).cast("array<string>")
@@ -102,31 +115,43 @@ object DQEngine {
         lit(r.fingerprint).as("rule_fingerprint"),
         lit(ruleSetFp).as("rule_set_fingerprint"),
         lit(skipped).as("skipped"))
+    }
+
+    /** 0/1-element array for one rule (concat'd below; array_compact would
+      * rewrite to a lambda ArrayFilter with no codegen and de-codegen every
+      * check sharing the projection).
+      */
+    def resultPart(c: Compiled, condCol: Option[String]): Option[Column] = {
+      val r = c.rule
       c.skipped match {
         case Some(msg) =>
-          if (extra.suppressSkipped) lit(null).cast(DQSchemas.resultItem)
-          else mkStruct(lit(msg), skipped = true)
+          if (extra.suppressSkipped) None
+          else Some(array(mkStruct(r, lit(msg), skipped = true)))
         case None =>
+          val n = condCol.get
           val filterC = r.filter.map(f => expr(f)).getOrElse(lit(true))
           // custom message expression replaces the default failure message,
           // capped at 500 chars (manager.py:247-274)
           val message = r.messageExpr match {
             case Some(me) => substring(expr(me), 1, 500)
-            case None => c.condition
+            case None => col(n)
           }
-          when(filterC && c.condition.isNotNull, mkStruct(message, skipped = false))
-            .otherwise(lit(null).cast(DQSchemas.resultItem))
+          Some(when(filterC && col(n).isNotNull, array(mkStruct(r, message, skipped = false)))
+            .otherwise(array().cast(DQSchemas.resultArray)))
       }
     }
 
-    def resultArray(cs: Seq[Compiled]): Column =
-      if (cs.isEmpty) lit(null).cast(DQSchemas.resultArray)
+    def resultArray(cs: Seq[(Compiled, Option[String])]): Column = {
+      val parts = cs.flatMap { case (c, n) => resultPart(c, n) }
+      if (parts.isEmpty) lit(null).cast(DQSchemas.resultArray)
       else {
-        val arr = array_compact(array(cs.map(resultStruct): _*))
+        val arr = concat(parts: _*)
         when(size(arr) > 0, arr).otherwise(lit(null).cast(DQSchemas.resultArray))
       }
+    }
 
-    val (errs, warns) = compiled.partition(_.rule.criticality == Criticality.Error)
+    val withNames = compiled.zip(condCols)
+    val (errs, warns) = withNames.partition(_._1.rule.criticality == Criticality.Error)
     val names = extra.resultColumnNames
     // backtick-quote original names: col("a.b") would parse as field access
     def orig(name: String): Column = col("`" + name.replace("`", "``") + "`")
@@ -147,7 +172,7 @@ object DQEngine {
     val baseCols =
       if (existing.isDefined && infoColumn.isDefined) originalCols.filterNot(_ == destInfo)
       else originalCols
-    current.select(
+    withConds.select(
       (baseCols.map(orig) :+
         resultArray(errs).as(names.errors) :+
         resultArray(warns).as(names.warnings)) ++ infoColumn.toSeq: _*)

@@ -2,7 +2,8 @@ package graft.geo
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -10,6 +11,11 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Catalyst expressions over WKT strings. One parse per row computes every
   * property the geo check family needs (the OSS stand-in for the reference's
   * per-check `st_*` calls, geo/check_funcs.py:110-1302).
+  *
+  * All expressions implement real `doGenCode` (static calls into [[GeoOps]]):
+  * a single CodegenFallback expression inside a composed check projection or
+  * the result-reading filter disables whole-stage codegen for EVERY check in
+  * that operator — measured ~2x on the 24-check row suite.
   */
 object WktInfo {
   val schema: StructType = StructType(Seq(
@@ -28,13 +34,12 @@ object WktInfo {
   ))
 }
 
-/** NULL when the WKT does not parse (try_to_geometry null semantics). */
-case class WktInfo(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = WktInfo.schema
-  override def nullable: Boolean = true
-
-  override def nullSafeEval(v: Any): Any =
-    Wkt.parse(v.asInstanceOf[UTF8String].toString) match {
+/** Static (Java-callable) evaluators for the codegen'd WKT expressions;
+  * null returns signal unparseable input (try_to_geometry null semantics).
+  */
+object GeoOps {
+  def wktInfo(s: UTF8String): InternalRow =
+    Wkt.parse(s.toString) match {
       case None => null
       case Some(g) =>
         val (x, y) = g match {
@@ -55,6 +60,59 @@ case class WktInfo(child: Expression) extends UnaryExpression with CodegenFallba
           d(_._1), d(_._2), d(_._3), d(_._4))
     }
 
+  def wktRelation(s: UTF8String, refGeom: Geom, relation: String): java.lang.Boolean =
+    Wkt.parse(s.toString) match {
+      case None => null
+      case Some(g) => java.lang.Boolean.valueOf(GeomOps.relate(relation, refGeom, g))
+    }
+
+  def pairIntersects(l: UTF8String, r: UTF8String): java.lang.Boolean =
+    (Wkt.parse(l.toString), Wkt.parse(r.toString)) match {
+      case (Some(a), Some(b)) => java.lang.Boolean.valueOf(GeomOps.intersects(a, b))
+      case _ => null
+    }
+
+  def envelopeCells(s: UTF8String, cellSize: Double): ArrayData =
+    Wkt.parse(s.toString).flatMap(_.envelope) match {
+      case None => null
+      case Some((xmin, ymin, xmax, ymax)) =>
+        val x0 = math.floor(xmin / cellSize).toLong
+        val x1 = math.floor(xmax / cellSize).toLong
+        val y0 = math.floor(ymin / cellSize).toLong
+        val y1 = math.floor(ymax / cellSize).toLong
+        val cells = for (cx <- x0 to x1; cy <- y0 to y1) yield cx * 1000000000L + cy
+        new GenericArrayData(cells.toArray)
+    }
+
+  /** Codegen template: child-null-safe call whose null result sets ev.isNull. */
+  private[geo] def nullableCall(ctx: CodegenContext, ev: ExprCode, javaType: String,
+                                children: Seq[Expression], call: Seq[String] => String): ExprCode = {
+    val gens = children.map(_.genCode(ctx))
+    val resVar = ctx.freshName("geoRes")
+    val anyChildNull = gens.map(_.isNull.toString).mkString(" || ")
+    ev.copy(code =
+      code"""
+        ${gens.map(_.code).mkString("\n")}
+        boolean ${ev.isNull} = true;
+        $javaType ${ev.value} = null;
+        if (!($anyChildNull)) {
+          $javaType $resVar = ${call(gens.map(_.value.toString))};
+          if ($resVar != null) { ${ev.isNull} = false; ${ev.value} = $resVar; }
+        }""")
+  }
+}
+
+/** NULL when the WKT does not parse (try_to_geometry null semantics). */
+case class WktInfo(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = WktInfo.schema
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = GeoOps.wktInfo(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    GeoOps.nullableCall(ctx, ev, "org.apache.spark.sql.catalyst.InternalRow", Seq(child),
+      vs => s"graft.geo.GeoOps.wktInfo(${vs.head})")
+
   override protected def withNewChildInternal(c: Expression): WktInfo = copy(child = c)
 }
 
@@ -63,7 +121,7 @@ case class WktInfo(child: Expression) extends UnaryExpression with CodegenFallba
   * NULL when the row WKT does not parse. The reference WKT is parsed once.
   */
 case class WktRelation(child: Expression, referenceWkt: String, relation: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   @transient private lazy val refGeom: Geom = Wkt.parse(referenceWkt)
     .getOrElse(throw new IllegalArgumentException(s"Invalid reference WKT: $referenceWkt"))
 
@@ -71,10 +129,23 @@ case class WktRelation(child: Expression, referenceWkt: String, relation: String
   override def nullable: Boolean = true
 
   override def nullSafeEval(v: Any): Any =
-    Wkt.parse(v.asInstanceOf[UTF8String].toString) match {
-      case None => null
-      case Some(g) => GeomOps.relate(relation, refGeom, g)
-    }
+    GeoOps.wktRelation(v.asInstanceOf[UTF8String], refGeom, relation)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refRef = ctx.addReferenceObj("refGeom", refGeom, classOf[Geom].getName)
+    val relRef = ctx.addReferenceObj("relation", relation, "java.lang.String")
+    val gen = child.genCode(ctx)
+    val resVar = ctx.freshName("relRes")
+    ev.copy(code =
+      code"""
+        ${gen.code}
+        boolean ${ev.isNull} = true;
+        boolean ${ev.value} = false;
+        if (!${gen.isNull}) {
+          java.lang.Boolean $resVar = graft.geo.GeoOps.wktRelation(${gen.value}, $refRef, $relRef);
+          if ($resVar != null) { ${ev.isNull} = false; ${ev.value} = $resVar.booleanValue(); }
+        }""")
+  }
 
   override protected def withNewChildInternal(c: Expression): WktRelation = copy(child = c)
 }
@@ -83,16 +154,28 @@ case class WktRelation(child: Expression, referenceWkt: String, relation: String
   * the D16 bucketed spatial join). NULL when either side does not parse.
   */
 case class WktPairIntersects(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any =
-    (Wkt.parse(l.asInstanceOf[UTF8String].toString),
-      Wkt.parse(r.asInstanceOf[UTF8String].toString)) match {
-      case (Some(a), Some(b)) => GeomOps.intersects(a, b)
-      case _ => null
-    }
+    GeoOps.pairIntersects(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGen = left.genCode(ctx)
+    val rGen = right.genCode(ctx)
+    val resVar = ctx.freshName("interRes")
+    ev.copy(code =
+      code"""
+        ${lGen.code}
+        ${rGen.code}
+        boolean ${ev.isNull} = true;
+        boolean ${ev.value} = false;
+        if (!${lGen.isNull} && !${rGen.isNull}) {
+          java.lang.Boolean $resVar = graft.geo.GeoOps.pairIntersects(${lGen.value}, ${rGen.value});
+          if ($resVar != null) { ${ev.isNull} = false; ${ev.value} = $resVar.booleanValue(); }
+        }""")
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): WktPairIntersects =
     copy(left = l, right = r)
@@ -104,22 +187,17 @@ case class WktPairIntersects(left: Expression, right: Expression)
   * ranges / sane cell sizes). NULL when unparseable or empty.
   */
 case class WktEnvelopeCells(child: Expression, cellSize: Double)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(cellSize > 0, "cellSize must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
   override def nullSafeEval(v: Any): Any =
-    Wkt.parse(v.asInstanceOf[UTF8String].toString).flatMap(_.envelope) match {
-      case None => null
-      case Some((xmin, ymin, xmax, ymax)) =>
-        val x0 = math.floor(xmin / cellSize).toLong
-        val x1 = math.floor(xmax / cellSize).toLong
-        val y0 = math.floor(ymin / cellSize).toLong
-        val y1 = math.floor(ymax / cellSize).toLong
-        val cells = for (cx <- x0 to x1; cy <- y0 to y1) yield cx * 1000000000L + cy
-        new GenericArrayData(cells.toArray): ArrayData
-    }
+    GeoOps.envelopeCells(v.asInstanceOf[UTF8String], cellSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    GeoOps.nullableCall(ctx, ev, "org.apache.spark.sql.catalyst.util.ArrayData", Seq(child),
+      vs => s"graft.geo.GeoOps.envelopeCells(${vs.head}, ${cellSize}D)")
 
   override protected def withNewChildInternal(c: Expression): WktEnvelopeCells = copy(child = c)
 }

@@ -146,6 +146,11 @@ object PerfLab {
       // per-check honest cost of the all-row-checks suite: which checks pay
       // for the 10M-row scan under the result-reading action?
       val wholeSuite = BenchRef.allRowChecks(df)
+      // fixture floor: force-compute EVERY generated column, no checks — the
+      // part of the suite cost that is the synthetic data, not the engine
+      time("fixture floor (all columns forced)")(
+        df.where(xxhash64(df.columns.filterNot(_ == "col7").map(col) :+
+          map_keys(col("col7")): _*) === 0).count())
       time("all_row_checks (whole suite)")(BenchRef.touch(wholeSuite))
       time("all_row_checks bare count")(wholeSuite.count())
       val R = graft.checks.RowChecks
