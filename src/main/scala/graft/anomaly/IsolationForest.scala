@@ -31,6 +31,24 @@ object IsolationForest {
       math.pow(2.0, -avg / cFactor)
     }
 
+    /** Population std-dev of the per-tree scores 2^(-h_i/c): the ensemble's
+      * disagreement about this row — the reference's confidence signal
+      * (anomaly/explainability.py ensemble variance). Low std = confident.
+      */
+    def scoreStd(row: Array[Double]): Double = {
+      var sum = 0.0
+      var sumSq = 0.0
+      var i = 0
+      while (i < trees.length) {
+        val s = math.pow(2.0, -pathLength(trees(i), row, 0) / cFactor)
+        sum += s; sumSq += s * s
+        i += 1
+      }
+      val n = trees.length
+      val mean = sum / n
+      math.sqrt(math.max(0.0, sumSq / n - mean * mean))
+    }
+
     /** Per-feature contribution percentages (sum 100) from depth-weighted
       * path attribution over all trees; uniform when no split was taken.
       */
@@ -135,6 +153,9 @@ object IForestOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       model.asInstanceOf[IsolationForest.Model].contributions(toRow(arr), nFeatures))
 
+  def scoreStd(arr: ArrayData, model: Object): Double =
+    model.asInstanceOf[IsolationForest.Model].scoreStd(toRow(arr))
+
   def percentile(x: Double, sorted: Array[Double]): Double = {
     // mean-rank percentile: (count(< x) + count(<= x)) / 2 — ties land mid-rank
     // (a constant distribution maps to 50, not 100)
@@ -178,6 +199,25 @@ case class IForestScore(child: Expression, model: IsolationForest.Model)
   * Wrap in `when(is_anomaly, ...)` so the second forest walk is only paid on
   * flagged rows, like the reference computes SHAP for anomalies only.
   */
+/** Per-tree score std-dev (ensemble disagreement) — confidence_std in the
+  * anomaly info struct. NULL input -> NULL.
+  */
+case class IForestScoreStd(child: Expression, model: IsolationForest.Model)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    IForestOps.scoreStd(v.asInstanceOf[ArrayData], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("model", model, "java.lang.Object")
+    defineCodeGen(ctx, ev, c => s"graft.anomaly.IForestOps.scoreStd($c, $modelRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): IForestScoreStd = copy(child = c)
+}
+
 case class IForestContrib(child: Expression, model: IsolationForest.Model, nFeatures: Int)
     extends UnaryExpression {
   override def dataType: DataType =

@@ -893,7 +893,7 @@ object DatasetChecks {
                                checkName: String = "has_no_row_anomalies"): DatasetCheck = {
     require(columns.nonEmpty, "columns must not be empty")
     require(threshold >= 0 && threshold <= 100, "threshold is a percentile in [0, 100]")
-    import graft.anomaly.{IForestContrib, IForestScore, IsolationForest}
+    import graft.anomaly.{IForestContrib, IForestScore, IForestScoreStd, IsolationForest}
     import org.apache.spark.sql.GraftColumnBridge
     val id = uniqueSuffix()
     val scoreCol = s"__dq_if_score_$id"
@@ -939,7 +939,9 @@ object DatasetChecks {
             lit("isolation_forest").as("model"),
             lit(null).cast("map<string,string>").as("segment"),
             when(isAnomaly, contribMap).as("contributions"),
-            lit(null).cast("double").as("confidence_std")
+            // ensemble disagreement, flagged rows only (extra forest walk)
+            when(isAnomaly, GraftColumnBridge.column(IForestScoreStd(
+              GraftColumnBridge.expression(features), model))).as("confidence_std")
           ).cast(graft.core.DQInfo.anomalySchema))))
     }
     DatasetCheck(applyFn,

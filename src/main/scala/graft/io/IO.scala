@@ -32,13 +32,26 @@ object IO {
   def isTableLocation(location: String): Boolean =
     location.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+){0,2}") && !location.contains("/")
 
-  /** read_input_data (io.py:20-85): table or path, batch or streaming. */
+  /** read_input_data (io.py:20-85): table or path, batch or streaming.
+    *
+    * File streams without an explicit schema get one inferred from the files
+    * already at the location (bounded batch read of the current listing) —
+    * the OSS analog of Auto Loader's `cloudFiles.inferColumnTypes` +
+    * schemaLocation bootstrap (io.py:59-85). Schema EVOLUTION across
+    * restarts follows the same contract as Auto Loader's `addNewColumns`
+    * mode: new columns appear after a restart re-infers; pass
+    * `mergeSchema=true` in options for parquet width-unions within a run.
+    */
   def readInputData(spark: SparkSession, cfg: InputConfig): DataFrame = {
     if (cfg.isStreaming) {
       if (isTableLocation(cfg.location)) spark.readStream.table(cfg.location)
       else {
         val r = spark.readStream.format(cfg.format).options(cfg.options)
-        val withSchema = cfg.schema.map(r.schema).getOrElse(r)
+        val withSchema = cfg.schema.map(r.schema).getOrElse {
+          val inferred = spark.read.format(cfg.format).options(cfg.options)
+            .load(cfg.location).schema
+          r.schema(inferred)
+        }
         withSchema.load(cfg.location)
       }
     } else {

@@ -28,6 +28,35 @@ final case class ProfilerOptions(
 
 object Profiler {
 
+  /** Deterministic primary-key candidate detection — the non-LLM half of the
+    * reference's PK detector (llm/llm_pk_detector.py): a column (or the name
+    * hints the LLM would use) is a PK candidate when it is null-free and its
+    * distinct count reaches `distinctRatio` of the row count. ONE aggregation
+    * action over all candidate columns (approx_count_distinct at 1% relative
+    * error; ratios are compared against `distinctRatio` minus that error
+    * margin). Returns candidates ranked by distinct ratio, best first.
+    */
+  def primaryKeyCandidates(df: DataFrame, columns: Seq[String] = Seq.empty,
+                           distinctRatio: Double = 0.99): Seq[(String, Double)] = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    require(cols.nonEmpty, "no columns to profile")
+    val aggs = count(lit(1)).as("__n") +:
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"__nn_$c"),
+        approx_count_distinct(col(c), 0.01).as(s"__d_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val n = row.getLong(0)
+    if (n == 0) return Seq.empty
+    cols.flatMap { c =>
+      val nonNull = row.getLong(row.fieldIndex(s"__nn_$c"))
+      val distinct = row.getLong(row.fieldIndex(s"__d_$c"))
+      val ratio = distinct.toDouble / n
+      // null-free and distinct-enough (allow the sketch's 1% error band)
+      if (nonNull == n && ratio >= distinctRatio - 0.01) Some(c -> math.min(ratio, 1.0))
+      else None
+    }.sortBy(-_._2)
+  }
+
   /** Stratified sample with explicit per-stratum fractions
     * (profiler.py:361-414; strata absent from the map are excluded).
     */

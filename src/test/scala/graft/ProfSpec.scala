@@ -16,4 +16,50 @@ class ProfSpec extends SparkSpec {
     tm("ngram")(SparkEntry.queries("pipe_dedup_ngram_jaccard")(spark, dir).count())
     tm("simhash")(SparkEntry.queries("pipe_dedup_simhash")(spark, dir).count())
   }
+
+  test("primary-key candidates: unique null-free columns rank first, others excluded") {
+    import spark.implicits._
+    val df = Seq.tabulate(2000)(i => (i.toLong, s"k$i", i % 7, if (i % 100 == 0) null else s"v$i"))
+      .toDF("id", "key", "bucket", "mostly")
+    val cands = graft.profiler.Profiler.primaryKeyCandidates(df)
+    assert(cands.map(_._1).toSet == Set("id", "key")) // unique + null-free only
+    assert(cands.forall(_._2 > 0.97))
+    // low-cardinality and nullable columns are never candidates
+    assert(!cands.exists(c => c._1 == "bucket" || c._1 == "mostly"))
+    // restricted column list respected
+    assert(graft.profiler.Profiler.primaryKeyCandidates(df, Seq("bucket")).isEmpty)
+  }
+
+  test("iforest anomaly info carries confidence_std for flagged rows") {
+    import spark.implicits._
+    val base = Seq.tabulate(500)(i => (i, i % 50 * 1.0)).toDF("id", "v")
+    val planted = base.unionByName(Seq((9001, 1e6)).toDF("id", "v"))
+    val checked = graft.engine.DQEngine.applyChecks(planted, Seq(
+      graft.rules.DQDatasetRule(
+        graft.checks.DatasetChecks.hasNoRowAnomaliesIForest(Seq("v"), threshold = 99.0, seed = 3),
+        "has_no_row_anomalies", Seq("v"))))
+    val flagged = checked.where(col("_errors").isNotNull)
+      .select(col("id"),
+        col("_dq_info")(0).getField("anomaly").getField("confidence_std").as("cs"),
+        col("_dq_info")(0).getField("anomaly").getField("contributions").as("contrib"))
+      .collect()
+    assert(flagged.exists(_.getInt(0) == 9001))
+    // every flagged row reports a non-null, finite, non-negative ensemble std
+    assert(flagged.forall(r => !r.isNullAt(1) && r.getDouble(1) >= 0.0 && r.getDouble(1) < 1.0))
+    // clean rows carry no confidence value
+    val clean = checked.where(col("_errors").isNull)
+      .select(col("_dq_info")(0).getField("anomaly").getField("confidence_std").as("cs"))
+      .where(col("cs").isNotNull).count()
+    assert(clean == 0)
+  }
+
+  test("streaming file read without schema infers one from existing files") {
+    val dir = java.nio.file.Files.createTempDirectory("io_infer").toString
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("id", "s").write.mode("overwrite").parquet(dir)
+    val stream = graft.io.IO.readInputData(spark,
+      graft.io.InputConfig(location = dir, format = "parquet", isStreaming = true))
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.toSeq == Seq("id", "s"))
+  }
 }
