@@ -74,6 +74,24 @@ class MadBatchSpec extends SparkSpec {
     assert(Set(9001, 9002, 9003).subsetOf(flagged(checked).map(_._1).toSet))
   }
 
+  test("ExactMedian equals built-in exact percentile on odd/even/null/filtered inputs") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 2, 101, 1000)) {
+      val data = Seq.tabulate(n)(i =>
+        (i, if (i % 13 == 0 && n > 100) None else Some(rnd.nextDouble() * 1000 - 500)))
+      val d = data.toDF("id", "v")
+      val got = d.select(graft.checks.ExactMedian.of(col("v"))).first()
+      val exp = d.select(expr("percentile(v, 0.5)")).first()
+      assert(got.isNullAt(0) == exp.isNullAt(0))
+      if (!got.isNullAt(0))
+        assert(math.abs(got.getDouble(0) - exp.getDouble(0)) < 1e-9,
+          s"n=$n got=${got.getDouble(0)} exp=${exp.getDouble(0)}")
+    }
+    // all-null input -> NULL
+    val allNull = Seq.tabulate(5)(i => (i, Option.empty[Double])).toDF("id", "v")
+    assert(allNull.select(graft.checks.ExactMedian.of(col("v"))).first().isNullAt(0))
+  }
+
   test("rowFilter respected by the batched band") {
     // filter excludes the extreme 9001 from the band stats AND from flagging
     val r = Seq(DQDatasetRule(DatasetChecks.hasNoOutliers("a", exact = true,
