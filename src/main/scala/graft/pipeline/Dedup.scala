@@ -49,6 +49,37 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** CCNet-style line-level dedup: drop every line that occurs more than
+    * `maxOccurrences` times across the whole corpus (boilerplate — nav bars,
+    * cookie banners, license footers — repeats corpus-wide; prose doesn't).
+    * Returns (idCol, cleaned text) with each doc's surviving lines in their
+    * original order; docs whose lines are all boilerplate yield ''.
+    *
+    * Scale shape: posexplode (row-local) -> per-line-hash counts (ONE
+    * partial-aggregated shuffle carrying (64-bit hash, count)) -> hash
+    * equi-join (AQE decides broadcast vs shuffle by the distinct-line count)
+    * -> regroup per doc via collect_list + array_sort on position. Lines
+    * join on xxhash64, not the line text — the shuffled payload stays narrow.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 maxOccurrences: Long = 1, sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+      .withColumn("__h", xxhash64(col("__line")))
+    val counts = lines.groupBy(col("__h").as("__hc"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxOccurrences) // join side carries ONLY boilerplate hashes
+    // left join + null-check instead of anti join so all-boilerplate docs
+    // survive with '' (collect_list skips the nulled-out matched lines)
+    lines.join(counts, col("__h") === col("__hc"), "left")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(
+        when(col("__hc").isNull, struct(col("__pos"), col("__line"))))).as("__ps"))
+      .select(col(idCol),
+        concat_ws(sep, transform(col("__ps"), p => p.getField("__line"))).as(textCol))
+  }
+
   // -------------------------------------------------------------- MinHash LSH
 
   /** MinHash signature over pre-hashed shingles (array<long>): one string hash

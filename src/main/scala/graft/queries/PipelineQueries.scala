@@ -196,6 +196,37 @@ object PipelineQueries {
       Some("""SELECT doc_id AS id_a, doc_id + 200000 AS id_b FROM documents
              |WHERE doc_id % 10 = 1 ORDER BY 1, 2""".stripMargin)),
 
+    // line-level dedup gate: every doc gets a shared boilerplate header +
+    // footer and a per-doc unique line; line dedup must strip exactly the
+    // boilerplate (corpus count > 1) and keep original text + unique line in
+    // order. Oracle recomputes global line counts in DuckDB.
+    "pipe_dedup_lines" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n",
+            lit("subscribe to our newsletter"),
+            col("text"),
+            concat(lit("unique line "), col("doc_id")),
+            lit("all rights reserved")).as("text"))
+        Dedup.dedupLines(docs, "doc_id", "text", maxOccurrences = 1)
+          .orderBy("doc_id")
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, 'subscribe to our newsletter' || chr(10) || text || chr(10) ||
+             |         'unique line ' || doc_id || chr(10) || 'all rights reserved' AS text
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id, t.line, t.pos
+             |  FROM planted, LATERAL (
+             |    SELECT unnest(string_split(text, chr(10))) AS line,
+             |           generate_subscripts(string_split(text, chr(10)), 1) AS pos) t),
+             |counts AS (SELECT line, count(*) AS n FROM lines GROUP BY line)
+             |SELECT l.doc_id,
+             |       string_agg(l.line, chr(10) ORDER BY l.pos) AS text
+             |FROM lines l JOIN counts c ON l.line = c.line
+             |WHERE c.n <= 1
+             |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)),
+
     "pipe_dedup_cosine" -> QueryDef(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

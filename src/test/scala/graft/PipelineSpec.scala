@@ -15,6 +15,26 @@ class PipelineSpec extends SparkSpec {
     assert(kept.where(col("text") === "a b c").select("id").as[Int].head() == 1)
   }
 
+  test("line-level dedup strips corpus-wide boilerplate, keeps order, empties all-boilerplate docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, "HEADER\nalpha beta\nmiddle one\nFOOTER"),
+      (2, "HEADER\ngamma delta\nFOOTER"),
+      (3, "HEADER\nFOOTER"), // nothing unique -> must survive as ''
+      (4, "solo doc with no boilerplate")
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.dedupLines(docs, "doc_id", "text")
+      .as[(Int, String)].collect().toMap
+    assert(out(1) == "alpha beta\nmiddle one") // order preserved
+    assert(out(2) == "gamma delta")
+    assert(out(3) == "") // doc retained, fully stripped
+    assert(out(4) == "solo doc with no boilerplate")
+    // maxOccurrences=3 keeps lines repeated up to 3 times (HEADER/FOOTER x3)
+    val relaxed = graft.pipeline.Dedup.dedupLines(docs, "doc_id", "text", maxOccurrences = 3)
+      .as[(Int, String)].collect().toMap
+    assert(relaxed(3) == "HEADER\nFOOTER")
+  }
+
   test("minhash LSH finds near-duplicate pairs with exact jaccard verification") {
     val base = "spark catalyst plan optimizer shuffle partition broadcast join window aggregate"
     val df = Seq(
