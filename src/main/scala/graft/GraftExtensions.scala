@@ -62,7 +62,15 @@ object GraftExtensions {
     ("graft_wkt_intersects",
       info("graft_wkt_intersects",
         "graft_wkt_intersects(wkt_a, wkt_b) - true when the two WKT geometries intersect"),
-      args => { val a = arity("graft_wkt_intersects", 2, args); WktPairIntersects(a(0), a(1)) })
+      args => { val a = arity("graft_wkt_intersects", 2, args); WktPairIntersects(a(0), a(1)) }),
+    ("graft_exact_median",
+      info("graft_exact_median",
+        "graft_exact_median(col) - exact interpolating median (primitive-array aggregate, " +
+          "~5x faster than percentile(col, 0.5) at scale)"),
+      args => graft.checks.ExactMedian(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          arity("graft_exact_median", 1, args).head,
+          org.apache.spark.sql.types.DoubleType)).toAggregateExpression())
   )
 
   /** Register on a live session (same registry the extensions path fills). */

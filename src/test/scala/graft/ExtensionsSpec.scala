@@ -25,6 +25,11 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getDouble(3) == 3.0 && row.getBoolean(4))
   }
 
+  test("graft_exact_median aggregates from plain SQL") {
+    val med = Seq(1.0, 2.0, 3.0, 100.0).toDF("v").createOrReplaceTempView("mview")
+    assert(spark.sql("SELECT graft_exact_median(v) FROM mview").head().getDouble(0) == 2.5)
+  }
+
   test("sql_expression rules can call graft_* functions") {
     val df = Seq((1, "2001:db8::1"), (2, "not-an-ip")).toDF("id", "addr")
     val out = DQEngine.applyChecks(df, Seq(
