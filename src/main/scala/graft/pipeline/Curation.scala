@@ -44,6 +44,7 @@ object Curation {
     * uniform draw per stratum. One shuffle on the group columns.
     */
   def quotaSample(df: DataFrame, groupCols: Seq[String], id: Column, quota: Int): DataFrame = {
+    PipelineGuards.requireBatch(df, "quotaSample")
     require(quota > 0, "quota must be positive")
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(portableHash(id), id)
     df.withColumn("__quota_rn", row_number().over(w))

@@ -36,6 +36,7 @@ object Dedup {
     * Adds `__dup_count` (rows sharing the key) and `__is_duplicate`.
     */
   def flagExactDuplicates(df: DataFrame, keyCols: Seq[Column]): DataFrame = {
+    PipelineGuards.requireBatch(df, "flagExactDuplicates")
     val w = Window.partitionBy(keyCols: _*)
     df.withColumn("__dup_count", count(lit(1)).over(w))
       .withColumn("__is_duplicate", col("__dup_count") > 1)
@@ -45,6 +46,7 @@ object Dedup {
     * standard `row_number over (partition by key)` shuffle; AQE handles skew.
     */
   def dedupExact(df: DataFrame, keyCols: Seq[Column], orderCol: Column): DataFrame = {
+    PipelineGuards.requireBatch(df, "dedupExact")
     val w = Window.partitionBy(keyCols: _*).orderBy(orderCol)
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
@@ -53,7 +55,10 @@ object Dedup {
     * `maxOccurrences` times across the whole corpus (boilerplate — nav bars,
     * cookie banners, license footers — repeats corpus-wide; prose doesn't).
     * Returns (idCol, cleaned text) with each doc's surviving lines in their
-    * original order; docs whose lines are all boilerplate yield ''.
+    * original order; docs whose lines are all boilerplate yield ''. NULL text
+    * is treated as '' (the doc survives). Empty/whitespace-only lines are
+    * exempt from the boilerplate count — paragraph breaks repeat corpus-wide
+    * by nature and must not be stripped.
     *
     * Scale shape: posexplode (row-local) -> per-line-hash counts (ONE
     * partial-aggregated shuffle carrying (64-bit hash, count)) -> hash
@@ -63,11 +68,15 @@ object Dedup {
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  maxOccurrences: Long = 1, sep: String = "\n"): DataFrame = {
+    PipelineGuards.requireBatch(df, "dedupLines")
     val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep)))
         .as(Seq("__pos", "__line")))
       .withColumn("__h", xxhash64(col("__line")))
-    val counts = lines.groupBy(col("__h").as("__hc"))
+    val counts = lines
+      .where(trim(col("__line")) =!= "") // blank lines can never be boilerplate
+      .groupBy(col("__h").as("__hc"))
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") > maxOccurrences) // join side carries ONLY boilerplate hashes
     // left join + null-check instead of anti join so all-boilerplate docs
@@ -103,14 +112,16 @@ object Dedup {
   def minHashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 3, numHashes: Int = 64,
                             bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    PipelineGuards.requireBatch(df, "minHashDuplicatePairs")
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     // exact Jaccard is computed over the HASHED shingle sets (array<long>):
     // set identity is preserved (64-bit collisions are negligible) and long
     // intersection is far cheaper than string intersection
-    val sh = df.select(col(idCol).as("__id"),
-      transform(shingles(col(textCol), shingleSize), s => xxhash64(s)).as("__hsh"))
-    // generator computes the 128-hash sketch ONCE per row and emits band rows
     import org.apache.spark.sql.GraftColumnBridge
+    val sh = df.select(col(idCol).as("__id"),
+      GraftColumnBridge.column(HashedShingles(
+        GraftColumnBridge.expression(col(textCol)), shingleSize)).as("__hsh"))
+    // generator computes the 128-hash sketch ONCE per row and emits band rows
     val banded = sh.select(col("__id"),
       GraftColumnBridge.column(MinHashBandsExplode(
         GraftColumnBridge.expression(col("__hsh")), numHashes, bands))
@@ -161,6 +172,7 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                         maxIterations: Int = 20): DataFrame = {
+    PipelineGuards.requireBatch(pairs, "duplicateClusters")
     val e = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
@@ -215,6 +227,7 @@ object Dedup {
     */
   def simHashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3): DataFrame = {
+    PipelineGuards.requireBatch(df, "simHashDuplicatePairs")
     require(maxHamming >= 0 && maxHamming <= 30, "maxHamming must be in [0, 30]")
     val nChunks = maxHamming + 2
     // generator computes SimHash64 ONCE per row and emits (pair, value, sketch)
@@ -253,6 +266,7 @@ object Dedup {
                          threshold: Double = 0.95, planes: Int = 20,
                          tables: Int = 8, dim: Int = 64, seed: Long = 42L,
                          maxBucketSize: Int = 100000): DataFrame = {
+    PipelineGuards.requireBatch(df, "cosineNearDupPairs")
     import org.apache.spark.sql.GraftColumnBridge
     val base = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
     val buckets = GraftColumnBridge.column(HyperplaneBuckets(

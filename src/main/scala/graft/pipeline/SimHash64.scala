@@ -1,51 +1,45 @@
 package graft.pipeline
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** 64-bit SimHash over an array<string> of tokens, computed in a single pass
   * per row (custom Catalyst expression; bit-vote algorithm from Charikar 2002).
   * Token hash = two seeded Murmur3-32 halves (same primitive Spark's `hash()`
-  * uses), so results are stable across JVMs.
+  * uses), so results are stable across JVMs. Fully codegen'd via the
+  * [[SketchOps]] static kernel — no CodegenFallback in the sketch stage.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val counts = new Array[Int](64)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = tokenHash(s)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (counts(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    out
-  }
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.simhash64(v.asInstanceOf[ArrayData])
 
-  private def tokenHash(s: UTF8String): Long = {
-    val lo = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0)
-    val hi = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 1)
-    (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.SketchOps.simhash64($c)")
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** Distinct xxhash64'd word-n-gram shingles from a text column in one
+  * codegen'd pass (see [[SketchOps.hashedShingles]]). Replaces the
+  * `transform(shingles(text, n), s => xxhash64(s))` formulation: higher-order
+  * functions are CodegenFallback, so that chain forced the whole sketch stage
+  * (and any Generate above it) out of whole-stage codegen AND allocated every
+  * intermediate shingle string; this hashes byte spans in place.
+  */
+case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.hashedShingles(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.SketchOps.hashedShingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): HashedShingles = copy(child = c)
 }

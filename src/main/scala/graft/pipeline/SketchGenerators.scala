@@ -1,8 +1,9 @@
 package graft.pipeline
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -14,48 +15,39 @@ import org.apache.spark.sql.types._
   * re-evaluates the whole sketch N times per row (measured 30-60x overhead on
   * the MinHash path). A Generator evaluates its child exactly once per input
   * row by contract.
+  *
+  * All three generators support whole-stage codegen: GenerateExec's
+  * IterableOnce path emits `value.iterator()` over whatever the generator's
+  * doGenCode produced, so each doGenCode declares a
+  * `scala.collection.IterableOnce<InternalRow>` built by a static
+  * [[SketchOps]] kernel (same convention as Spark's `Stack`). Previously these
+  * were CodegenFallback, which forced the whole Generate input stage out of
+  * codegen.
   */
 
 /** (band, bandHash) rows from hashed shingles — see [[MinHashBands]]. */
 case class MinHashBandsExplode(child: Expression, numHashes: Int, bands: Int)
-    extends Generator with CodegenFallback {
+    extends Generator {
   require(numHashes % bands == 0, "numHashes must be divisible by bands")
-  private val rowsPerBand = numHashes / bands
 
   override def children: Seq[Expression] = Seq(child)
   override def elementSchema: StructType = StructType(Seq(
     StructField("band", IntegerType, nullable = false),
     StructField("bandhash", LongType, nullable = false)))
 
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val v = child.eval(input)
-    if (v == null) return Iterator.empty
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = arr.getLong(i)
-        var s = 0
-        while (s < numHashes) {
-          val v2 = XXH64.hashLong(h, s)
-          if (v2 < mins(s)) mins(s) = v2
-          s += 1
-        }
-      }
-      i += 1
-    }
-    (0 until bands).iterator.map { b =>
-      var acc = 0x9E3779B97F4A7C15L + b
-      var k = b * rowsPerBand
-      val end = k + rowsPerBand
-      while (k < end) {
-        acc = XXH64.hashLong(mins(k), acc)
-        k += 1
-      }
-      InternalRow(b, acc)
-    }
+  override def eval(input: InternalRow): IterableOnce[InternalRow] =
+    SketchOps.minhashBandRowsIter(
+      child.eval(input).asInstanceOf[ArrayData], numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        scala.collection.IterableOnce<InternalRow> ${ev.value} =
+          graft.pipeline.SketchOps.minhashBandRowsIter(
+            ${childGen.isNull} ? null : ${childGen.value}, $numHashes, $bands);
+      """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MinHashBandsExplode =
@@ -66,10 +58,8 @@ case class MinHashBandsExplode(child: Expression, numHashes: Int, bands: Int)
   * pigeonhole banding input for [[Dedup.simHashDuplicatePairs]].
   */
 case class SimHashChunksExplode(child: Expression, nChunks: Int)
-    extends Generator with CodegenFallback {
+    extends Generator {
   require(nChunks >= 1 && nChunks <= 64)
-  private val base = 64 / nChunks
-  private val offsets = ((0 until nChunks).map(_ * base) :+ 64).toArray
 
   override def children: Seq[Expression] = Seq(child)
   override def elementSchema: StructType = StructType(Seq(
@@ -77,15 +67,19 @@ case class SimHashChunksExplode(child: Expression, nChunks: Int)
     StructField("chunkval", LongType, nullable = false),
     StructField("simhash", LongType, nullable = false)))
 
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val v = child.eval(input)
-    if (v == null) return Iterator.empty
-    val sim = SimHash64(child).nullSafeEval(v).asInstanceOf[Long]
-    (0 until nChunks).iterator.map { i =>
-      val width = offsets(i + 1) - offsets(i)
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      InternalRow(i, (sim >>> offsets(i)) & mask, sim)
-    }
+  override def eval(input: InternalRow): IterableOnce[InternalRow] =
+    SketchOps.simhashChunkRowsIter(
+      child.eval(input).asInstanceOf[ArrayData], nChunks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        scala.collection.IterableOnce<InternalRow> ${ev.value} =
+          graft.pipeline.SketchOps.simhashChunkRowsIter(
+            ${childGen.isNull} ? null : ${childGen.value}, $nChunks);
+      """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SimHashChunksExplode =
@@ -101,12 +95,8 @@ case class SimHashChunksExplode(child: Expression, nChunks: Int)
   * rows per doc.
   */
 case class SimHashChunkPairsExplode(child: Expression, nChunks: Int)
-    extends Generator with CodegenFallback {
+    extends Generator {
   require(nChunks >= 2 && nChunks <= 32, "nChunks must be in [2, 32]")
-  private val base = 64 / nChunks
-  private val offsets = ((0 until nChunks).map(_ * base) :+ 64).toArray
-  private val pairs: Array[(Int, Int)] =
-    (for (i <- 0 until nChunks; j <- i + 1 until nChunks) yield (i, j)).toArray
 
   override def children: Seq[Expression] = Seq(child)
   override def elementSchema: StructType = StructType(Seq(
@@ -114,18 +104,19 @@ case class SimHashChunkPairsExplode(child: Expression, nChunks: Int)
     StructField("pairval", LongType, nullable = false),
     StructField("simhash", LongType, nullable = false)))
 
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val v = child.eval(input)
-    if (v == null) return Iterator.empty
-    val sim = SimHash64(child).nullSafeEval(v).asInstanceOf[Long]
-    def chunk(i: Int): Long = {
-      val width = offsets(i + 1) - offsets(i)
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      (sim >>> offsets(i)) & mask
-    }
-    pairs.iterator.zipWithIndex.map { case ((i, j), idx) =>
-      InternalRow(idx, (chunk(i) << 32) | chunk(j), sim)
-    }
+  override def eval(input: InternalRow): IterableOnce[InternalRow] =
+    SketchOps.simhashChunkPairRowsIter(
+      child.eval(input).asInstanceOf[ArrayData], nChunks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        scala.collection.IterableOnce<InternalRow> ${ev.value} =
+          graft.pipeline.SketchOps.simhashChunkPairRowsIter(
+            ${childGen.isNull} ? null : ${childGen.value}, $nChunks);
+      """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SimHashChunkPairsExplode =

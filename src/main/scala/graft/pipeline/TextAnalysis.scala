@@ -152,9 +152,11 @@ object TextAnalysis {
     * per-doc distinct is row-local, so a word repeated in one doc contributes
     * once. The input to IDF weighting and stopword discovery.
     */
-  def documentFrequency(df: DataFrame, text: Column): DataFrame =
+  def documentFrequency(df: DataFrame, text: Column): DataFrame = {
+    PipelineGuards.requireBatch(df, "documentFrequency")
     df.select(explode(array_distinct(split(text, " "))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("doc_freq"))
+  }
 
   /** 64-bit content fingerprint over normalized text (lowercase, collapsed
     * whitespace, punctuation stripped) — the exact-dedup key.
@@ -165,8 +167,13 @@ object TextAnalysis {
   /** MinHash-based fuzzy fingerprint: min of seeded hashes over word 3-grams
     * (equal fingerprints => likely near-identical prefix content).
     */
-  def fuzzyFingerprint(text: Column, n: Int = 3): Column =
-    array_min(transform(Dedup.shingles(text, n), s => xxhash64(s)))
+  def fuzzyFingerprint(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    // codegen'd single-pass shingle hashing; min over the (distinct) hash set
+    // equals min over transform(shingles, xxhash64) — dedupe can't change it
+    array_min(GraftColumnBridge.column(graft.pipeline.HashedShingles(
+      GraftColumnBridge.expression(text), n)))
+  }
 
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "but", "if", "of", "to", "in", "on", "at", "by", "for",

@@ -51,4 +51,34 @@ class StreamChecksSpec extends SparkSpec {
       Seq(("a", 2L, 1L), ("a", 4L, 1L)))
     assert(dups.map(_.dupIndex).toSeq == Seq(1L, 2L))
   }
+
+  test("corpus-global pipeline ops are gated batch-only under readStream") {
+    import graft.pipeline.{Curation, Dedup, TextAnalysis}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    assert(stream.isStreaming)
+    // each must fail FAST at plan-build time with the remediation in the
+    // message — not return silently per-micro-batch answers
+    val gated: Seq[(String, () => Any)] = Seq(
+      "dedupLines" -> (() => Dedup.dedupLines(stream, "doc_id", "text")),
+      "flagExactDuplicates" -> (() => Dedup.flagExactDuplicates(stream, Seq(col("text")))),
+      "dedupExact" -> (() => Dedup.dedupExact(stream, Seq(col("text")), col("doc_id"))),
+      "minHashDuplicatePairs" -> (() => Dedup.minHashDuplicatePairs(stream, "doc_id", "text")),
+      "simHashDuplicatePairs" -> (() => Dedup.simHashDuplicatePairs(stream, "doc_id", "text")),
+      "duplicateClusters" -> (() => Dedup.duplicateClusters(
+        stream.toDF("id_a", "id_b"))),
+      "documentFrequency" -> (() => TextAnalysis.documentFrequency(stream, col("text"))),
+      "quotaSample" -> (() => Curation.quotaSample(stream, Seq("text"), col("doc_id"), 10)))
+    gated.foreach { case (name, f) =>
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("batch-only") && e.getMessage.contains("foreachBatch"),
+        s"$name: ${e.getMessage}")
+    }
+    // row-local ops stay streaming-safe: plan builds without error
+    val rowLocal = stream.select(TextAnalysis.fingerprint(col("text")),
+      TextAnalysis.qualitysignals(col("text")),
+      graft.checks.PiiChecks.redactPii(col("text")))
+    assert(rowLocal.isStreaming)
+  }
 }
