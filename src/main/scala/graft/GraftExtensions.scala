@@ -65,12 +65,24 @@ object GraftExtensions {
       args => { val a = arity("graft_wkt_intersects", 2, args); WktPairIntersects(a(0), a(1)) }),
     ("graft_exact_median",
       info("graft_exact_median",
-        "graft_exact_median(col) - exact interpolating median (primitive-array aggregate, " +
-          "~5x faster than percentile(col, 0.5) at scale)"),
-      args => graft.checks.ExactMedian(
-        org.apache.spark.sql.catalyst.expressions.Cast(
-          arity("graft_exact_median", 1, args).head,
-          org.apache.spark.sql.types.DoubleType)).toAggregateExpression())
+        "graft_exact_median(col[, max_values]) - exact interpolating median " +
+          "(primitive-array aggregate, ~5x faster than percentile(col, 0.5) at scale). " +
+          "Buffers 8 bytes/value; fails past max_values buffered values per group " +
+          s"(default ${graft.checks.ExactMedian.DefaultMaxValues}) - use " +
+          "percentile_approx for unbounded groups"),
+      args => {
+        require(args.length == 1 || args.length == 2,
+          s"graft_exact_median expects 1 or 2 argument(s), got ${args.length}")
+        val maxValues = if (args.length == 2) {
+          val f = args(1)
+          require(f.foldable, "graft_exact_median: max_values must be a literal")
+          String.valueOf(f.eval()).toLong
+        } else graft.checks.ExactMedian.DefaultMaxValues
+        graft.checks.ExactMedian(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.DoubleType),
+          maxValues).toAggregateExpression()
+      })
   )
 
   /** Register on a live session (same registry the extensions path fills). */

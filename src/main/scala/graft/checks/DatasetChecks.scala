@@ -369,14 +369,21 @@ object DatasetChecks {
     * `hashPrefilter=true` (default) behavior notes vs the reference's single
     * lazy wide join:
     *  - the candidate pass evaluates the input an extra time and collects
-    *    candidates EAGERLY at apply time — for non-deterministic inputs
-    *    (rand-derived columns, files changing mid-run) cache/checkpoint the
-    *    input first, or set `hashPrefilter=false`;
+    *    candidates EAGERLY at apply time. CONTRACT for non-deterministic
+    *    inputs (rand-derived columns, files changing mid-run): the two passes
+    *    may see DIFFERENT rows, so the flags can disagree with the rows they
+    *    annotate. Pass `cacheInput=true` (localCheckpoint — materializes the
+    *    input once, both passes and the returned frame read the snapshot), or
+    *    cache/checkpoint upstream, or set `hashPrefilter=false`;
     *  - in presence mode (no shared value columns), ref rows fully
     *    duplicated on the key columns no longer multiply matching input rows;
     *  - the candidate collect is capped at `maxCollectedDiffs` rows AND
     *    `maxPrefilterBytes` of estimated ref-detail width, whichever is
-    *    smaller; past the cap it falls back to the wide join.
+    *    smaller; past the cap it falls back to the wide join;
+    *  - inputs whose partition count is far below the cluster's parallelism
+    *    (a re-read of a coalesced write, a small-file table) are repartitioned
+    *    to `defaultParallelism` before hashing — both prefilter passes
+    *    otherwise run at input granularity and starve the executors.
     */
   def compareDatasets(columns: Seq[String], refColumns: Seq[String], refDf: DataFrame,
                       checkMissingRecords: Boolean = false,
@@ -386,13 +393,17 @@ object DatasetChecks {
                       absTolerance: Double = 0.0, relTolerance: Double = 0.0,
                       hashPrefilter: Boolean = true,
                       maxCollectedDiffs: Int = 1000000,
-                      maxPrefilterBytes: Long = 128L * 1024 * 1024): DatasetCheck = {
+                      maxPrefilterBytes: Long = 128L * 1024 * 1024,
+                      cacheInput: Boolean = false): DatasetCheck = {
     require(columns.length == refColumns.length, "columns and ref_columns must align")
     val id = uniqueSuffix()
     val missingCol = s"__dq_cmp_missing_$id"
     val extraCol = s"__dq_cmp_extra_$id"
     val changedCol = s"__dq_cmp_changed_$id"
-    val applyFn = (df: DataFrame) => {
+    val applyFn = (df0: DataFrame) => {
+      // snapshot once so the eager candidate pass and the returned frame read
+      // identical data even for non-deterministic inputs (see contract above)
+      val df = if (cacheInput && !df0.isStreaming) df0.localCheckpoint() else df0
       val dfCols = df.columns.toSeq
       val refPrefix = s"__dq_ref_${id}_"
       // columns compared by matching name, minus keys and exclusions and maps
@@ -472,6 +483,19 @@ object DatasetChecks {
         */
       def prefilterApply(): Option[DataFrame] = {
         val spark = df.sparkSession
+        // Partition-starvation guard: the hash projections run in the INPUT's
+        // map stage and the verdict-attach pass probes broadcasts over the raw
+        // frame, so a 10-partition input caps both passes at 10 tasks no
+        // matter how wide the cluster is. The reshuffle is cheap relative to
+        // a 3.5x parallelism loss (measured at 100M on local[32]); skip it
+        // when the input already saturates the cluster.
+        val par = spark.sparkContext.defaultParallelism
+        def widen(frame: DataFrame): DataFrame = {
+          val p = frame.rdd.getNumPartitions
+          if (p > 0 && p * 2 < par) frame.repartition(par) else frame
+        }
+        val dfW = widen(df)
+        val refW = widen(refDf)
         val seed1 = 0x9E3779B97F4A7C15L
         val seed2 = 0xC2B2AE3D27D4EB4FL
         def pairHash(seed: Long): Column =
@@ -489,10 +513,10 @@ object DatasetChecks {
           else Seq.empty
         def anyNan(cs: Seq[String]): Column =
           cs.map(c => col(c).isNotNull && isnan(col(c))).reduceOption(_ || _).getOrElse(lit(false))
-        val dfSlim = df.select(columns.map(col) ++ Seq(
+        val dfSlim = dfW.select(columns.map(col) ++ Seq(
           pairHash(seed1).as("__l_h1"), pairHash(seed2).as("__l_h2"),
           anyNan(nanCols).as("__l_nan")): _*)
-        val refSlim = refDf.select(
+        val refSlim = refW.select(
           refColumns.map(c => col(c).as(refPrefix + c)) ++ Seq(
             pairHash(seed1).as("__r_h1"), pairHash(seed2).as("__r_h2"),
             anyNan(nanCols).as("__r_nan")): _*)
@@ -536,12 +560,12 @@ object DatasetChecks {
             collected.filter(r => lp(r) && rp(r))
               .map(r => Row.fromSeq((k until 2 * k).map(r.get))).distinct.toList.asJava,
             StructType(refColumns.map(c => refDf.schema(c).copy(nullable = true))))
-          val refDetail = refDf.select(refNeeded.map(c => col(c).as(refPrefix + c)): _*)
+          val refDetail = refW.select(refNeeded.map(c => col(c).as(refPrefix + c)): _*)
           val refFiltered = refDetail.join(broadcast(changedKeysDf),
             nullSafeJoinCondition(rightKeys, refColumns.map(changedKeysDf(_))), "left_semi")
           // exact-key (null-safe) match for the extras marker: it re-finds the
           // rows the slim join left unmatched, whatever the matching mode
-          val joined = df
+          val joined = dfW
             .join(broadcast(refFiltered), joinCond, "left_outer")
             .join(broadcast(extrasDf),
               nullSafeJoinCondition(leftKeys, xKeyNames.map(extrasDf(_))), "left_outer")

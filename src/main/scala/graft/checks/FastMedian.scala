@@ -40,8 +40,18 @@ final class DoubleBuffer(var values: Array[Double], var n: Int) {
   * a sequential engine's `median`. Interpolation: mean of the two middle
   * values for even counts (DuckDB/Spark percentile-0.5 semantics). NULL and
   * NaN inputs are ignored; empty input -> NULL.
+  *
+  * GUARD: exactness costs 8 bytes per buffered value, so an unbounded group
+  * (a 10B-row ungrouped `graft_exact_median`) would OOM an executor. Past
+  * `maxValues` buffered values the aggregate FAILS with a clear message
+  * instead — switch to `percentile_approx` (or the engine's default
+  * `exact=false` MAD path) for groups that large, or raise the cap via
+  * `graft_exact_median(col, max_values)`. The hard ceiling is
+  * [[ExactMedian.HardMaxValues]] (the Int-arithmetic limit of the serialized
+  * buffer, ~268M values = ~2 GiB); `maxValues` above it is clamped.
   */
 case class ExactMedian(child: Expression,
+                       maxValues: Long = ExactMedian.DefaultMaxValues,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[DoubleBuffer] {
@@ -50,7 +60,16 @@ case class ExactMedian(child: Expression,
   override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
 
+  private val cap: Int = math.min(maxValues, ExactMedian.HardMaxValues).toInt
+
   override def createAggregationBuffer(): DoubleBuffer = new DoubleBuffer()
+
+  private def capExceeded(): Nothing =
+    throw new IllegalStateException(
+      s"graft_exact_median: a group exceeded $cap buffered values (exact median " +
+        "buffers every value at 8 bytes each). Use percentile_approx for groups this " +
+        "large, keep the engine's default approximate MAD path (exact=false), or " +
+        "raise the cap: graft_exact_median(col, max_values).")
 
   override def update(buf: DoubleBuffer, input: InternalRow): DoubleBuffer = {
     val v = child.eval(input)
@@ -60,12 +79,16 @@ case class ExactMedian(child: Expression,
         case f: Float => f.toDouble
         case n: Number => n.doubleValue()
       }
-      if (!java.lang.Double.isNaN(d)) buf.add(d)
+      if (!java.lang.Double.isNaN(d)) {
+        if (buf.n >= cap) capExceeded()
+        buf.add(d)
+      }
     }
     buf
   }
 
   override def merge(buf: DoubleBuffer, other: DoubleBuffer): DoubleBuffer = {
+    if (buf.n.toLong + other.n > cap) capExceeded()
     buf.merge(other)
     buf
   }
@@ -114,6 +137,10 @@ case class ExactMedian(child: Expression,
   }
 
   override def serialize(buf: DoubleBuffer): Array[Byte] = {
+    // 8 * n in Int arithmetic overflows past ~268M values; the cap (clamped
+    // to HardMaxValues) keeps us below, but fail loudly rather than corrupt
+    require(buf.n <= ExactMedian.HardMaxValues,
+      s"graft_exact_median: serialized buffer would exceed 2 GiB (${buf.n} values)")
     val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.n)
     bb.putInt(buf.n)
     var i = 0
@@ -139,10 +166,15 @@ case class ExactMedian(child: Expression,
 }
 
 object ExactMedian {
+  /** Default per-group value cap: 2^27 values = 1 GiB of buffered doubles. */
+  val DefaultMaxValues: Long = 1L << 27
+  /** Int-arithmetic ceiling of the serialized buffer (4 + 8*n bytes). */
+  val HardMaxValues: Long = (Int.MaxValue - 4) / 8
+
   import org.apache.spark.sql.{Column, GraftColumnBridge}
   /** Column form: exact interpolating median of `c` cast to double. */
-  def of(c: Column): Column =
+  def of(c: Column, maxValues: Long = DefaultMaxValues): Column =
     GraftColumnBridge.column(
-      ExactMedian(GraftColumnBridge.expression(c.cast("double")))
+      ExactMedian(GraftColumnBridge.expression(c.cast("double")), maxValues)
         .toAggregateExpression())
 }

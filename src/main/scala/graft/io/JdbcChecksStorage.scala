@@ -38,7 +38,11 @@ class JdbcChecksStorage(url: String, table: String = "dq_checks",
 
   private def ensureTable(conn: Connection): Unit = {
     val meta = conn.getMetaData
-    val rs = meta.getTables(null, null, null, Array("TABLE"))
+    // scope the existence check to the schema unqualified statements resolve
+    // in — an identically-named table in ANOTHER schema must not suppress the
+    // CREATE (getSchema can be null/unsupported; null falls back to all)
+    val schema = try conn.getSchema catch { case _: Throwable => null }
+    val rs = meta.getTables(null, schema, null, Array("TABLE"))
     var exists = false
     while (rs.next() && !exists)
       exists = rs.getString("TABLE_NAME").equalsIgnoreCase(table)

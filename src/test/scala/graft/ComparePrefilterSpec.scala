@@ -137,6 +137,51 @@ class ComparePrefilterSpec extends SparkSpec {
     assert(runPresence(true).count(_._2.contains("\"row_extra\":true")) == 2) // ids 3 and 7
   }
 
+  test("starved inputs are widened: prefilter passes run at defaultParallelism") {
+    // single-partition inputs on a local[4] session must be repartitioned
+    // before the hash/verdict passes — and the answers must not change
+    val starvedBase = base.repartition(1)
+    val starvedRef = ref.repartition(1)
+    val rule = DQDatasetRule(
+      DatasetChecks.compareDatasets(Seq("id"), Seq("id"), starvedRef,
+        checkMissingRecords = true, excludeColumns = Seq("tag")),
+      "compare_datasets", Seq("id"))
+    val out = DQEngine.applyChecks(starvedBase, Seq(rule))
+    assert(out.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism,
+      s"verdict pass still starved: ${out.rdd.getNumPartitions} partitions")
+    val got = out
+      .select(col("id"), coalesce(col("_errors")(0)("message"), lit("pass")).as("m"))
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Int]), r.getString(1)))
+      .sortBy(p => (p._1.getOrElse(-1), p._2)).toSeq
+    assert(got == run(hashPrefilter = true, checkMissing = true))
+  }
+
+  test("cacheInput snapshots non-deterministic inputs: flags agree with rows") {
+    // rand()-derived column: without a snapshot the candidate pass and the
+    // verdict pass would see different values and the flags could disagree
+    // with the rows they annotate. With cacheInput=true both passes read the
+    // localCheckpoint, so every changed-flag must quote the row's own value.
+    val ndBase = spark.range(0, 200).toDF("id")
+      .withColumn("v", when(rand(7) < 0.5, col("id").cast("double"))
+        .otherwise(col("id").cast("double") + 1000.0))
+    val ndRef = spark.range(0, 200).toDF("id")
+      .withColumn("v", col("id").cast("double"))
+    val rule = DQDatasetRule(
+      DatasetChecks.compareDatasets(Seq("id"), Seq("id"), ndRef,
+        cacheInput = true),
+      "compare_datasets", Seq("id"))
+    val out = DQEngine.applyChecks(ndBase, Seq(rule))
+      .select(col("id"), col("v"),
+        coalesce(col("_errors")(0)("message"), lit("pass")).as("m"))
+      .collect()
+    out.foreach { r =>
+      val id = r.getLong(0); val v = r.getDouble(1); val m = r.getString(2)
+      if (v == id.toDouble) assert(m == "pass", s"id=$id v=$v flagged: $m")
+      else assert(m.contains(s"${'"'}v${'"'}:${'"'}$v -> "), s"id=$id v=$v msg=$m")
+    }
+    assert(out.exists(_.getString(2) != "pass")) // the planted diffs exist
+  }
+
   private def runWithCap(cap: Int): Seq[(Option[Int], String)] = {
     val rule = DQDatasetRule(
       DatasetChecks.compareDatasets(Seq("id"), Seq("id"), ref,

@@ -99,4 +99,55 @@ class MadBatchSpec extends SparkSpec {
     val out = flagged(DQEngine.applyChecks(df, r))
     assert(!out.map(_._1).contains(9001)) // filtered out -> never flagged
   }
+
+  test("ExactMedian value cap fails loudly instead of buffering unbounded groups") {
+    import graft.checks.ExactMedian
+    // under the cap: fine
+    val ok = df.agg(ExactMedian.of(col("a"), maxValues = 1000).as("m")).collect()
+    assert(ok.head.getDouble(0) > 0)
+    // over the cap: clear error naming the remedy, not an OOM
+    val e = intercept[org.apache.spark.SparkException] {
+      df.agg(ExactMedian.of(col("a"), maxValues = 100).as("m")).collect()
+    }
+    val msg = String.valueOf(e.getCause) + e.getMessage
+    assert(msg.contains("graft_exact_median") && msg.contains("percentile_approx"), msg)
+    // SQL two-arg form wires the cap through
+    graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("madcap_t")
+    val sqlE = intercept[org.apache.spark.SparkException] {
+      spark.sql("SELECT graft_exact_median(a, 100) FROM madcap_t").collect()
+    }
+    assert((String.valueOf(sqlE.getCause) + sqlE.getMessage).contains("graft_exact_median"))
+    assert(spark.sql("SELECT graft_exact_median(a, 100000) FROM madcap_t")
+      .collect().head.getDouble(0) > 0)
+  }
+
+  test("MAD after a row-appending compare_datasets: band comes from the INPUT frame") {
+    // Pins the documented divergence (DQEngine batching comment): a
+    // has_no_outliers rule placed AFTER compare_datasets(checkMissingRecords)
+    // computes its band on the original input, so rows the compare APPENDS
+    // (missing-in-input) neither move the band nor get flagged by the MAD
+    // rule (their value columns are null on append).
+    val input = (Seq.tabulate(200)(i => (i, i % 20 * 1.0)) :+ (9001, 1e6))
+      .toDF("id", "a")
+    // ref = input keys plus one missing row whose `a` is an extreme value
+    // that WOULD move a per-rule-position band computed after the append
+    val ref = ((Seq.tabulate(200)(i => (i, i % 20 * 1.0)) :+ (9001, 1e6)) ++
+      Seq((7777, 1e9), (7778, 1e9), (7779, 1e9))).toDF("id", "a")
+    val rs = Seq(
+      DQDatasetRule(DatasetChecks.compareDatasets(Seq("id"), Seq("id"), ref,
+        checkMissingRecords = true), "compare_datasets", Seq("id")),
+      DQDatasetRule(DatasetChecks.hasNoOutliers("a", exact = true),
+        "has_no_outliers", Seq("a")))
+    val checked = DQEngine.applyChecks(input, rs)
+    assert(checked.count() == 204) // 201 input + 3 appended
+    val madFlagged = checked
+      .where(col("_errors").isNotNull &&
+        exists(col("_errors"), e => e.getField("function") === "has_no_outliers"))
+      .select("id").collect().map(_.getInt(0)).toSet
+    // band from the input frame: only the input outlier is flagged; the
+    // appended 1e9 rows are not (null `a` after append), and their presence
+    // did not widen the band to excuse 9001
+    assert(madFlagged == Set(9001), s"got $madFlagged")
+  }
 }
