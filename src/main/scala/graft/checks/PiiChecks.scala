@@ -32,7 +32,8 @@ object PiiChecks {
     * CREDIT_CARD_LUHN and IBAN validate the check digits (Luhn / mod-97) —
     * regex shape alone flags any 16 random digits.
     */
-  def detectedEntities(c: Column, entities: Seq[String] = EntityPatterns.map(_._1)): Column = {
+  def detectedEntities(c: Column, entities: Seq[String] = EntityPatterns.map(_._1),
+                       ner: Option[NerEngine] = None): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     val s = c.cast("string")
     val hits = EntityPatterns.filter { case (n, _) => entities.contains(n) }.map {
@@ -44,7 +45,15 @@ object PiiChecks {
           lit("IBAN")).otherwise(lit(null))
       case (name, re) => when(s.rlike(re), lit(name)).otherwise(lit(null))
     }
-    array_compact(array(hits: _*))
+    val regexHits = array_compact(array(hits: _*))
+    ner match {
+      case Some(engine) =>
+        // model hits append after the registry hits; null text stays null-safe
+        // (caller guards with isNotNull), engine called once per row (CSE'd)
+        array_union(regexHits,
+          GraftColumnBridge.column(NerDetect(GraftColumnBridge.expression(s), engine)))
+      case None => regexHits
+    }
   }
 
   /** Redaction order: emails/URLs first so their digit/dot runs can't be
@@ -77,9 +86,13 @@ object PiiChecks {
       regexp_replace(acc, RedactionPatterns(name), s"[$name]")
     }
 
-  /** Check: any detected entity fails, message lists the entity types. */
-  def doesNotContainPii(c: Column, entities: Seq[String] = EntityPatterns.map(_._1)): Column = {
-    val found = detectedEntities(c, entities)
+  /** Check: any detected entity fails, message lists the entity types.
+    * `ner` plugs a Presidio-class model engine in NEXT TO the deterministic
+    * registry — its entity names surface in the same message/flag contract.
+    */
+  def doesNotContainPii(c: Column, entities: Seq[String] = EntityPatterns.map(_._1),
+                        ner: Option[NerEngine] = None): Column = {
+    val found = detectedEntities(c, entities, ner)
     makeCondition(c.isNotNull && size(found) > 0,
       concat(lit(s"Column '${c.toString}' contains PII entities: "), concat_ws(",", found)))
   }

@@ -67,6 +67,15 @@ object PiiOps {
     }
     rem == 1
   }
+
+  /** Static kernel for [[NerDetect]] codegen: engine hits as ArrayData of
+    * UTF8String (distinct, input order).
+    */
+  def nerDetect(engine: NerEngine, u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val hits = engine.detect(u.toString).distinct
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      hits.map(UTF8String.fromString).toArray[Any])
+  }
 }
 
 /** True when the text contains a 13-19 digit sequence (spaces/dashes allowed
@@ -82,6 +91,41 @@ case class ContainsLuhnNumber(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.checks.PiiOps.containsLuhn($c)")
 
   override protected def withNewChildInternal(c: Expression): ContainsLuhnNumber = copy(child = c)
+}
+
+/** Pluggable NER contract — the seam a Presidio-class engine drops into
+  * (reference: pii/pii_detection_funcs.py:33 runs Presidio in a pandas UDF).
+  * Implementations MUST be Serializable (shipped to executors once per plan,
+  * referenced from generated code) and thread-safe: one instance serves every
+  * row of every partition. Heavyweight models should lazy-init
+  * `@transient lazy val` state so the driver-side object stays small.
+  */
+trait NerEngine extends Serializable {
+  /** Entity type names detected in the text (empty = clean). Called only on
+    * non-null text.
+    */
+  def detect(text: String): Seq[String]
+}
+
+/** Entity types the [[NerEngine]] finds in the text, as array<string>
+  * (empty array = clean). Codegen'd: the engine ships as a reference object
+  * into the generated code, so plugging in an NER model does NOT de-codegen
+  * the surrounding check projection.
+  */
+case class NerDetect(child: Expression, engine: NerEngine) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType,
+      containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    PiiOps.nerDetect(engine, v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nerEngine", engine, classOf[NerEngine].getName)
+    defineCodeGen(ctx, ev, c => s"graft.checks.PiiOps.nerDetect($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NerDetect = copy(child = c)
 }
 
 /** True when the text contains an IBAN-shaped token (CC + 2 check digits +

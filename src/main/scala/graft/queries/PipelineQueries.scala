@@ -220,11 +220,12 @@ object PipelineQueries {
              |  FROM planted, LATERAL (
              |    SELECT unnest(string_split(text, chr(10))) AS line,
              |           generate_subscripts(string_split(text, chr(10)), 1) AS pos) t),
-             |counts AS (SELECT line, count(*) AS n FROM lines GROUP BY line)
+             |counts AS (SELECT line, count(*) AS n FROM lines
+             |           WHERE trim(line) <> '' GROUP BY line)
              |SELECT l.doc_id,
              |       string_agg(l.line, chr(10) ORDER BY l.pos) AS text
-             |FROM lines l JOIN counts c ON l.line = c.line
-             |WHERE c.n <= 1
+             |FROM lines l LEFT JOIN counts c ON l.line = c.line
+             |WHERE c.n IS NULL OR c.n <= 1
              |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)),
 
     "pipe_dedup_cosine" -> QueryDef(
@@ -453,7 +454,7 @@ object PipelineQueries {
              |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
              |FROM embeddings)
              |SELECT label, count(*) AS n_vectors,
-             |  sum(CASE WHEN nrm = 0 OR embedding IS NULL THEN 1 ELSE 0 END) AS n_zero,
+             |  CAST(sum(CASE WHEN nrm = 0 OR embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
              |  round(min(nrm), 6) AS min_norm,
              |  round(CAST(sum(CAST(round(nrm, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(nrm), 6) AS avg_norm,
              |  round(max(nrm), 6) AS max_norm
@@ -489,6 +490,36 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(piiRedactOracleSql)), // oracle generated from the same pattern registry
+
+    // REAL decode path: synthetic-but-valid PNG signature + IHDR chunk built
+    // in-plan (unhex(lpad(hex(n),8,'0')) = 4-byte big-endian int), parsed by
+    // the pure-JVM HeaderDecoder; DuckDB recomputes the planted dimensions
+    // arithmetically. Proves the decoder reads actual container bytes.
+    "pipe_multimodal_png" -> QueryDef(
+      (s, dir) => {
+        val w = (col("doc_id") % 100 + 1).cast("int")
+        val h = (col("doc_id") % 37 + 1).cast("int")
+        val png = concat(
+          unhex(lit("89504E470D0A1A0A")), // PNG signature
+          unhex(lit("0000000D49484452")), // IHDR length 13 + type
+          unhex(lpad(hex(w), 8, "0")), unhex(lpad(hex(h), 8, "0")),
+          unhex(lit("0806000000")), // bit depth 8, color type 6 (RGBA)
+          unhex(lit("00000000"))) // CRC (not verified by header parse)
+        val df = t(s, dir, "documents")
+          .select(col("doc_id"),
+            Multimodal.asMedia(png, lit("image/png")).as("media"))
+        Multimodal.extractFeatures(df, "media", new Multimodal.HeaderDecoder)
+          .select(col("doc_id"), col("media_features.ok").as("ok"),
+            col("media_features.width").as("width"),
+            col("media_features.height").as("height"),
+            col("media_features.features")(3).cast("int").as("channels"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, TRUE AS ok,
+             |  CAST(doc_id % 100 + 1 AS INT) AS width,
+             |  CAST(doc_id % 37 + 1 AS INT) AS height,
+             |  4 AS channels
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "pipe_multimodal_stub" -> QueryDef(
       (s, dir) => {

@@ -152,7 +152,14 @@ object CheckRegistry {
     "has_y_coordinate_between" -> (a => GeoChecks.hasYCoordinateBetween(a.column(), a.double("min_value", -90), a.double("max_value", 90))),
     "is_valid_lon_lat_point" -> (a => GeoChecks.isValidLonLatPoint(a.column())),
     "does_not_contain_pii" -> (a => PiiChecks.doesNotContainPii(a.column(),
-      if (a.has("entities")) a.strSeq("entities") else PiiChecks.EntityPatterns.map(_._1)))
+      if (a.has("entities")) a.strSeq("entities") else PiiChecks.EntityPatterns.map(_._1),
+      // FQCN of a graft.checks.NerEngine with a no-arg constructor — the
+      // metadata-path seam for a Presidio-class model (same reflective
+      // convention as the FQCN CheckProvider)
+      a.strOpt("ner_engine_class").map { cls =>
+        Class.forName(cls).getDeclaredConstructor().newInstance()
+          .asInstanceOf[graft.checks.NerEngine]
+      }))
   )
 
   import DatasetChecks._
@@ -183,7 +190,8 @@ object CheckRegistry {
       a.bool("check_missing_records", false), a.strSeq("exclude_columns"),
       a.bool("null_safe_row_matching", true), a.bool("null_safe_column_value_matching", true),
       a.double("abs_tolerance", 0.0), a.double("rel_tolerance", 0.0),
-      a.bool("hash_prefilter", true), a.int("max_collected_diffs", 1000000))),
+      a.bool("hash_prefilter", true), a.int("max_collected_diffs", 1000000),
+      a.long("max_prefilter_bytes", 128L * 1024 * 1024), a.bool("cache_input", false))),
     "is_data_fresh_per_time_window" -> ((a, _) => isDataFreshPerTimeWindow(a.str("column"),
       a.int("window_minutes", 60), a.long("min_records_per_window", 1),
       if (a.has("lookback_windows")) Some(a.int("lookback_windows", 0)) else None,

@@ -82,4 +82,52 @@ class PiiSpec extends SparkSpec {
     assert(got(3) == "iban [IBAN] ok")
     assert(got(4) == "short 1234 5678 stays")
   }
+
+  test("NER plug-in seam: a model-class engine drops into does_not_contain_pii") {
+    val df = Seq(
+      (1, "meeting with alice johnson tomorrow"),
+      (2, "email a@b.co from bob smith"),
+      (3, "no names, no pii")
+    ).toDF("id", "t")
+    // Scala-API path: toy dictionary NER next to the regex registry
+    val out = DQEngine.applyChecks(df, Seq(DQRowRule(
+      PiiChecks.doesNotContainPii(col("t"), ner = Some(new ToyPersonNer)),
+      "does_not_contain_pii", Seq("t"))))
+    val msgs = out.selectExpr("id", "coalesce(_errors[0].message, 'pass') AS m")
+      .as[(Int, String)].collect().toMap
+    assert(msgs(1).contains("PERSON") && !msgs(1).contains("EMAIL"))
+    assert(msgs(2).contains("EMAIL_ADDRESS") && msgs(2).contains("PERSON"))
+    assert(msgs(3) == "pass")
+    // codegen: the engine rides as a reference object, projection stays fused
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+
+    // metadata path: FQCN with a no-arg constructor, same convention as
+    // custom CheckProviders
+    val yaml =
+      s"""- criticality: error
+         |  check:
+         |    function: does_not_contain_pii
+         |    arguments:
+         |      column: t
+         |      ner_engine_class: graft.ToyPersonNer
+         |""".stripMargin
+    val metaOut = DQEngine.applyChecksByMetadataYaml(df, yaml)
+    val metaMsgs = metaOut.selectExpr("id", "coalesce(_errors[0].message, 'pass') AS m")
+      .as[(Int, String)].collect().toMap
+    assert(metaMsgs(1).contains("PERSON") && metaMsgs(3) == "pass")
+  }
+}
+
+/** Toy Presidio-stand-in: dictionary person-name matcher. Proves the
+  * [[graft.checks.NerEngine]] seam carries a model-class engine end to end
+  * (Scala API + FQCN metadata path). A real engine swaps the dictionary for
+  * a model; the contract is identical.
+  */
+class ToyPersonNer extends graft.checks.NerEngine {
+  private val names = Set("alice johnson", "bob smith", "carol white")
+  override def detect(text: String): Seq[String] = {
+    val t = text.toLowerCase
+    if (names.exists(t.contains)) Seq("PERSON") else Seq.empty
+  }
 }

@@ -164,6 +164,37 @@ class PipelineSpec extends SparkSpec {
     assert(f1 == f1b)
   }
 
+  test("HeaderDecoder parses real PNG/JPEG/GIF headers, rejects junk") {
+    val dec = new Multimodal.HeaderDecoder
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    // PNG: signature + IHDR(640x480, depth 8, color type 2 = RGB)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+    val (pok, pw, ph, pf) = dec.decode(png, "image/png")
+    assert(pok && pw == 640 && ph == 480 && pf.toSeq == Seq(640f, 480f, 8f, 3f))
+    // JPEG: SOI, APP0 (skipped), SOF0 800x600 3-component, EOI
+    val app0 = Array[Byte](0xFF.toByte, 0xE0.toByte) ++ be16(4) ++ Array[Byte](0, 0)
+    val sof0 = Array[Byte](0xFF.toByte, 0xC0.toByte) ++ be16(17) ++
+      Array[Byte](8) ++ be16(600) ++ be16(800) ++ Array[Byte](3) ++
+      Array.fill[Byte](9)(0)
+    val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte) ++ app0 ++ sof0 ++
+      Array[Byte](0xFF.toByte, 0xD9.toByte)
+    val (jok, jw, jh, jf) = dec.decode(jpg, "image/jpeg")
+    assert(jok && jw == 800 && jh == 600 && jf.toSeq == Seq(800f, 600f, 8f, 3f))
+    // GIF89a 320x200
+    val gif = "GIF89a".getBytes ++ Array[Byte](64, 1, 200.toByte, 0) // 320 LE, 200 LE
+    val (gok, gw, gh, _) = dec.decode(gif, "")
+    assert(gok && gw == 320 && gh == 200)
+    // junk + truncated PNG + empty
+    assert(!dec.decode("not an image at all".getBytes, "image/png")._1)
+    assert(!dec.decode(png.take(20), "image/png")._1)
+    assert(!dec.decode(Array.empty[Byte], "image/png")._1)
+    // mime is advisory: magic wins
+    assert(dec.decode(png, "image/jpeg")._2 == 640)
+  }
+
   test("IVF top-k: exhaustive probe matches brute force, partial probe keeps high recall") {
     val rnd = new scala.util.Random(7)
     // 3 well-separated gaussian clusters in 8d
