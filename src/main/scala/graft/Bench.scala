@@ -137,7 +137,12 @@ object Bench {
     val all = suiteTimes ++ queryTimes ++ refTimes
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also land the full per-query map as a repo artifact: the driver's stdout
+    // tail can truncate before the ds_/pipe_/eng_ entries, which loses the
+    // round-over-round signal for exactly the queries that matter
+    BenchRef.writeArtifact(line)
     spark.stop()
   }
 }

@@ -21,7 +21,9 @@ object BenchRefMain {
     val times = BenchRef.run(spark, rows)
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    println(f"""{"metric":"ref_total","value":$total%.4f,"unit":"sec","queries":$qs,"rows":$rows}""")
+    val line = f"""{"metric":"ref_total","value":$total%.4f,"unit":"sec","queries":$qs,"rows":$rows}"""
+    println(line)
+    BenchRef.writeArtifact(line, "bench_ref_out.json")
     spark.stop()
   }
 }
