@@ -58,11 +58,15 @@ object Curation {
     * stability). Row-local.
     */
   def wordNgramHashes(text: Column, n: Int): Column = {
-    val t = Dedup.tokens(text)
-    when(size(t) >= n,
-      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
-        i => xxhash64(concat_ws(" ", slice(t, i, lit(n)))))))
-      .otherwise(array().cast("array<bigint>"))
+    // fused codegen'd kernel (see HashedShingles): hashes each n-token byte
+    // span in place with xxhash64 semantics — identical values to the old
+    // transform(…, xxhash64(concat_ws(…))) chain, which was CodegenFallback
+    // and de-codegen'd the whole corpus scan stage
+    import org.apache.spark.sql.GraftColumnBridge
+    // coalesce keeps the old contract: NULL text -> empty gram set, not NULL
+    coalesce(GraftColumnBridge.column(HashedShingles(
+      GraftColumnBridge.expression(text), n, wholeTextFallback = false)),
+      array().cast("array<bigint>"))
   }
 
   /** Eval-set decontamination (the n-gram-overlap rule used for pretraining

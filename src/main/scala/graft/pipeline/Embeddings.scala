@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
-  /** L2 norm, accumulated in double (row-local). */
-  def l2Norm(vec: Column): Column =
-    sqrt(aggregate(vec, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  /** L2 norm, accumulated in double (row-local). Codegen'd [[VectorNorm]]
+    * expression — bit-identical to the old `aggregate` HOF (same element
+    * order, same double accumulation), which was CodegenFallback and left
+    * every stage containing a norm interpreted.
+    */
+  def l2Norm(vec: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(VectorNorm(GraftColumnBridge.expression(vec)))
+  }
 
   /** Vector scaled to unit L2 norm; all-zero vectors pass through unchanged
     * (guard against divide-by-zero). Row-local.

@@ -30,16 +30,19 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * (and any Generate above it) out of whole-stage codegen AND allocated every
   * intermediate shingle string; this hashes byte spans in place.
   */
-case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
+case class HashedShingles(child: Expression, n: Int,
+                          wholeTextFallback: Boolean = true) extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any =
-    SketchOps.hashedShingles(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    SketchOps.hashedShingles(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, wholeTextFallback)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.pipeline.SketchOps.hashedShingles($c, $n)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.pipeline.SketchOps.hashedShingles($c, $n, $wholeTextFallback)")
 
   override protected def withNewChildInternal(c: Expression): HashedShingles = copy(child = c)
 }

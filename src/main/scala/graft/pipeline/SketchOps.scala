@@ -123,7 +123,14 @@ object SketchOps {
     * `shingles()`'s otherwise-branch. Output longs are sorted-unique (the
     * consumers are set ops: MinHash minima, array_intersect Jaccard).
     */
-  def hashedShingles(text: UTF8String, n: Int): ArrayData = {
+  def hashedShingles(text: UTF8String, n: Int): ArrayData =
+    hashedShingles(text, n, wholeTextFallback = true)
+
+  /** As above; `wholeTextFallback=false` yields an EMPTY array for docs with
+    * fewer than n tokens (decontamination semantics: a short doc contributes
+    * no grams) instead of the whole-text shingle (sketch-stability semantics).
+    */
+  def hashedShingles(text: UTF8String, n: Int, wholeTextFallback: Boolean): ArrayData = {
     val base = text.getBaseObject
     val off = text.getBaseOffset
     val len = text.numBytes()
@@ -135,6 +142,7 @@ object SketchOps {
     }
     val m = spaces + 1
     if (m < n) {
+      if (!wholeTextFallback) return new GenericArrayData(Array.emptyLongArray)
       return new GenericArrayData(
         Array(XXH64.hashUnsafeBytes(base, off, len, 42L)))
     }
@@ -218,6 +226,56 @@ object SketchOps {
       i += 1
     }
     out.iterator
+  }
+
+  /** L2 norm kernels for [[VectorNorm]] — sequential left-to-right
+    * accumulation, the SAME element order as the old `aggregate` HOF (and
+    * DuckDB's list_sum), so the 0-ulp oracle parity of the embedding stats is
+    * preserved. A null element nulls the whole norm (HOF-cast semantics).
+    * Boxed return so codegen can propagate the null.
+    */
+  def l2NormF64(arr: ArrayData): java.lang.Double = {
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = arr.getDouble(i); s += v * v; i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(s))
+  }
+
+  def l2NormF32(arr: ArrayData): java.lang.Double = {
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = arr.getFloat(i).toDouble; s += v * v; i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(s))
+  }
+
+  def l2NormI64(arr: ArrayData): java.lang.Double = {
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = arr.getLong(i).toDouble; s += v * v; i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(s))
+  }
+
+  def l2NormI32(arr: ArrayData): java.lang.Double = {
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = arr.getInt(i).toDouble; s += v * v; i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(s))
   }
 
   /** The `nprobe` centroid ids nearest (by cosine over L2-normalized

@@ -45,6 +45,63 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int,
   override protected def withNewChildInternal(c: Expression): HyperplaneBuckets = copy(child = c)
 }
 
+/** L2 norm of a numeric array as double — codegen'd replacement for the
+  * `sqrt(aggregate(vec, 0.0, (acc,x) => acc + x*x))` higher-order chain,
+  * which is CodegenFallback and left the embedding-stats map stage
+  * interpreted. Element order and accumulation match the HOF exactly
+  * (sequential left-to-right in double), so results are bit-identical.
+  * NULL input or any NULL element -> NULL (cast-through-HOF semantics).
+  */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def kernel: String = child.dataType match {
+    case ArrayType(DoubleType, _) => "l2NormF64"
+    case ArrayType(FloatType, _) => "l2NormF32"
+    case ArrayType(LongType, _) => "l2NormI64"
+    case ArrayType(IntegerType, _) => "l2NormI32"
+    case other => throw new IllegalArgumentException(
+      s"VectorNorm needs array<double|float|bigint|int>, got $other")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | FloatType | LongType | IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"VectorNorm needs array<double|float|bigint|int>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    kernel match {
+      case "l2NormF64" => SketchOps.l2NormF64(arr)
+      case "l2NormF32" => SketchOps.l2NormF32(arr)
+      case "l2NormI64" => SketchOps.l2NormI64(arr)
+      case "l2NormI32" => SketchOps.l2NormI32(arr)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val boxed = ctx.freshName("norm")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${childGen.isNull}) {
+          java.lang.Double $boxed = graft.pipeline.SketchOps.$kernel(${childGen.value});
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.doubleValue(); }
+        }""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): VectorNorm = copy(child = c)
+}
+
 /** The `nprobe` centroid ids nearest (by cosine) to an embedding vector, most
   * similar first — the IVF assignment/probe step, one tight double loop per
   * row (same interpreted-HOF trap as [[HyperplaneBuckets]]). Centroids ship

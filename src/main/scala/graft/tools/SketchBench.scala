@@ -40,13 +40,13 @@ object SketchBench {
     def banded(sh: org.apache.spark.sql.Column) = docs.select(
       GraftColumnBridge.column(MinHashBandsExplode(
         GraftColumnBridge.expression(sh), 128, 32)).as(Seq("b", "h")))
-      .agg(sum("h")).collect()
+      .agg(sum(pmod(col("h"), lit(1000000)))).collect() // pmod: ANSI sum of raw hashes overflows
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("embedding").cast("array<double>").as("v"))
     emb.count()
     def buckets() = emb.select(explode(GraftColumnBridge.column(HyperplaneBuckets(
       GraftColumnBridge.expression(col("v")), 20, 8, 64, 42L))).as("b"))
-      .agg(sum("b")).collect()
+      .agg(sum(pmod(col("b"), lit(1000000)))).collect()
 
     def codegenOff[A](f: => A): A = {
       spark.conf.set("spark.sql.codegen.wholeStage", "false")

@@ -44,6 +44,30 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("fused wordNgramHashes equals the HOF formulation, null text -> empty") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "exactly eight tokens one two three four five"),
+      (3L, "short doc"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "dup dup dup dup dup dup dup dup dup")
+    ).toDF("doc_id", "text")
+    val t = split(col("text"), " ")
+    val hof = when(size(t) >= 8,
+      array_distinct(transform(sequence(lit(1), size(t) - 7),
+        i => xxhash64(concat_ws(" ", slice(t, i, lit(8)))))))
+      .otherwise(array().cast("array<bigint>"))
+    val rows = docs.select(col("doc_id"),
+      Curation.wordNgramHashes(col("text"), 8).as("fused"), hof.as("old"))
+      .collect()
+    rows.foreach { r =>
+      val fused = r.getSeq[Long](1).sorted
+      val old = r.getSeq[Long](2).sorted
+      assert(fused == old, s"doc ${r.getLong(0)}: $fused != $old")
+    }
+    assert(rows.find(_.getLong(0) == 4L).get.getSeq[Long](1).isEmpty)
+  }
+
   test("repetition signals: clean text low, repeated text high") {
     val df = Seq(
       (1, "one two three four five six seven eight"),

@@ -22,6 +22,38 @@ class EmbeddingsSpec extends SparkSpec {
     assert(math.abs(out(3L)._2.map(x => x * x).sum - 1.0) < 1e-12) // unit norm after scaling
   }
 
+  test("VectorNorm matches the HOF formulation bit-for-bit and stays codegen'd") {
+    // RDD-backed so the projection survives into the physical plan
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 500).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(data, 3))
+      .toDF("id", "v")
+    val hof = sqrt(aggregate(col("v"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val both = df.select(col("id"), Embeddings.l2Norm(col("v")).as("fused"), hof.as("old"))
+    both.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"id=${r.getLong(0)}")
+    }
+    // fused-only projection keeps whole-stage codegen (the HOF would break it)
+    val fusedOnly = df.select(col("id"), Embeddings.l2Norm(col("v")).as("n"))
+    val plan = fusedOnly.queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.exists(_.child.collect { case p => p.nodeName }.contains("Project")),
+      plan.toString)
+    // null element -> null norm; null vector -> null; double arrays too
+    val edge = Seq(
+      (1L, Array[java.lang.Double](3.0, 4.0)),
+      (2L, Array[java.lang.Double](1.0, null)),
+      (3L, null.asInstanceOf[Array[java.lang.Double]])
+    ).toDF("id", "v")
+    val got = edge.select(col("id"), Embeddings.l2Norm(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(1L -> Some(5.0), 2L -> None, 3L -> None))
+  }
+
   test("groupStats counts zeros and aggregates norms per group") {
     val got = Embeddings.groupStats(vecs, "g", "embedding")
       .as[(String, Long, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
