@@ -69,10 +69,14 @@ object PiiOps {
   }
 
   /** Static kernel for [[NerDetect]] codegen: engine hits as ArrayData of
-    * UTF8String (distinct, input order).
+    * UTF8String (distinct, input order). Null/blank entity names from the
+    * engine are dropped here: [[NerDetect]] declares containsNull=false, and
+    * the trait contract is only documentation — a null element in a
+    * non-null-element array corrupts downstream concat_ws/size.
     */
   def nerDetect(engine: NerEngine, u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val hits = engine.detect(u.toString).distinct
+    val hits = engine.detect(u.toString)
+      .filter(h => h != null && h.nonEmpty).distinct
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       hits.map(UTF8String.fromString).toArray[Any])
   }

@@ -108,6 +108,13 @@ object Dedup {
     * — never the shingle arrays; the (small) candidate set joins back to the
     * shingle frame for exact verification. At 100 TB the all-pairs space never
     * materializes; cost is O(docs x bands) join keys + O(candidates) arrays.
+    *
+    * NULL-text semantics (intentional): docs with NULL text produce no shingle
+    * sketch and therefore emit no band rows — they never appear in the pair
+    * output, neither with each other nor with empty-text docs. (Pre-r5
+    * behavior degenerated NULL to the empty-string sketch, pairing all
+    * NULL-text docs as mutual near-dups — noise, not signal. Callers wanting
+    * the old behavior can `coalesce(text, lit(""))` upstream.)
     */
   def minHashDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 3, numHashes: Int = 64,

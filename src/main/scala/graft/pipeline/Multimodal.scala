@@ -102,8 +102,12 @@ object Multimodal {
           else {
             val len = be16(i + 2)
             if (len < 2 || i + 2 + len > bytes.length) return (false, 0, 0, Array.empty)
-            // SOF0 (baseline) / SOF1 (extended) / SOF2 (progressive)
+            // SOF0 (baseline) / SOF1 (extended) / SOF2 (progressive).
+            // The segment-length guard above only proves len bytes exist; the
+            // SOF reads below need the 8-byte fixed prefix (precision, dims,
+            // component count) — a truncated SOF (len < 8) is malformed.
             if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
+              if (len < 8 || i + 10 > bytes.length) return (false, 0, 0, Array.empty)
               val precision = u8(i + 4)
               val h = be16(i + 5); val w = be16(i + 7)
               val components = u8(i + 9)
@@ -124,6 +128,123 @@ object Multimodal {
         return (true, w, h, Array(w.toFloat, h.toFloat, 8f, 3f))
       }
       (false, 0, 0, Array.empty)
+    }
+  }
+
+  /** Schema of [[probeMedia]]'s output struct: container-level metadata for
+    * image AND audio/video payloads. Image formats fill width/height;
+    * audio/video fill duration_ms (+ n_frames for WAV sample frames); fields
+    * a format does not carry are null.
+    */
+  val probeSchema: StructType = StructType(Seq(
+    StructField("ok", BooleanType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("n_frames", IntegerType)))
+
+  /** Probe result: None fields = the container does not carry that metadata. */
+  final case class MediaInfo(ok: Boolean, format: String,
+                             width: Option[Int] = None, height: Option[Int] = None,
+                             durationMs: Option[Long] = None, nFrames: Option[Int] = None)
+
+  /** Pure-JVM container metadata prober. Images delegate to [[HeaderDecoder]]
+    * (PNG IHDR / JPEG SOF / GIF screen descriptor); audio/video parse the
+    * real container structure with no codec libraries:
+    *
+    *  - WAV/RIFF: `fmt ` chunk byte rate + block align, `data` chunk size →
+    *    duration_ms = dataSize * 1000 / byteRate, n_frames = sample frames
+    *    (dataSize / blockAlign).
+    *  - MP4/ISO-BMFF (`ftyp` brand): walks top-level boxes to `moov`, then
+    *    `mvhd` (v0 or v1) → duration_ms = duration * 1000 / timescale.
+    *
+    * Format detection is by magic bytes only; any parse error or truncated
+    * structure yields ok=false (callers never see a throw).
+    */
+  object ContainerProbe extends Serializable {
+    private val img = new HeaderDecoder
+    private val bad = MediaInfo(ok = false, format = null)
+
+    def probe(bytes: Array[Byte]): MediaInfo = {
+      if (bytes == null || bytes.length < 12) return bad
+      try {
+        def u8(i: Int): Int = bytes(i) & 0xFF
+        def ascii(i: Int, n: Int) = new String(bytes, i, n, "ISO-8859-1")
+        if (u8(0) == 0x89 && u8(1) == 'P') probeImage(bytes, "png")
+        else if (u8(0) == 0xFF && u8(1) == 0xD8) probeImage(bytes, "jpeg")
+        else if (ascii(0, 3) == "GIF") probeImage(bytes, "gif")
+        else if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") parseWav(bytes)
+        else if (ascii(4, 4) == "ftyp") parseMp4(bytes)
+        else bad
+      } catch { case _: Throwable => bad }
+    }
+
+    private def probeImage(bytes: Array[Byte], format: String): MediaInfo = {
+      val (ok, w, h, _) = img.decode(bytes, "")
+      if (ok) MediaInfo(ok = true, format, width = Some(w), height = Some(h)) else bad
+    }
+
+    private def parseWav(b: Array[Byte]): MediaInfo = {
+      def le32(i: Int): Long =
+        ((b(i) & 0xFFL)) | ((b(i + 1) & 0xFFL) << 8) | ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+      def le16(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+      var i = 12
+      var byteRate = 0L
+      var blockAlign = 0
+      var dataSize = -1L
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, "ISO-8859-1")
+        val sz = le32(i + 4)
+        if (sz > b.length) return bad // declared chunk larger than the payload
+        if (id == "fmt " && i + 8 + 16 <= b.length) {
+          byteRate = le32(i + 16)
+          blockAlign = le16(i + 20)
+        } else if (id == "data" && dataSize < 0) dataSize = sz
+        i += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      }
+      if (byteRate <= 0 || dataSize < 0) bad
+      else MediaInfo(ok = true, "wav",
+        durationMs = Some(dataSize * 1000L / byteRate),
+        nFrames = if (blockAlign > 0) Some((dataSize / blockAlign).toInt) else None)
+    }
+
+    private def parseMp4(b: Array[Byte]): MediaInfo = {
+      def be32(i: Int): Long =
+        ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) | ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+      def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+      // (payloadStart, boxEnd) of the first box of `tpe` in [start, end)
+      def findBox(start: Int, end: Int, tpe: String): Option[(Int, Int)] = {
+        var i = start
+        while (i + 8 <= end) {
+          var sz = be32(i)
+          var hdr = 8
+          if (sz == 1L && i + 16 <= end) { sz = be64(i + 8); hdr = 16 }
+          else if (sz == 0L) sz = (end - i).toLong // box extends to end of file
+          if (sz < hdr || i + sz > end) return None
+          if (new String(b, i + 4, 4, "ISO-8859-1") == tpe) return Some((i + hdr, i + sz.toInt))
+          i += sz.toInt
+        }
+        None
+      }
+      val mvhd = for {
+        moov <- findBox(0, b.length, "moov")
+        box <- findBox(moov._1, moov._2, "mvhd")
+      } yield box
+      mvhd match {
+        case Some((hs, he)) =>
+          val version = b(hs) & 0xFF
+          if (version == 1 && hs + 32 <= he) {
+            val timescale = be32(hs + 20)
+            val duration = be64(hs + 24)
+            if (timescale > 0) MediaInfo(ok = true, "mp4", durationMs = Some(duration * 1000L / timescale)) else bad
+          } else if (version == 0 && hs + 20 <= he) {
+            val timescale = be32(hs + 12)
+            val duration = be32(hs + 16)
+            if (timescale > 0) MediaInfo(ok = true, "mp4", durationMs = Some(duration * 1000L / timescale)) else bad
+          } else bad
+        case None => bad
+      }
     }
   }
 
@@ -155,13 +276,56 @@ object Multimodal {
           else {
             val media = row.getStruct(mediaIdx, nFields)
             if (media.isNullAt(0)) (false, 0, 0, Array.empty[Float])
-            else decoder.decode(media.getBinary(0),
+            else try decoder.decode(media.getBinary(0),
               if (media.isNullAt(1)) "" else media.getUTF8String(1).toString)
+            catch {
+              // one corrupt payload must not fail the job: any decoder error
+              // (bounds, codec, OOM-adjacent) degrades to ok=false for the row
+              case _: Throwable => (false, 0, 0, Array.empty[Float])
+            }
           }
         val featStruct = org.apache.spark.sql.catalyst.InternalRow(
           ok, w, h, org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(feats))
         new org.apache.spark.sql.catalyst.expressions.JoinedRow(
           row, org.apache.spark.sql.catalyst.InternalRow(featStruct))
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    graftInternalCreate(spark, rdd, outSchema)
+  }
+
+  /** Container-metadata probe stage: like [[extractFeatures]] but emits the
+    * [[probeSchema]] struct (format + width/height + duration_ms/n_frames)
+    * so audio/video metadata is first-class, not dead schema. Partition-local
+    * (`queryExecution.toRdd.mapPartitions`), no shuffle, parse errors degrade
+    * to ok=false per row.
+    */
+  def probeMedia(df: DataFrame, mediaCol: String,
+                 outCol: String = "media_info"): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(outCol, probeSchema))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    val nFields = mediaSchema.length
+    val rdd = df.queryExecution.toRdd.mapPartitions { iter =>
+      iter.map { internal =>
+        val row = internal.copy()
+        val info =
+          if (row.isNullAt(mediaIdx)) ContainerProbe.probe(null)
+          else {
+            val media = row.getStruct(mediaIdx, nFields)
+            if (media.isNullAt(0)) ContainerProbe.probe(null)
+            else ContainerProbe.probe(media.getBinary(0))
+          }
+        val infoStruct = org.apache.spark.sql.catalyst.InternalRow(
+          info.ok,
+          if (info.format == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(info.format),
+          info.width.map(Int.box).orNull,
+          info.height.map(Int.box).orNull,
+          info.durationMs.map(Long.box).orNull,
+          info.nFrames.map(Int.box).orNull)
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+          row, org.apache.spark.sql.catalyst.InternalRow(infoStruct))
           : org.apache.spark.sql.catalyst.InternalRow
       }
     }

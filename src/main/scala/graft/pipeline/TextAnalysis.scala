@@ -166,6 +166,11 @@ object TextAnalysis {
 
   /** MinHash-based fuzzy fingerprint: min of seeded hashes over word 3-grams
     * (equal fingerprints => likely near-identical prefix content).
+    *
+    * NULL text yields NULL (intentional since the r5 codegen rewrite; the
+    * pre-r5 expression degenerated NULL to `xxhash64("")`, silently matching
+    * NULL-text docs with each other). `coalesce(text, lit(""))` upstream
+    * restores the old behavior if a non-null fingerprint is required.
     */
   def fuzzyFingerprint(text: Column, n: Int = 3): Column = {
     import org.apache.spark.sql.GraftColumnBridge

@@ -521,6 +521,43 @@ object PipelineQueries {
              |  4 AS channels
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL audio path: synthetic-but-valid WAV/RIFF container built in-plan
+    // (little-endian sizes assembled from unhex'd byte pairs, 16 kHz mono
+    // 16-bit => byteRate 32000, blockAlign 2), parsed by the pure-JVM
+    // ContainerProbe; DuckDB recomputes the planted duration arithmetically:
+    // dataSize = (doc_id%100+1)*320 bytes => duration_ms = dataSize/32,
+    // n_frames = dataSize/2. Proves duration_ms/n_frames are live metadata.
+    "pipe_multimodal_wav" -> QueryDef(
+      (s, dir) => {
+        val ds = (col("doc_id") % 100 + 1) * 320
+        // 32-bit little-endian for values < 65536: two live bytes + "0000"
+        def le32(c: org.apache.spark.sql.Column) = concat(
+          unhex(lpad(hex(c % 256), 2, "0")),
+          unhex(lpad(hex((c / 256).cast("int")), 2, "0")),
+          unhex(lit("0000")))
+        val wav = concat(
+          unhex(lit("52494646")), le32(ds + 36), // "RIFF" + riff size
+          unhex(lit("57415645")), // "WAVE"
+          unhex(lit("666D7420")), unhex(lit("10000000")), // "fmt " + len 16
+          unhex(lit("0100")), unhex(lit("0100")), // PCM, mono
+          unhex(lit("803E0000")), unhex(lit("007D0000")), // 16000 Hz, 32000 B/s
+          unhex(lit("0200")), unhex(lit("1000")), // block align 2, 16-bit
+          unhex(lit("64617461")), le32(ds), // "data" + size
+          encode(repeat(lit("a"), ds.cast("int")), "utf-8")) // payload
+        val df = t(s, dir, "documents")
+          .select(col("doc_id"), Multimodal.asMedia(wav, lit("audio/wav")).as("media"))
+        Multimodal.probeMedia(df, "media")
+          .select(col("doc_id"), col("media_info.ok").as("ok"),
+            col("media_info.format").as("format"),
+            col("media_info.duration_ms").as("duration_ms"),
+            col("media_info.n_frames").as("n_frames"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, TRUE AS ok, 'wav' AS format,
+             |  CAST((doc_id % 100 + 1) * 10 AS BIGINT) AS duration_ms,
+             |  CAST((doc_id % 100 + 1) * 160 AS INT) AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "pipe_multimodal_stub" -> QueryDef(
       (s, dir) => {
         val df = t(s, dir, "documents")

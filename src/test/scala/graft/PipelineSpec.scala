@@ -195,6 +195,82 @@ class PipelineSpec extends SparkSpec {
     assert(dec.decode(png, "image/jpeg")._2 == 640)
   }
 
+  test("ContainerProbe parses WAV/RIFF and MP4 mvhd durations, rejects junk") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    // WAV: 16 kHz mono 16-bit (byteRate 32000, blockAlign 2), 64000-byte data
+    // chunk => 2000 ms, 32000 sample frames
+    val dataSize = 64000
+    val wav = "RIFF".getBytes ++ le32(36 + dataSize) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(16000) ++
+      le32(32000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(dataSize) ++ Array.fill[Byte](dataSize)(0)
+    val w = Multimodal.ContainerProbe.probe(wav)
+    assert(w.ok && w.format == "wav" && w.durationMs.contains(2000L) && w.nFrames.contains(32000))
+    // WAV with an extra LIST chunk before data: chunk walk must skip it
+    val wav2 = "RIFF".getBytes ++ le32(36 + 12 + dataSize) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(16000) ++
+      le32(32000) ++ le16(2) ++ le16(16) ++
+      "LIST".getBytes ++ le32(4) ++ "INFO".getBytes ++
+      "data".getBytes ++ le32(dataSize) ++ Array.fill[Byte](dataSize)(0)
+    assert(Multimodal.ContainerProbe.probe(wav2).durationMs.contains(2000L))
+    // MP4: ftyp + moov[mvhd v0 timescale=600 duration=3000] => 5000 ms
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0)
+    val mvhdPayload = Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(600) ++ be32(3000) ++ Array.fill[Byte](80)(0)
+    val mvhd = be32(8 + mvhdPayload.length) ++ "mvhd".getBytes ++ mvhdPayload
+    val moov = be32(8 + mvhd.length) ++ "moov".getBytes ++ mvhd
+    val m = Multimodal.ContainerProbe.probe(ftyp ++ moov)
+    assert(m.ok && m.format == "mp4" && m.durationMs.contains(5000L))
+    // images route through HeaderDecoder with format tagged
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(64) ++ be32(32) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+    val p = Multimodal.ContainerProbe.probe(png)
+    assert(p.ok && p.format == "png" && p.width.contains(64) && p.height.contains(32) && p.durationMs.isEmpty)
+    // junk / truncated / null never throw
+    assert(!Multimodal.ContainerProbe.probe("RIFFxxxxWAVE".getBytes).ok)
+    assert(!Multimodal.ContainerProbe.probe(wav.take(30)).ok)
+    assert(!Multimodal.ContainerProbe.probe(null).ok)
+  }
+
+  test("truncated JPEG SOF degrades to ok=false instead of throwing") {
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    // FF D8, then an SOF0 whose declared length (2) covers none of the reads
+    val evil = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xC0.toByte) ++
+      be16(2) ++ Array[Byte](1, 2, 3, 4)
+    val dec = new Multimodal.HeaderDecoder
+    assert(!dec.decode(evil, "image/jpeg")._1)
+    // and through the partition-local stage: one corrupt row can't fail the job
+    val df = Seq((1, evil), (2, "plain junk".getBytes)).toDF("id", "data")
+      .withColumn("media", Multimodal.asMedia(col("data"), lit("image/jpeg")))
+      .drop("data")
+    val out = Multimodal.extractFeatures(df, "media")
+      .select(col("id"), col("media_features.ok")).as[(Int, Boolean)].collect().toSeq.sorted
+    assert(out == Seq((1, false), (2, false)))
+  }
+
+  test("probeMedia stage emits probeSchema struct with live duration fields") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val wav = "RIFF".getBytes ++ le32(36 + 320) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(16000) ++
+      le32(32000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(320) ++ Array.fill[Byte](320)(0)
+    val df = Seq((1, wav), (2, "junk".getBytes ++ Array.fill[Byte](20)(0))).toDF("id", "data")
+      .withColumn("media", Multimodal.asMedia(col("data"), lit("audio/wav")))
+      .drop("data")
+    val out = Multimodal.probeMedia(df, "media")
+    assert(out.schema("media_info").dataType == Multimodal.probeSchema)
+    val rows = out.select(col("id"), col("media_info.ok"), col("media_info.format"),
+      col("media_info.duration_ms"), col("media_info.n_frames"))
+      .collect().map(r => (r.getInt(0), r.getBoolean(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), if (r.isNullAt(4)) -1 else r.getInt(4)))
+      .toSeq.sortBy(_._1)
+    assert(rows == Seq((1, true, "wav", 10L, 160), (2, false, null, -1L, -1)))
+  }
+
   test("IVF top-k: exhaustive probe matches brute force, partial probe keeps high recall") {
     val rnd = new scala.util.Random(7)
     // 3 well-separated gaussian clusters in 8d
