@@ -442,6 +442,26 @@ object RowCheckQueries {
           Seq("c_custkey"))
       },
       Some("""SELECT c_custkey FROM customer
-             |WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0 ORDER BY 1""".stripMargin))
+             |WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0 ORDER BY 1""".stripMargin)),
+
+    // NER path: the shipped GazetteerNerEngine (public-list gazetteer +
+    // context scorer) next to the regex registry. Documents text is all
+    // lowercase (no capitalized spans), so only the planted spans can flag:
+    // %7 plants "Dear James Smith," (gazetteer given+surname), %11 plants an
+    // address shape; DuckDB replicates the planting arithmetic. Exercises the
+    // full metadata-wireable engine end to end on the oracle gate.
+    "row_does_not_contain_pii_ner" -> QueryDef(
+      (s, dir) => {
+        val df = t(s, dir, "documents")
+          .withColumn("body",
+            when(col("doc_id") % 7 === 0, concat(lit("Dear James Smith, "), col("text")))
+              .when(col("doc_id") % 11 === 0, concat(lit("Ship to 742 Evergreen Terrace. "), col("text")))
+              .otherwise(col("text")))
+        failing(df, row(graft.checks.PiiChecks.doesNotContainPii(col("body"),
+          ner = Some(new graft.checks.GazetteerNerEngine())), "does_not_contain_pii", "body"),
+          Seq("doc_id"))
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 ORDER BY 1""".stripMargin))
   )
 }

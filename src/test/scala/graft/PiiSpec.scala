@@ -117,6 +117,50 @@ class PiiSpec extends SparkSpec {
       .as[(Int, String)].collect().toMap
     assert(metaMsgs(1).contains("PERSON") && metaMsgs(3) == "pass")
   }
+
+  test("GazetteerNerEngine: precision/recall on planted entities") {
+    val eng = new graft.checks.GazetteerNerEngine()
+    val positives = Seq(
+      "I met James Wilson at the conference",
+      "Dear Alice, thank you for your letter",
+      "Mr Thompson will see you now",
+      "Please contact Sarah Johnson about the invoice",
+      "Sincerely, Robert Brown",
+      "The report was signed Maria Garcia yesterday",
+      "Dr Patel reviewed the results",
+      "Ask Jennifer about the schedule",
+      "Karen Martinez approved the request",
+      "His name is David Lee",
+      "The email came from Linda Nguyen this morning",
+      "Thomas Wright arrived late")
+    val negatives = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "April showers bring flowers in May",
+      "New York City is large",
+      "The United Nations met on Tuesday",
+      "Monday was a holiday in March",
+      "Acme Corporation reported quarterly results",
+      "the smith hammered the metal all day",
+      "Green Street is closed for repairs",
+      "We visited Washington last year",
+      "Jordan River flows south",
+      "Thomas the engine pulled coaches",
+      "Deep Learning Models Scale Well")
+    val missed = positives.filterNot(p => eng.detect(p).contains("PERSON"))
+    val falsePos = negatives.filter(n => eng.detect(n).contains("PERSON"))
+    // recall >= 11/12 on planted persons, zero false positives on the traps
+    assert(missed.size <= 1, s"missed: $missed")
+    assert(falsePos.isEmpty, s"false positives: $falsePos")
+    // ADDRESS shape
+    assert(eng.detect("Ship to 742 Evergreen Terrace before noon").contains("ADDRESS"))
+    assert(eng.detect("Offices at 1600 Pennsylvania Avenue are closed").contains("ADDRESS"))
+    assert(!eng.detect("He ran 5 Miles Yesterday").contains("ADDRESS"))
+    assert(eng.detect(null) == Seq.empty && eng.detect("") == Seq.empty)
+    // FQCN wiring contract: zero-arg constructor reachable
+    val viaFqcn = Class.forName("graft.checks.GazetteerNerEngine")
+      .getDeclaredConstructor().newInstance().asInstanceOf[graft.checks.NerEngine]
+    assert(viaFqcn.detect("Dear Alice, hello").contains("PERSON"))
+  }
 }
 
 /** Toy Presidio-stand-in: dictionary person-name matcher. Proves the
