@@ -383,8 +383,26 @@ object DatasetChecks {
     *  - inputs whose partition count is far below the cluster's parallelism
     *    (a re-read of a coalesced write, a small-file table) are repartitioned
     *    to `defaultParallelism` before hashing — both prefilter passes
-    *    otherwise run at input granularity and starve the executors.
+    *    otherwise run at input granularity and starve the executors. Gated on
+    *    estimated size too ([[shouldWiden]]): small frames skip the
+    *    repartition shuffle, which would cost more than the parallelism buys.
     */
+  /** Minimum estimated bytes per EXISTING partition before the prefilter
+    * widens a narrow input to cluster parallelism. Below this, each task
+    * already finishes quickly and the extra repartition shuffle dominates
+    * (measured at sf0.1: widening 10x1.4 GB-estimate partitions cost ~2x on
+    * the whole compare; at 100M the same gate passes and widening wins 3.5x).
+    */
+  private[graft] val WidenMinPartitionBytes: Long = 256L * 1024 * 1024
+
+  /** Pure widen decision (package-private for the spec): narrow relative to
+    * the cluster AND carrying real per-partition bulk.
+    */
+  private[graft] def shouldWiden(sizeInBytes: BigInt, partitions: Int, par: Int,
+                                  minPartitionBytes: Long = WidenMinPartitionBytes): Boolean =
+    partitions > 0 && partitions * 2 < par &&
+      sizeInBytes / partitions > minPartitionBytes
+
   def compareDatasets(columns: Seq[String], refColumns: Seq[String], refDf: DataFrame,
                       checkMissingRecords: Boolean = false,
                       excludeColumns: Seq[String] = Seq.empty,
@@ -491,8 +509,28 @@ object DatasetChecks {
         // when the input already saturates the cluster.
         val par = spark.sparkContext.defaultParallelism
         def widen(frame: DataFrame): DataFrame = {
-          val p = frame.rdd.getNumPartitions
-          if (p > 0 && p * 2 < par) frame.repartition(par) else frame
+          // Partition count WITHOUT triggering execution: under AQE,
+          // Dataset.rdd materializes every upstream shuffle stage just to
+          // read a partition count. Any plan node that requires a child
+          // distribution (join/aggregate/window) means EnsureRequirements
+          // will insert exchanges — such inputs come out of their shuffle at
+          // cluster width already, so widening is moot AND the raw sparkPlan
+          // cannot be safely executed; skip. Subquery expressions submit
+          // driver jobs on prepare; skip those too. What remains is the
+          // actual starvation case: scan/project/filter-only inputs (a
+          // re-read of a coalesced write, a small-file table), whose RDD
+          // lineage builds lazily without running a single job.
+          val plan = frame.queryExecution.sparkPlan
+          val needsDistribution = plan.exists(_.requiredChildDistribution.exists {
+            case org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution => false
+            case _ => true
+          })
+          val hasSubquery = plan.exists(_.expressions.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
+          if (needsDistribution || hasSubquery) return frame
+          val p = plan.execute().getNumPartitions
+          val sizeBytes = frame.queryExecution.optimizedPlan.stats.sizeInBytes
+          if (shouldWiden(sizeBytes, p, par)) frame.repartition(par) else frame
         }
         val dfW = widen(df)
         val refW = widen(refDf)

@@ -26,13 +26,25 @@ final case class ResultColumnNames(
 
 /** Engine knobs (dqx/engine.py:85-95). `runTimeOverwrite`/`runIdOverwrite` pin the
   * per-run stamps so golden tests are deterministic.
+  *
+  * `checkpointEvery`: opt-in plan-blowup fence. Many dataset checks compose
+  * into ONE Catalyst plan (each contributes its joins/windows upstream — the
+  * reference warns about exactly this, check_funcs.py:2161); past a few dozen
+  * heavy checks, analysis/optimization time grows superlinearly. With
+  * `Some(n)`, the engine lazily localCheckpoints the accumulating frame after
+  * every n-th applied dataset check, truncating lineage (the checkpointed
+  * prefix computes once and is served from executor-local storage). Batch
+  * only — streaming frames are never checkpointed. Trade-off: checkpointed
+  * data occupies executor memory/disk and disables cross-segment Catalyst
+  * optimization, so leave it off for small rule sets.
   */
 final case class ExtraParams(
     resultColumnNames: ResultColumnNames = ResultColumnNames(),
     runTimeOverwrite: Option[java.sql.Timestamp] = None,
     runIdOverwrite: Option[String] = None,
     userMetadata: Map[String, String] = Map.empty,
-    suppressSkipped: Boolean = false)
+    suppressSkipped: Boolean = false,
+    checkpointEvery: Option[Int] = None)
 
 /** Result schemas (dqx/schema/dq_result_schema.py:3-19). */
 object DQSchemas {

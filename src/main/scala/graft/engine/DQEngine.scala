@@ -49,7 +49,15 @@ object DQEngine {
 
     // Sequential fold of dataset-check applies; row checks are plan-time only.
     var current = df
+    var appliedDatasetChecks = 0
     val infoCols = scala.collection.mutable.ArrayBuffer[String]()
+    def maybeCheckpoint(): Unit = extra.checkpointEvery.foreach { n =>
+      // lazy localCheckpoint: lineage truncates NOW (the plan becomes a scan
+      // of the checkpoint RDD) but nothing materializes until the first
+      // action — rule compilation stays job-free
+      if (n > 0 && appliedDatasetChecks % n == 0 && !current.isStreaming)
+        current = current.localCheckpoint(eager = false)
+    }
     val compiled: Seq[Compiled] = rules.map {
       case r: DQRowRule =>
         // plan-time resolution probe — analysis only, no job (manager.py:323-345)
@@ -75,6 +83,8 @@ object DQEngine {
         } match {
           case Success(next) =>
             current = next
+            appliedDatasetChecks += 1
+            maybeCheckpoint()
             r.check.infoColName.foreach(infoCols += _)
             Compiled(r, r.check.condition, None)
           case Failure(e: org.apache.spark.sql.AnalysisException) =>

@@ -137,9 +137,10 @@ class ComparePrefilterSpec extends SparkSpec {
     assert(runPresence(true).count(_._2.contains("\"row_extra\":true")) == 2) // ids 3 and 7
   }
 
-  test("starved inputs are widened: prefilter passes run at defaultParallelism") {
-    // single-partition inputs on a local[4] session must be repartitioned
-    // before the hash/verdict passes — and the answers must not change
+  test("small starved inputs SKIP the widening shuffle (size floor), answers unchanged") {
+    // single-partition inputs, but tiny: the r6 size gate must not add a
+    // repartition-to-defaultParallelism shuffle (it would cost more than the
+    // parallelism it buys), and the answers must be identical either way
     val starvedBase = base.repartition(1)
     val starvedRef = ref.repartition(1)
     val rule = DQDatasetRule(
@@ -147,13 +148,26 @@ class ComparePrefilterSpec extends SparkSpec {
         checkMissingRecords = true, excludeColumns = Seq("tag")),
       "compare_datasets", Seq("id"))
     val out = DQEngine.applyChecks(starvedBase, Seq(rule))
-    assert(out.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism,
-      s"verdict pass still starved: ${out.rdd.getNumPartitions} partitions")
+    val par = spark.sparkContext.defaultParallelism
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(!planStr.contains(s"RoundRobinPartitioning($par)"),
+      s"tiny frame was widened to $par partitions:\n$planStr")
     val got = out
       .select(col("id"), coalesce(col("_errors")(0)("message"), lit("pass")).as("m"))
       .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Int]), r.getString(1)))
       .sortBy(p => (p._1.getOrElse(-1), p._2)).toSeq
     assert(got == run(hashPrefilter = true, checkMissing = true))
+  }
+
+  test("widen decision: narrow AND bulky widens; small, already-wide, or empty do not") {
+    // the 100M reference fixture shape (~1.4 GB-estimate per partition, 10
+    // partitions on a 32-way cluster) widens; the 10M shape (~100 MB per
+    // partition) and near-cluster-width inputs do not
+    val gb = 1024L * 1024 * 1024
+    assert(DatasetChecks.shouldWiden(BigInt(14 * gb), 10, 32))
+    assert(!DatasetChecks.shouldWiden(BigInt(1 * gb), 10, 32))
+    assert(!DatasetChecks.shouldWiden(BigInt(140 * gb), 20, 32))
+    assert(!DatasetChecks.shouldWiden(BigInt(0), 0, 32))
   }
 
   test("cacheInput snapshots non-deterministic inputs: flags agree with rows") {

@@ -169,4 +169,44 @@ class EngineSpec extends SparkSpec {
     assert(r1.fingerprint == r1.copy().fingerprint)
     assert(r1.fingerprint.matches("[0-9a-f]{64}"))
   }
+
+  test("checkpointEvery bounds plan growth over 20+ dataset checks, same answers") {
+    // 21 sql_query checks each contribute an aggregate + join-back to ONE
+    // plan (the reference warns about this composition, check_funcs.py:2161);
+    // the opt-in fence localCheckpoints every 5th check so the optimized plan
+    // stays bounded instead of accumulating all 21 segments
+    val df = spark.range(0, 100).toDF("id").withColumn("g", col("id") % 10)
+    def mk(n: Int) = (1 to n).map(i => DQDatasetRule(
+      DatasetChecks.sqlQuery(
+        s"SELECT g, COUNT(*) > ${i % 7 + 4} AS condition FROM {{input_view}} GROUP BY g",
+        mergeColumns = Seq("g"), conditionColumn = "condition"),
+      "sql_query", Seq("g")))
+    def nodeCount(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.optimizedPlan.collect { case p => p }.size
+    // Each check joins the accumulating frame back to an aggregate OF that
+    // frame, so the unfenced logical tree roughly doubles per check — the
+    // unfenced 21-check plan cannot even render its explain string in a
+    // 4.6 GB heap. The fence truncates lineage every 5 checks: 21 fenced
+    // checks must plan SMALLER than 11 unfenced ones, and execute fine.
+    val fenced = DQEngine.applyChecks(df, mk(21), ExtraParams(checkpointEvery = Some(5)))
+    val plain11 = DQEngine.applyChecks(df, mk(11))
+    assert(nodeCount(fenced) < nodeCount(plain11),
+      s"fenced21=${nodeCount(fenced)} plain11=${nodeCount(plain11)}")
+    assert(nodeCount(fenced) < 400, s"fenced plan not bounded: ${nodeCount(fenced)}")
+    def answers(d: org.apache.spark.sql.DataFrame) =
+      d.selectExpr("id", "coalesce(size(_errors), -1) AS n")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // correctness: fenced == plain at a size the unfenced plan can execute
+    assert(answers(DQEngine.applyChecks(df, mk(8), ExtraParams(checkpointEvery = Some(3))))
+      == answers(DQEngine.applyChecks(df, mk(8))))
+    // and the 21-check fenced plan actually runs
+    assert(fenced.selectExpr("count(*)").first().getLong(0) == 100L)
+    // streaming frames are never checkpointed: same rules on a stream analyze
+    val stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .selectExpr("value AS id", "value % 10 AS g")
+    val rowRules = Seq(DQRowRule(RowChecks.isNotNull(col("g")), "is_not_null", Seq("g")))
+    val streamOut = DQEngine.applyChecks(stream, rowRules,
+      ExtraParams(checkpointEvery = Some(1)))
+    assert(streamOut.isStreaming)
+  }
 }
