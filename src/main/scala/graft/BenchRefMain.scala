@@ -18,12 +18,15 @@ object BenchRefMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val times = BenchRef.run(spark, rows)
+    val rounds = BenchRef.defaultRounds
+    val stats = BenchRef.runStats(spark, rows, rounds)
+    val times = stats.map(s => s.name -> s.secs)
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
     val line = f"""{"metric":"ref_total","value":$total%.4f,"unit":"sec","queries":$qs,"rows":$rows}"""
     println(line)
-    BenchRef.writeArtifact(line, "bench_ref_out.json")
+    BenchRef.writeArtifacts(
+      BenchRef.artifactJson("graft.BenchRefMain", times, stats, "synthetic", rows, rounds))
     spark.stop()
   }
 }
