@@ -85,6 +85,8 @@ object Profiler {
     * same median +- factor*MAD band as the check itself; emitted only when the
     * band is non-degenerate and the observed outlier fraction is at or below
     * `outliersRatioMax` (inclusive, matching the sibling ratio gates).
+    * Single-column convenience API; [[profile]] computes the same bands for
+    * ALL numeric columns in batched passes instead of calling this per column.
     */
   def hasNoOutliersProfile(df: DataFrame, column: String,
                            opts: ProfilerOptions = ProfilerOptions()): Option[DQProfile] = {
@@ -151,25 +153,90 @@ object Profiler {
     }.toMap
   }
 
-  /** Low-cardinality distinct values (separate small job per flagged column,
-    * bounded by maxInListSize).
-    */
-  private def distinctValues(df: DataFrame, column: String, maxN: Int): Seq[Any] =
-    df.select(col(column)).where(col(column).isNotNull)
-      .distinct().limit(maxN + 1).collect().map(_.get(0)).toSeq
-
   /** Profile: stats + inferred rule candidates (profiler.py:84, builder chain
     * profile_builder.py:48-55; order: null_or_empty -> is_in -> min_max).
+    *
+    * Job count is FIXED regardless of column count (the reference runs
+    * per-column jobs, profiler.py:442-469, and [[hasNoOutliersProfile]] runs
+    * three more per column): pass 1 = [[summarize]] (all base stats including
+    * the medians, one agg); pass 2 = every numeric column's MAD plus every
+    * low-cardinality column's value set (one agg — collect_set is bounded
+    * because only columns the pass-1 sketch flagged at <= maxInListSize
+    * distinct get one); pass 3 = every MAD band's outlier count (one agg).
+    * Columns that need no pass-2/3 work cost nothing extra.
     */
   def profile(df: DataFrame, columns: Seq[String] = Seq.empty,
               opts: ProfilerOptions = ProfilerOptions()): (Map[String, Map[String, Any]], Seq[DQProfile]) = {
     val stats = summarize(df, columns, opts)
     val sampled = df.sample(withReplacement = false, opts.sampleFraction, opts.sampleSeed)
       .limit(opts.limit)
-    val profiles = stats.toSeq.sortBy(_._1).flatMap { case (name, s) =>
+    val fieldsByName = df.schema.fields.map(f => f.name -> f).toMap
+
+    def stat(name: String, key: String): Option[Any] =
+      stats.get(name).flatMap(_.get(key)).filter(_ != null)
+    def isAtomic(name: String): Boolean = fieldsByName.get(name).exists(_.dataType match {
+      case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+      case _ => false
+    })
+    val names = stats.keys.toSeq.sorted
+
+    // pass-2 membership, decided from pass-1 stats alone
+    val madCols = if (opts.enableOutlierProfiles) names.filter { n =>
+      val total = stat(n, "count").fold(0L)(_.asInstanceOf[Long])
+      val nulls = stat(n, "count_null").fold(0L)(_.asInstanceOf[Long])
+      stats(n).contains("min") && total > nulls && stat(n, "p50").isDefined
+    } else Seq.empty
+    val medians: Map[String, Double] =
+      madCols.map(n => n -> stat(n, "p50").get.asInstanceOf[Number].doubleValue()).toMap
+    val inListCols = names.filter { n =>
+      val total = stat(n, "count").fold(0L)(_.asInstanceOf[Long])
+      val distinct = stat(n, "count_distinct").fold(0L)(_.asInstanceOf[Long])
+      isAtomic(n) && total > 0 && distinct > 0 && distinct <= opts.maxInListSize &&
+        distinct.toDouble / total <= opts.distinctRatioMax
+    }
+
+    // pass 2: all MADs + all bounded value sets in one aggregation
+    val madAggs = madCols.map(n => percentile_approx(
+      abs(col(n).cast("double") - lit(medians(n))), lit(0.5), lit(10000)).as(s"__mad_$n"))
+    val valAggs = inListCols.map(n =>
+      slice(sort_array(collect_set(col(n))), 1, opts.maxInListSize + 1).as(s"__vals_$n"))
+    val pass2 = madAggs ++ valAggs
+    val row2 = if (pass2.nonEmpty) Some(sampled.agg(pass2.head, pass2.tail: _*).collect().head) else None
+    def fromRow2[T](key: String): Option[T] = row2.flatMap { r =>
+      val i = r.fieldIndex(key)
+      if (r.isNullAt(i)) None else Some(r.get(i).asInstanceOf[T])
+    }
+    val valueLists: Map[String, Seq[Any]] =
+      // Row arrays come back as mutable.ArraySeq — go through collection.Seq
+      inListCols.flatMap(n =>
+        fromRow2[scala.collection.Seq[Any]](s"__vals_$n").map(v => n -> v.toSeq)).toMap
+
+    // MAD bands, degenerate ones dropped (same predicate as hasNoOutliersProfile)
+    val bands: Map[String, (Double, Double)] = madCols.flatMap { n =>
+      fromRow2[Number](s"__mad_$n").map(_.doubleValue()).flatMap { mad =>
+        val med = medians(n)
+        val lo = med - opts.madFactor * mad
+        val hi = med + opts.madFactor * mad
+        val scale = math.max(math.abs(lo), math.abs(hi))
+        if (hi - lo <= 0 || (scale > 0 && hi - lo <= 1e-12 * scale)) None
+        else Some(n -> (lo, hi))
+      }
+    }.toMap
+
+    // pass 3: every band's outlier count in one aggregation
+    val outAggs = bands.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
+      count(when(col(n) < lo || col(n) > hi, lit(1))).as(s"__out_$n")
+    }
+    val row3 = if (outAggs.nonEmpty) Some(sampled.agg(outAggs.head, outAggs.tail: _*).collect().head) else None
+    def outlierCount(n: String): Option[Long] = row3.flatMap { r =>
+      val i = r.fieldIndex(s"__out_$n")
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    }
+
+    val profiles = names.flatMap { name =>
+      val s = stats(name)
       val total = s.getOrElse("count", 0L).asInstanceOf[Long]
       val nulls = s.getOrElse("count_null", 0L).asInstanceOf[Long]
-      val distinct = s.getOrElse("count_distinct", 0L).asInstanceOf[Long]
       val nullRule =
         if (total > 0 && nulls.toDouble / total <= opts.maxNullRatio)
           Seq(DQProfile("is_not_null", name, s"Column $name has no (or few) nulls"))
@@ -179,15 +246,12 @@ object Profiler {
           Seq(DQProfile("is_not_null_and_not_empty", name, s"Column $name has no nulls or empty strings"))
         case _ => Seq.empty
       }
-      val inListRule =
-        if (total > 0 && distinct > 0 && distinct <= opts.maxInListSize &&
-            distinct.toDouble / total <= opts.distinctRatioMax) {
-          val vals = distinctValues(sampled, name, opts.maxInListSize)
-          if (vals.size <= opts.maxInListSize)
-            Seq(DQProfile("is_in_list", name, s"Column $name has low cardinality",
-              Map("allowed" -> vals)))
-          else Seq.empty
-        } else Seq.empty
+      val inListRule = valueLists.get(name) match {
+        case Some(vals) if vals.size <= opts.maxInListSize =>
+          Seq(DQProfile("is_in_list", name, s"Column $name has low cardinality",
+            Map("allowed" -> vals)))
+        case _ => Seq.empty
+      }
       val rangeRule = (s.get("min"), s.get("max"), s.get("mean"), s.get("stddev")) match {
         case (Some(mn: Double), Some(mx: Double), Some(mean: Double), Some(sd: Double)) if sd > 0 =>
           // outlier-trimmed band: mean +- sigmas*stddev clamped to observed min/max
@@ -199,10 +263,16 @@ object Profiler {
       }
       // builder-chain order: null_or_empty -> is_in -> min_max -> has_no_outliers
       // (profiler.py:482-505)
-      val outlierRule =
-        if (opts.enableOutlierProfiles && s.contains("min") && total > nulls)
-          hasNoOutliersProfile(sampled, name, opts).toSeq
-        else Seq.empty
+      val outlierRule = (bands.get(name), bands.get(name).flatMap(_ => outlierCount(name))) match {
+        case (Some((lo, hi)), Some(out)) if total > nulls =>
+          val ratio = out.toDouble / (total - nulls)
+          if (ratio <= opts.outliersRatioMax)
+            Seq(DQProfile("has_no_outliers", name,
+              f"Column $name has ${ratio * 100}%.1f%% of outliers (allowed: ${opts.outliersRatioMax * 100}%.1f%%). " +
+                s"Lower boundary - $lo, upper boundary - $hi"))
+          else Seq.empty
+        case _ => Seq.empty
+      }
       nullRule ++ emptyRule ++ inListRule ++ rangeRule ++ outlierRule
     }
     (stats, profiles)

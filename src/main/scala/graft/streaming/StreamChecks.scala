@@ -78,6 +78,42 @@ object StreamChecks {
       }
   }
 
+  /** Cross-batch KEEP-FIRST dedup: emits only the first row ever seen for
+    * each key, across all micro-batches — the streaming form of
+    * `Dedup.dedupExact` (which is corpus-global and therefore batch-gated).
+    * The complement of [[duplicateEvents]]: that emits the duplicates, this
+    * emits the survivors. Per-key state is one boolean-sized record; pass
+    * `stateTtlMs` to expire silent keys (after expiry a key's next row is
+    * emitted again — bounded state trades exactness on cold keys).
+    */
+  def firstSeenRows(rows: Dataset[KeyedRow],
+                    stateTtlMs: Option[Long] = None): Dataset[KeyedRow] = {
+    import rows.sparkSession.implicits._
+    val timeout = if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SeenState, KeyedRow](OutputMode.Append(), timeout) {
+        (key: String, it: Iterator[KeyedRow], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(SeenState(Long.MinValue, 0L))
+            val kept = scala.collection.mutable.ArrayBuffer.empty[KeyedRow]
+            it.foreach { r =>
+              if (s.count == 0L) {
+                s = SeenState(r.rowId, 1L)
+                kept += r
+              } else s = s.copy(count = s.count + 1)
+            }
+            state.update(s)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            kept.iterator
+          }
+      }
+  }
+
   /** Emits a [[GapEvent]] when a key goes silent for more than `maxGapMs`
     * (processing-time timeout, cross-batch state in the state store).
     */

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming recipes for the corpus-global pipeline operators.
+  *
+  * Operators like exact dedup and decontamination are hard-gated batch-only
+  * ([[graft.pipeline.PipelineGuards]]): under `readStream` they would
+  * silently degrade to per-micro-batch answers. These recipes are the two
+  * CORRECT streaming forms, mirroring the reference's per-micro-batch
+  * dataset-check stance (check_funcs.py:1835):
+  *
+  *  - '''per-batch scope''' ([[dedupExactPerBatch]]): each micro-batch is its
+  *    own corpus; the batch-only operator runs inside `foreachBatch`, where
+  *    the frame is a plain batch DataFrame. Right when batches are natural
+  *    units (a file drop, an hourly partition).
+  *  - '''cross-batch scope''' ([[StreamChecks.firstSeenRows]]): keep-first by
+  *    key across ALL batches via state-store state. Right when the key space
+  *    must be deduped over the stream's lifetime; state is per-key and can be
+  *    TTL'd.
+  *
+  * Anything needing corpus-global JOINS (MinHash bands, decontamination
+  * n-gram joins) has no streaming form — land the stream to a table and run
+  * the batch operator on schedule.
+  */
+object StreamingRecipes {
+
+  /** `foreachBatch` writer running exact keep-first dedup per micro-batch,
+    * then handing the deduped batch to `sink`. The batch-only guard never
+    * fires: inside foreachBatch the micro-batch is a batch frame.
+    */
+  def dedupExactPerBatch(stream: DataFrame, keyCols: Seq[String], orderCol: String)
+                        (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(Dedup.dedupExact(batch, keyCols.map(col), col(orderCol)), batchId)
+    }
+}

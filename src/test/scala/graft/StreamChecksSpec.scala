@@ -52,6 +52,42 @@ class StreamChecksSpec extends SparkSpec {
     assert(dups.map(_.dupIndex).toSeq == Seq(1L, 2L))
   }
 
+  test("foreachBatch recipe: exact keep-first dedup runs per micro-batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val q = graft.streaming.StreamingRecipes
+      .dedupExactPerBatch(stream, Seq("text"), "doc_id") { (batch, id) =>
+        seen ++= batch.collect().map(r => (id, r.getLong(0), r.getString(1)))
+      }.start()
+    // batch with in-batch dups: keep-first by doc_id per text key
+    in.addData((1L, "aa"), (2L, "aa"), (3L, "bb"))
+    q.processAllAvailable()
+    // next batch: "aa" appears again — PER-BATCH scope keeps it again
+    in.addData((4L, "aa"))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.sortBy(t => (t._1, t._2)).toSeq ==
+      Seq((0L, 1L, "aa"), (0L, 3L, "bb"), (1L, 4L, "aa")))
+  }
+
+  test("cross-batch keep-first dedup via firstSeenRows state") {
+    import StreamChecks.KeyedRow
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KeyedRow]
+    val q = StreamChecks.firstSeenRows(in.toDS())
+      .writeStream.format("memory").queryName("first_seen").outputMode("append").start()
+    in.addData(KeyedRow("a", 1L), KeyedRow("a", 2L), KeyedRow("b", 3L))
+    q.processAllAvailable()
+    // cross-batch: "a" and "b" already seen, only "c" survives
+    in.addData(KeyedRow("a", 4L), KeyedRow("c", 5L), KeyedRow("b", 6L))
+    q.processAllAvailable()
+    val kept = spark.table("first_seen").as[KeyedRow].collect().sortBy(_.rowId)
+    q.stop()
+    assert(kept.map(r => (r.key, r.rowId)).toSeq == Seq(("a", 1L), ("b", 3L), ("c", 5L)))
+  }
+
   test("corpus-global pipeline ops are gated batch-only under readStream") {
     import graft.pipeline.{Curation, Dedup, TextAnalysis}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
