@@ -19,7 +19,7 @@ object SparkEntry {
 
   private val registry: Seq[(String, QueryDef)] =
     RowCheckQueries.all ++ DatasetCheckQueries.all ++ EngineQueries.all ++
-      GeoQueries.all ++ PipelineQueries.all
+      GeoQueries.all ++ PipelineQueries.all ++ ProfilerQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Applies a mixed row+dataset rule suite to lineitem and returns failure

@@ -153,6 +153,40 @@ object Profiler {
     }.toMap
   }
 
+  /** [[summarize]]'s one-pass stats as a tidy long-format DataFrame (one row
+    * per column) — joinable, saveable, and oracle-checkable. Exact stats only
+    * land here (`count_distinct` stays in the map API because it is an
+    * HLL sketch). String columns carry `n_empty` and null min/max; numeric
+    * columns the reverse.
+    */
+  def summaryDf(df: DataFrame, columns: Seq[String] = Seq.empty,
+                opts: ProfilerOptions = ProfilerOptions()): DataFrame = {
+    import org.apache.spark.sql.Row
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val stats = summarize(df, cols, opts)
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    cols.foreach { c =>
+      val m = stats(c)
+      def l(k: String): java.lang.Long = m.get(k) match {
+        case Some(v: java.lang.Number) => java.lang.Long.valueOf(v.longValue())
+        case _ => null
+      }
+      def d(k: String): java.lang.Double = m.get(k) match {
+        case Some(v: java.lang.Number) => java.lang.Double.valueOf(v.doubleValue())
+        case _ => null
+      }
+      rows.add(Row(c, l("count"), l("count_null"), l("count_empty"),
+        d("min"), d("max"), d("mean"), d("stddev")))
+    }
+    val schema = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("n", LongType), StructField("n_null", LongType),
+      StructField("n_empty", LongType), StructField("min", DoubleType),
+      StructField("max", DoubleType), StructField("mean", DoubleType),
+      StructField("stddev", DoubleType)))
+    df.sparkSession.createDataFrame(rows, schema)
+  }
+
   /** Profile: stats + inferred rule candidates (profiler.py:84, builder chain
     * profile_builder.py:48-55; order: null_or_empty -> is_in -> min_max).
     *

@@ -568,6 +568,85 @@ object PipelineQueries {
             size(col("media_features.features")).as("n_features"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, TRUE AS ok, 16 AS n_features FROM documents ORDER BY doc_id""".stripMargin))
+      Some("""SELECT doc_id, TRUE AS ok, 16 AS n_features FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // URL signals over in-plan-built URLs (every field derives from doc_id
+    // arithmetic, so DuckDB recomputes expectations without parsing URLs):
+    // scheme/host variants, a multi-label public suffix (co.uk), www
+    // stripping, IPv4-literal hosts with ports, path depth, query params.
+    "pipe_url_signals" -> QueryDef(
+      (s, dir) => {
+        val df = t(s, dir, "documents").select(col("doc_id"), syntheticUrl.as("url"))
+        UrlAnalysis.urlSignals(df, "url")
+          .select(col("doc_id"), col("url_scheme"), col("url_host"),
+            col("url_registered_domain"),
+            col("url_path_depth").cast("int").as("url_path_depth"),
+            col("url_n_query_params").cast("int").as("url_n_query_params"),
+            col("url_is_ip_host"))
+          .orderBy("doc_id")
+      },
+      // concatenated, not interpolated into a stripMargin literal: the inner
+      // SQL's `||` concat lines would lose a pipe to the outer stripMargin
+      Some("WITH u AS (" + syntheticUrlOracle + ")\n" +
+        "SELECT doc_id, url_scheme, url_host, url_registered_domain,\n" +
+        "       url_path_depth, url_n_query_params, url_is_ip_host\n" +
+        "FROM u ORDER BY doc_id")),
+
+    // Per-registered-domain counts: one partial-agg shuffle of (domain, n).
+    "pipe_url_domain_freq" -> QueryDef(
+      (s, dir) => {
+        val df = t(s, dir, "documents").select(col("doc_id"), syntheticUrl.as("url"))
+        UrlAnalysis.domainFrequency(df, "url")
+          .orderBy("registered_domain")
+      },
+      Some("WITH u AS (" + syntheticUrlOracle + ")\n" +
+        "SELECT url_registered_domain AS registered_domain,\n" +
+        "       count(*) AS n_docs\n" +
+        "FROM u GROUP BY 1 ORDER BY registered_domain"))
   )
+
+  /** Deterministic synthetic URL built in-plan: doc_id % 11 == 0 rows get an
+    * IPv4-literal host with a port; the rest get `http(s)://[www.]site{k}.{tld}`
+    * with 0-3 path segments and 0-2 query params. Paired with
+    * [[syntheticUrlOracle]], which derives every expected signal from the
+    * same doc_id arithmetic.
+    */
+  private def syntheticUrl: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val tld = element_at(
+      array(lit("com"), lit("org"), lit("co.uk"), lit("net"), lit("io")),
+      (d % 5 + 1).cast("int"))
+    val ipUrl = concat(lit("http://192.168.1."), ((d % 250) + 1).cast("string"),
+      lit(":8080/x?y=1"))
+    val siteUrl = concat(
+      lit("http"), when(d % 2 === 0, lit("s")).otherwise(lit("")), lit("://"),
+      when(d % 4 === 0, lit("www.")).otherwise(lit("")),
+      lit("site"), (d % 37).cast("string"), lit("."), tld,
+      call_function("repeat", lit("/p"), (d % 4).cast("int")),
+      when(d % 3 === 1, lit("?a=1"))
+        .when(d % 3 === 2, lit("?a=1&b=2")).otherwise(lit("")))
+    when(d % 11 === 0, ipUrl).otherwise(siteUrl)
+  }
+
+  /** DuckDB replica of [[syntheticUrl]]'s expected signals. (A `def`, not a
+    * `val`: the `all` map interpolates this during object init, and a val
+    * defined below the map would still be null at that point.)
+    */
+  private def syntheticUrlOracle: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 11 = 0 THEN 'http'
+      |       WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS url_scheme,
+      |  CASE WHEN doc_id % 11 = 0 THEN '192.168.1.' || CAST(doc_id % 250 + 1 AS VARCHAR)
+      |       ELSE (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END)
+      |            || 'site' || CAST(doc_id % 37 AS VARCHAR) || '.'
+      |            || (['com','org','co.uk','net','io'])[(doc_id % 5 + 1)] END AS url_host,
+      |  CASE WHEN doc_id % 11 = 0 THEN '192.168.1.' || CAST(doc_id % 250 + 1 AS VARCHAR)
+      |       ELSE 'site' || CAST(doc_id % 37 AS VARCHAR) || '.'
+      |            || (['com','org','co.uk','net','io'])[(doc_id % 5 + 1)] END AS url_registered_domain,
+      |  CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE doc_id % 4 END AS INT) AS url_path_depth,
+      |  CAST(CASE WHEN doc_id % 11 = 0 THEN 1
+      |            WHEN doc_id % 3 = 1 THEN 1
+      |            WHEN doc_id % 3 = 2 THEN 2 ELSE 0 END AS INT) AS url_n_query_params,
+      |  doc_id % 11 = 0 AS url_is_ip_host
+      |FROM documents""".stripMargin
 }

@@ -12,15 +12,24 @@ import org.apache.spark.sql.functions._
 final case class QueryDef(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
 
 object QueryDefs {
-  /** Table loader. The driver-generated events table stores ts as parquet
-    * TIMESTAMP(NANOS), which Spark cannot infer — read it as long
-    * (spark.sql.legacy.parquet.nanosAsLong, set in every session entry point)
-    * and convert to a micros timestamp (lossless: the data is µs-precision).
+  /** Table loader. The driver-generated events table has stored ts as parquet
+    * TIMESTAMP(NANOS) in some rounds (which Spark reads as long under
+    * spark.sql.legacy.parquet.nanosAsLong, set in every session entry point)
+    * and plain TIMESTAMP(MICROS) in others (which Spark 4 infers as
+    * TIMESTAMP_NTZ) — normalize either to a session-zone micros timestamp,
+    * losslessly (the data is µs-precision, the session zone is UTC).
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") {
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 
   /** Apply ONE rule through the engine; project failing rows' keys, fully ordered. */

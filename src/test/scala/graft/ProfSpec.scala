@@ -17,6 +17,26 @@ class ProfSpec extends SparkSpec {
     tm("simhash")(SparkEntry.queries("pipe_dedup_simhash")(spark, dir).count())
   }
 
+  test("summaryDf mirrors summarize stats in long format, one row per column") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, ""), (4, Double.NaN, null)
+    ).toDF("id", "v", "s").select(col("id"),
+      when(col("id") === 4, lit(null).cast("double")).otherwise(col("v")).as("v"), col("s"))
+    val out = graft.profiler.Profiler.summaryDf(df, Seq("v", "s"),
+      graft.profiler.ProfilerOptions(sampleFraction = 1.0, limit = Int.MaxValue))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    val v = out("v")
+    assert(v.getAs[Long]("n") == 4 && v.getAs[Long]("n_null") == 1)
+    assert(v.getAs[Double]("min") == 10.0 && v.getAs[Double]("max") == 30.0)
+    assert(math.abs(v.getAs[Double]("mean") - 20.0) < 1e-9)
+    assert(v.isNullAt(v.fieldIndex("n_empty"))) // numeric: no empty-string stat
+    val s = out("s")
+    assert(s.getAs[Long]("n") == 4 && s.getAs[Long]("n_null") == 1)
+    assert(s.getAs[Long]("n_empty") == 1)
+    assert(s.isNullAt(s.fieldIndex("min")) && s.isNullAt(s.fieldIndex("mean")))
+  }
+
   test("primary-key candidates: unique null-free columns rank first, others excluded") {
     import spark.implicits._
     val df = Seq.tabulate(2000)(i => (i.toLong, s"k$i", i % 7, if (i % 100 == 0) null else s"v$i"))

@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 class ScratchSpec extends SparkSpec {
   val dir = "/root/testdata/sf0.01"
 
-  test("events loader handles parquet NANOS timestamps") {
-    assert(t(spark, dir, "events").count() == 10000)
-    assert(t(spark, dir, "events").select(max(col("ts"))).collect().head.getTimestamp(0) != null)
+  test("events loader normalizes ts (NANOS-as-long or MICROS-as-NTZ) to timestamp") {
+    val ev = t(spark, dir, "events")
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(ev.count() == 10000)
+    assert(ev.select(max(col("ts"))).collect().head.getTimestamp(0) != null)
   }
 
   test("compare_datasets emits no false changed-flags on untouched keys") {
