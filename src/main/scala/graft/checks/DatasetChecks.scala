@@ -395,13 +395,65 @@ object DatasetChecks {
     */
   private[graft] val WidenMinPartitionBytes: Long = 256L * 1024 * 1024
 
+  /** Minimum estimated ROWS per existing partition before widening pays for
+    * per-row-heavy map work (hash computation, partial aggregation). The byte
+    * floor alone mis-gates narrow schemas: the 100M-row 3-int-column ref
+    * fixture estimates ~100 MB/partition (under the byte floor) yet its
+    * starved partial agg costs 2x the whole presence compare — measured
+    * 152.5 s -> 78.6 s at 100M when the agg side widens (CompareProbe).
+    */
+  private[graft] val WidenMinPartitionRows: Long = 2L * 1000 * 1000
+
   /** Pure widen decision (package-private for the spec): narrow relative to
-    * the cluster AND carrying real per-partition bulk.
+    * the cluster AND carrying real per-partition bulk — by bytes, or by
+    * estimated rows when the caller passes a row-size estimate (per-row-heavy
+    * map work scales with rows, not bytes).
     */
   private[graft] def shouldWiden(sizeInBytes: BigInt, partitions: Int, par: Int,
-                                  minPartitionBytes: Long = WidenMinPartitionBytes): Boolean =
+                                  minPartitionBytes: Long = WidenMinPartitionBytes,
+                                  estRowSize: Long = Long.MaxValue,
+                                  minPartitionRows: Long = WidenMinPartitionRows): Boolean =
     partitions > 0 && partitions * 2 < par &&
-      sizeInBytes / partitions > minPartitionBytes
+      (sizeInBytes / partitions > minPartitionBytes ||
+        sizeInBytes / estRowSize / partitions > minPartitionRows)
+
+  /** Repartition a partition-starved frame to cluster parallelism — when the
+    * downstream map-side work above the bare scan (hash computation, partial
+    * aggregation, broadcast probes) is worth parallelizing. Reads the
+    * partition count WITHOUT triggering execution: under AQE, Dataset.rdd
+    * materializes every upstream shuffle stage just to read a partition
+    * count. Any plan node that requires a child distribution
+    * (join/aggregate/window) means EnsureRequirements will insert exchanges —
+    * such inputs come out of their shuffle at cluster width already, so
+    * widening is moot AND the raw sparkPlan cannot be safely executed; skip.
+    * Subquery expressions submit driver jobs on prepare; skip those too. What
+    * remains is the actual starvation case: scan/project/filter-only inputs
+    * (a re-read of a coalesced write, a small-file table), whose RDD lineage
+    * builds lazily without running a single job.
+    *
+    * Do NOT widen frames whose map stage is only scan + shuffle-write (e.g.
+    * the probe side of a shuffle join): the repartition repeats exactly that
+    * work and adds a round trip — measured WORSE at 100M (152.5 s unwidened
+    * vs 169.4 s both-sides-widened in the presence probe).
+    */
+  private def widenIfStarved(frame: DataFrame): DataFrame = {
+    val spark = frame.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val plan = frame.queryExecution.sparkPlan
+    val needsDistribution = plan.exists(_.requiredChildDistribution.exists {
+      case org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution => false
+      case _ => true
+    })
+    val hasSubquery = plan.exists(_.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
+    if (needsDistribution || hasSubquery) return frame
+    val p = plan.execute().getNumPartitions
+    val sizeBytes = frame.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estRowSize = (frame.schema.map(_.dataType.defaultSize).sum + 8).toLong
+    if (shouldWiden(sizeBytes, p, par, WidenMinPartitionBytes, estRowSize))
+      frame.repartition(par)
+    else frame
+  }
 
   def compareDatasets(columns: Seq[String], refColumns: Seq[String], refDf: DataFrame,
                       checkMissingRecords: Boolean = false,
@@ -507,33 +559,8 @@ object DatasetChecks {
         // matter how wide the cluster is. The reshuffle is cheap relative to
         // a 3.5x parallelism loss (measured at 100M on local[32]); skip it
         // when the input already saturates the cluster.
-        val par = spark.sparkContext.defaultParallelism
-        def widen(frame: DataFrame): DataFrame = {
-          // Partition count WITHOUT triggering execution: under AQE,
-          // Dataset.rdd materializes every upstream shuffle stage just to
-          // read a partition count. Any plan node that requires a child
-          // distribution (join/aggregate/window) means EnsureRequirements
-          // will insert exchanges — such inputs come out of their shuffle at
-          // cluster width already, so widening is moot AND the raw sparkPlan
-          // cannot be safely executed; skip. Subquery expressions submit
-          // driver jobs on prepare; skip those too. What remains is the
-          // actual starvation case: scan/project/filter-only inputs (a
-          // re-read of a coalesced write, a small-file table), whose RDD
-          // lineage builds lazily without running a single job.
-          val plan = frame.queryExecution.sparkPlan
-          val needsDistribution = plan.exists(_.requiredChildDistribution.exists {
-            case org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution => false
-            case _ => true
-          })
-          val hasSubquery = plan.exists(_.expressions.exists(_.exists(
-            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
-          if (needsDistribution || hasSubquery) return frame
-          val p = plan.execute().getNumPartitions
-          val sizeBytes = frame.queryExecution.optimizedPlan.stats.sizeInBytes
-          if (shouldWiden(sizeBytes, p, par)) frame.repartition(par) else frame
-        }
-        val dfW = widen(df)
-        val refW = widen(refDf)
+        val dfW = widenIfStarved(df)
+        val refW = widenIfStarved(refDf)
         val seed1 = 0x9E3779B97F4A7C15L
         val seed2 = 0xC2B2AE3D27D4EB4FL
         def pairHash(seed: Long): Column =
@@ -646,7 +673,11 @@ object DatasetChecks {
         val kr = s"__dq_cmpk_${id}_r"
         val kl = s"__dq_cmpk_${id}_l"
         val presCol = s"__dq_cmp_pres_$id"
-        val refAgg = refDf
+        // widen ONLY the agg side: its starved map stage runs the partial
+        // aggregation over ref's distinct keys (measured 2x the whole compare
+        // at 100M x 10 partitions); the input side's map stage is bare
+        // scan + shuffle-write, which a repartition would merely repeat
+        val refAgg = widenIfStarved(refDf)
           .groupBy(struct(refColumns.map(col): _*).as(kr))
           .agg(count(lit(1)).as(presCol))
         df.withColumn(kl, struct(columns.map(col): _*))

@@ -117,6 +117,52 @@ object TextAnalysis {
       s.getField("dup_3gram_frac") <= maxDup3GramFrac
   }
 
+  /** A line survives C4-style cleaning: ends in terminal punctuation
+    * (optionally followed by closing quotes/parens), has >= 3 words, and does
+    * not mention javascript (the boilerplate-warning rule).
+    */
+  private def c4LineKept(l: Column): Column =
+    l.rlike("[.!?][\"'”’)]*\\s*$") &&
+      size(split(trim(l), "\\s+")) >= 3 &&
+      !lower(l).contains("javascript")
+
+  /** C4-style row-local page/line heuristics (the public C4 cleaning rules:
+    * keep lines ending in terminal punctuation with >= 3 words, drop
+    * javascript-warning lines, flag lorem-ipsum placeholder text and code
+    * braces, require a minimum sentence count per page). Returns a struct of
+    * the signals; [[c4Keep]] folds them into the keep/drop decision and
+    * [[c4CleanedText]] rebuilds the page from surviving lines. All row-local
+    * — free riders on the scan at any scale. (The remaining C4 rule,
+    * corpus-global three-sentence-span dedup, is [[Dedup.dedupLines]]'
+    * territory.)
+    */
+  def c4Signals(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val lines = split(t, "\n")
+    val kept = filter(lines, c4LineKept(_))
+    val cleaned = array_join(kept, "\n")
+    struct(
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept_lines"),
+      size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0))).as("n_sentences"),
+      lower(t).contains("lorem ipsum").as("has_lorem_ipsum"),
+      t.contains("{").as("has_curly_brace"),
+      exists(lines, l => lower(l).contains("javascript")).as("has_javascript_line"))
+  }
+
+  /** C4 page keep/drop: enough sentences after line cleaning, no placeholder
+    * text, no code braces.
+    */
+  def c4Keep(text: Column, minSentences: Int = 5): Column = {
+    val s = c4Signals(text)
+    s.getField("n_sentences") >= minSentences &&
+      !s.getField("has_lorem_ipsum") && !s.getField("has_curly_brace")
+  }
+
+  /** The page rebuilt from only the lines that survive C4 line cleaning. */
+  def c4CleanedText(text: Column): Column =
+    array_join(filter(split(coalesce(text, lit("")), "\n"), c4LineKept(_)), "\n")
+
   /** Canonical text normalization: lowercase, control chars to spaces,
     * whitespace collapsed, trimmed. Row-local; the standard first step before
     * fingerprinting/sharding a raw crawl.

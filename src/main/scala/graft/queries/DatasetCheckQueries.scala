@@ -237,6 +237,38 @@ object DatasetCheckQueries {
              |WHERE abs(c_acctbal - st.m) / st.sd > 1.5
              |ORDER BY 1""".stripMargin)),
 
+    // Top-contributor explanation text over the z-score anomaly path: every
+    // piece (z per column, |z| share percentages, sort order, half-up integer
+    // rounding, the reference's "col (N%), col (M%)" format) is DuckDB-
+    // recomputable. c_acctbal sorts before c_nationkey on equal shares in
+    // both engines (name tiebreak).
+    "ds_anomaly_top_contributors" -> QueryDef(
+      (s, dir) => {
+        val checked = DQEngine.applyChecks(t(s, dir, "customer"), Seq(
+          ds(D.hasNoRowAnomalies(Seq("c_acctbal", "c_nationkey"), threshold = 1.5),
+            "has_no_row_anomalies", "c_acctbal")))
+        val contrib = element_at(col("_dq_info"), 1)
+          .getField("anomaly").getField("contributions")
+        checked.where(col("_errors").isNotNull)
+          .select(col("c_custkey"),
+            coalesce(graft.anomaly.Explain.topContributors(contrib, 2), lit(""))
+              .as("top_contributors"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH st AS (SELECT avg(c_acctbal) AS m1, stddev_samp(c_acctbal) AS s1,
+             |                   avg(c_nationkey) AS m2, stddev_samp(c_nationkey) AS s2 FROM customer),
+             |z AS (SELECT c_custkey,
+             |        abs(c_acctbal - st.m1) / st.s1 AS z1,
+             |        abs(c_nationkey - st.m2) / st.s2 AS z2 FROM customer, st)
+             |SELECT c_custkey,
+             |  CASE WHEN z1 >= z2
+             |    THEN 'c_acctbal (' || CAST(round(z1/(z1+z2)*100) AS BIGINT)
+             |      || '%), c_nationkey (' || CAST(round(z2/(z1+z2)*100) AS BIGINT) || '%)'
+             |    ELSE 'c_nationkey (' || CAST(round(z2/(z1+z2)*100) AS BIGINT)
+             |      || '%), c_acctbal (' || CAST(round(z1/(z1+z2)*100) AS BIGINT) || '%)'
+             |  END AS top_contributors
+             |FROM z WHERE greatest(z1, z2) > 1.5 ORDER BY c_custkey""".stripMargin)),
+
     // Model-based scoring has no SQL analog, so the gate asserts the three
     // properties an oracle CAN check: (1) planted extreme outliers (1e6
     // balance vs the natural -999..9999 range) must all be flagged at the

@@ -570,6 +570,47 @@ object PipelineQueries {
       },
       Some("""SELECT doc_id, TRUE AS ok, 16 AS n_features FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // C4-style page cleaning signals over in-plan-built multi-line text:
+    // k=doc_id%6+3 keepable sentences plus planted bad lines (no terminal
+    // punctuation / lorem ipsum / code braces / javascript warning) gated by
+    // doc_id arithmetic, so DuckDB recomputes every count and flag closed-form.
+    "pipe_text_c4" -> QueryDef(
+      (s, dir) => {
+        val d = col("doc_id")
+        val empty = array().cast("array<string>")
+        val parts = concat(
+          array_repeat(lit("the quick brown fox jumps."), (d % 6 + 3).cast("int")),
+          when(d % 2 === 0, array(lit("no punctuation here"))).otherwise(empty),
+          when(d % 7 === 0, array(lit("lorem ipsum dolor sit amet."))).otherwise(empty),
+          when(d % 5 === 0, array(lit("function() { return 1; }"))).otherwise(empty),
+          when(d % 4 === 0, array(lit("please enable javascript to continue."))).otherwise(empty))
+        val df = t(s, dir, "documents").select(d, array_join(parts, "\n").as("text"))
+        val sig = TextAnalysis.c4Signals(col("text"))
+        df.select(d,
+          sig.getField("n_lines").as("n_lines"),
+          sig.getField("n_kept_lines").as("n_kept_lines"),
+          sig.getField("n_sentences").as("n_sentences"),
+          sig.getField("has_lorem_ipsum").as("has_lorem_ipsum"),
+          sig.getField("has_curly_brace").as("has_curly_brace"),
+          sig.getField("has_javascript_line").as("has_javascript_line"),
+          TextAnalysis.c4Keep(col("text")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(doc_id % 6 + 3
+             |    + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+             |    + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+             |    + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+             |    + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT) AS n_lines,
+             |  CAST(doc_id % 6 + 3 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS n_kept_lines,
+             |  CAST(doc_id % 6 + 3 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS n_sentences,
+             |  doc_id % 7 = 0 AS has_lorem_ipsum,
+             |  doc_id % 5 = 0 AS has_curly_brace,
+             |  doc_id % 4 = 0 AS has_javascript_line,
+             |  (doc_id % 6 + 3 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) >= 5
+             |    AND doc_id % 7 <> 0 AND doc_id % 5 <> 0 AS keep
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // URL signals over in-plan-built URLs (every field derives from doc_id
     // arithmetic, so DuckDB recomputes expectations without parsing URLs):
     // scheme/host variants, a multi-label public suffix (co.uk), www

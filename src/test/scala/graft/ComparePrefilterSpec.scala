@@ -170,6 +170,18 @@ class ComparePrefilterSpec extends SparkSpec {
     assert(!DatasetChecks.shouldWiden(BigInt(0), 0, 32))
   }
 
+  test("widen decision row criterion: narrow-schema agg side with many rows widens") {
+    // the 100M 3-int-col ref fixture: ~1 GB estimate / 10 partitions is under
+    // the byte floor, but at 20 bytes/row that is 5M rows per partition of
+    // partial aggregation — row criterion fires (measured 152.5s -> 78.6s)
+    val oneGb = BigInt(1024L * 1024 * 1024)
+    assert(DatasetChecks.shouldWiden(oneGb, 10, 32, estRowSize = 20L))
+    // 10M-row shape: ~100 MB estimate -> 500k rows/partition, under both floors
+    assert(!DatasetChecks.shouldWiden(oneGb / 10, 10, 32, estRowSize = 20L))
+    // wide rows (estRowSize large): row criterion never fires before bytes
+    assert(!DatasetChecks.shouldWiden(oneGb, 10, 32, estRowSize = 10000L))
+  }
+
   test("cacheInput snapshots non-deterministic inputs: flags agree with rows") {
     // rand()-derived column: without a snapshot the candidate pass and the
     // verdict pass would see different values and the flags could disagree

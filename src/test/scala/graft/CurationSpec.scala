@@ -109,4 +109,44 @@ class CurationSpec extends SparkSpec {
     val got = df.select(TextAnalysis.normalizeText(col("text"))).as[String].head()
     assert(got == "hello world again")
   }
+
+  test("c4 line rules: terminal punctuation, word minimum, javascript warning, page flags") {
+    val page = Seq(
+      "This is a proper sentence with words.",
+      "Is this kept as well?",          // terminal '?' + 5 words -> kept
+      "She said \"stop here.\"",        // closing quote after '.' -> kept
+      "no terminal punctuation here",   // dropped
+      "Too short.",                     // 2 words -> dropped
+      "Please enable javascript now.",  // javascript warning -> dropped
+      "if (x) { return; }"              // dropped line; page flagged for '{'
+    ).mkString("\n")
+    val df = Seq((1, page), (2, "lorem ipsum dolor sit amet."), (3, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val rows = df.select(col("id"), TextAnalysis.c4Signals(col("text")).as("s"),
+        TextAnalysis.c4Keep(col("text")).as("keep"),
+        TextAnalysis.c4CleanedText(col("text")).as("cleaned"))
+      .orderBy("id").collect()
+    val s1 = rows(0).getStruct(1)
+    assert(s1.getAs[Int]("n_lines") == 7)
+    assert(s1.getAs[Int]("n_kept_lines") == 3)
+    assert(s1.getAs[Int]("n_sentences") == 3)
+    assert(!s1.getAs[Boolean]("has_lorem_ipsum"))
+    assert(s1.getAs[Boolean]("has_curly_brace") && s1.getAs[Boolean]("has_javascript_line"))
+    assert(!rows(0).getAs[Boolean]("keep")) // curly brace + only 3 sentences
+    assert(rows(0).getAs[String]("cleaned") ==
+      "This is a proper sentence with words.\nIs this kept as well?\nShe said \"stop here.\"")
+    val s2 = rows(1).getStruct(1)
+    assert(s2.getAs[Boolean]("has_lorem_ipsum") && !rows(1).getAs[Boolean]("keep"))
+    val s3 = rows(2).getStruct(1) // null text behaves as empty page
+    assert(s3.getAs[Int]("n_kept_lines") == 0 && !rows(2).getAs[Boolean]("keep"))
+  }
+
+  test("c4Keep requires the sentence minimum after line cleaning") {
+    val five = (1 to 5).map(i => s"Sentence number $i is fine.").mkString("\n")
+    val four = (1 to 4).map(i => s"Sentence number $i is fine.").mkString("\n")
+    val df = Seq((1, five), (2, four)).toDF("id", "text")
+    val keep = df.select(col("id"), TextAnalysis.c4Keep(col("text")).as("k"))
+      .as[(Int, Boolean)].collect().toMap
+    assert(keep(1) && !keep(2))
+  }
 }
