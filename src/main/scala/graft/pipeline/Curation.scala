@@ -52,6 +52,69 @@ object Curation {
       .drop("__quota_rn")
   }
 
+  /** Deterministic per-group weighted sampling — the "domain mixing" step of a
+    * pretraining pipeline: keep each row with the probability configured for
+    * its group (e.g. source domain), decided by the portable hash of `id` so
+    * the draw is reproducible across runs, engines, and incremental loads.
+    * Groups absent from `weights` use `defaultWeight`. Row-local: zero
+    * shuffle, the weight lookup compiles to a literal CASE chain.
+    */
+  def sampleByWeights(df: DataFrame, group: Column, weights: Map[String, Double],
+                      id: Column, defaultWeight: Double = 1.0): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 1) &&
+      defaultWeight >= 0 && defaultWeight <= 1,
+      "weights must be keep-probabilities in [0,1]")
+    val cut = weights.toSeq.sortBy(_._1).foldLeft(
+      lit((defaultWeight * 4294967296.0).toLong)) { case (acc, (k, w)) =>
+      when(group === lit(k), lit((w * 4294967296.0).toLong)).otherwise(acc)
+    }
+    df.where(portableHash(id) < cut)
+  }
+
+  /** Greedy next-fit sequence packing: assign documents to token-budget bins
+    * (the batch-construction step before training — pack short documents
+    * together so each sequence slot carries ~`budget` tokens). Documents are
+    * first split deterministically into `numGroups` independent pack groups by
+    * portable hash of `id`; within a group, docs are taken in `id` order and a
+    * new bin starts whenever the running weight would exceed `budget` (a doc
+    * heavier than the budget gets a bin of its own). Returns
+    * (idCol, pack_group, bin_id) — bin ids are 0-based within each group.
+    *
+    * Scale shape: packing is inherently sequential, so the parallel unit is
+    * the GROUP — one shuffle partitions the corpus by group, each group packs
+    * independently with O(1) state inside a single pass. Size `numGroups` to
+    * the cluster (each group is one sequential scan); determinism holds for
+    * any `numGroups` because group membership and in-group order are both
+    * content-keyed, never partition-keyed.
+    */
+  def packSequences(df: DataFrame, idCol: String, weight: Column, budget: Long,
+                    numGroups: Int = 64): DataFrame = {
+    PipelineGuards.requireBatch(df, "packSequences")
+    require(budget > 0, "budget must be positive")
+    require(numGroups > 0, "numGroups must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+      pmod(portableHash(col(idCol)), lit(numGroups.toLong)).cast("int").as("g"),
+      col(idCol).cast("long").as("id"),
+      weight.cast("long").as("w"))
+    val packed = base.as[(Int, Long, Long)]
+      .repartition(col("g"))
+      .sortWithinPartitions(col("g"), col("id"))
+      .mapPartitions { it =>
+        var curG = Int.MinValue
+        var bin = 0L
+        var acc = 0L
+        it.map { case (g, id, w) =>
+          if (g != curG) { curG = g; bin = 0L; acc = w }
+          else if (acc + w <= budget) { acc += w }
+          else { bin += 1; acc = w }
+          (id, g, bin)
+        }
+      }
+    packed.toDF(idCol, "pack_group", "bin_id")
+  }
+
   /** Word n-grams as 64-bit hashes, distinct per document; empty array when
     * the document has fewer than n tokens (a short doc contributes nothing —
     * unlike `Dedup.shingles`, which falls back to the whole text for sketch

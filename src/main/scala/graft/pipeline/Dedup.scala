@@ -89,6 +89,76 @@ object Dedup {
         concat_ws(sep, transform(col("__ps"), p => p.getField("__line"))).as(textCol))
   }
 
+  // ------------------------------------------------- exact-substring span dedup
+
+  /** Exact-substring duplicate spans (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" semantics, word-aligned):
+    * every maximal span whose every `windowWords`-word window occurs at least
+    * `minOccurrences` times corpus-wide (counting multiplicity, including
+    * within the same document). Returns one row per maximal span:
+    * (idCol, span_start, span_end) — 1-based inclusive word positions.
+    *
+    * Scale shape: windows are generated row-locally by a fused codegen'd
+    * generator ([[ShinglePositionsExplode]] — one text scan per doc, grams as
+    * 64-bit hashes, never strings); the corpus-wide count is ONE
+    * partial-aggregated shuffle carrying (long hash, count); duplicated
+    * windows come back via a semi join on the hash (AQE broadcasts when the
+    * duplicated-gram set is small — the common case); the merge into maximal
+    * spans is a per-document window (one shuffle on the doc id, per-doc data
+    * bounded by doc length). Nothing all-pairs, nothing driver-side.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     windowWords: Int = 8, minOccurrences: Long = 2): DataFrame = {
+    PipelineGuards.requireBatch(df, "duplicateSpans")
+    require(windowWords >= 1, "windowWords must be >= 1")
+    import org.apache.spark.sql.GraftColumnBridge
+    val grams = df.select(col(idCol).as("__id"),
+      GraftColumnBridge.column(ShinglePositionsExplode(
+        GraftColumnBridge.expression(col(textCol)), windowWords))
+        .as(Seq("__pos", "__h")))
+    val dupHashes = grams.groupBy("__h").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minOccurrences).select("__h")
+    val dup = grams.join(dupHashes, Seq("__h"), "left_semi")
+    val w = Window.partitionBy("__id").orderBy("__pos")
+    // gaps-and-islands: windows [p, p+w-1] and [q, q+w-1] merge when
+    // q - p <= w (overlap or exact adjacency)
+    val islands = dup
+      .withColumn("__brk",
+        when(col("__pos") - lag("__pos", 1).over(w) > windowWords, 1).otherwise(0))
+      .withColumn("__island",
+        sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("__id"), col("__island"))
+      .agg(min("__pos").as("span_start"),
+        (max("__pos") + windowWords - 1).as("span_end"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Cut every duplicated span (per [[duplicateSpans]]) out of the text,
+    * keeping the surviving words in order. Documents with no duplicated span
+    * pass through untouched (same text column, same rows).
+    *
+    * Scale shape: the span set is small relative to the corpus (it only
+    * contains documents that HAVE corpus-duplicated substrings), so the
+    * join-back is AQE-broadcastable; the cut itself is row-local array work.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           windowWords: Int = 8, minOccurrences: Long = 2): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, windowWords, minOccurrences)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = tokens(col(textCol))
+    val indexed = zip_with(toks, sequence(lit(1), size(toks)),
+      (t, i) => struct(i.as("i"), t.as("t")))
+    val kept = filter(indexed, s => !exists(col("__spans"),
+      sp => s.getField("i") >= sp.getField("span_start") &&
+        s.getField("i") <= sp.getField("span_end")))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ", transform(kept, s => s.getField("t")))))
+      .drop("__spans")
+  }
+
   // -------------------------------------------------------------- MinHash LSH
 
   /** MinHash signature over pre-hashed shingles (array<long>): one string hash

@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Lexical corpus search for large-scale curation pipelines: BM25 top-k
+  * retrieval of corpus documents for a (small) query set — the standard tool
+  * for "find the training documents most similar to this eval item / this
+  * seed prompt" sweeps.
+  *
+  * Scale shape: the query side is tiny by construction and broadcasts
+  * everywhere; the corpus is filtered to query-term matches by a map-side
+  * broadcast semi join BEFORE its only shuffle (the (doc, term) term-frequency
+  * aggregation), so the full corpus never shuffles — document-frequency
+  * lookup, scoring, and the per-query top-k all operate on matched rows only.
+  * No corpus self-join, no driver-side scoring.
+  */
+object Search {
+
+  /** Whitespace word tokens, lowercased; empty tokens dropped. */
+  private def toks(text: Column): Column =
+    filter(split(lower(coalesce(text, lit(""))), " "), t => t =!= "")
+
+  /** BM25 top-k documents per query (Robertson/Sparck Jones; the Lucene
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf variant, so scores are always
+    * positive). Returns (queryIdCol, rank, idCol, score), rank 1..k by
+    * descending score with the doc id as the deterministic tie-break.
+    *
+    * Per-term contributions are rounded to 6 decimals and summed as
+    * DECIMAL(38,6): the sum is exact and order-independent, so scores — and
+    * therefore ranks — are bit-stable across partitionings, reruns, and
+    * engines.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String, queryTextCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    PipelineGuards.requireBatch(docs, "bm25TopK")
+    require(k > 0, "k must be positive")
+    val tokenized = docs.select(col(idCol).as("__doc"),
+      size(toks(col(textCol))).as("__dl"),
+      explode(toks(col(textCol))).as("__term"))
+    // corpus stats: 1-row frame, broadcast via crossJoin
+    val stats = docs.select(col(idCol), size(toks(col(textCol))).as("__dl"))
+      .agg(count(lit(1)).as("__n_docs"), avg("__dl").as("__avgdl"))
+    val qterms = queries.select(col(queryIdCol).as("__q"),
+      explode(toks(col(queryTextCol))).as("__term")).distinct()
+    // query-term filter FIRST (map-side broadcast semi join), so the tf
+    // aggregation — the only corpus-wide shuffle — carries matched rows only;
+    // the full corpus never shuffles
+    val qtok = tokenized.join(
+      broadcast(qterms.select("__term").distinct()), Seq("__term"), "left_semi")
+    // __dl is functionally dependent on __doc so keying on it adds no grain
+    val tf = qtok.groupBy("__doc", "__dl", "__term")
+      .agg(count(lit(1)).as("__tf"))
+    // document frequency over query terms = (doc, term) rows per term
+    val qdf = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+    val matched = tf
+      .join(broadcast(qterms), Seq("__term"))
+      .join(broadcast(qdf), Seq("__term"))
+      .crossJoin(broadcast(stats))
+    val idf = log(lit(1.0) +
+      (col("__n_docs") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val tfNorm = (col("__tf") * lit(k1 + 1.0)) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    val contrib = round(idf * tfNorm, 6).cast(DecimalType(38, 6))
+    val scored = matched
+      .select(col("__q"), col("__doc"), contrib.as("__c"))
+      .groupBy("__q", "__doc")
+      .agg(sum("__c").as("__score"))
+    val w = Window.partitionBy("__q").orderBy(col("__score").desc, col("__doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__q").as(queryIdCol), col("rank"),
+        col("__doc").as(idCol), col("__score").cast("double").as("score"))
+  }
+}

@@ -54,6 +54,39 @@ case class MinHashBandsExplode(child: Expression, numHashes: Int, bands: Int)
     copy(child = c.head)
 }
 
+/** (pos, gramhash) rows: every `n`-word window of the text with its 1-based
+  * word position — the positional (non-distinct) dual of [[HashedShingles]],
+  * for exact-substring span dedup ([[Dedup.duplicateSpans]]). Same fused
+  * tokenize+hash kernel; one text scan per row, codegen'd.
+  */
+case class ShinglePositionsExplode(child: Expression, n: Int)
+    extends Generator {
+  require(n >= 1, "window must be >= 1 word")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("gramhash", LongType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] =
+    SketchOps.shinglePosRowsIter(
+      child.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        scala.collection.IterableOnce<InternalRow> ${ev.value} =
+          graft.pipeline.SketchOps.shinglePosRowsIter(
+            ${childGen.isNull} ? null : ${childGen.value}, $n);
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ShinglePositionsExplode =
+    copy(child = c.head)
+}
+
 /** (chunk, chunkval) rows from one SimHash64 evaluation over the token array —
   * pigeonhole banding input for [[Dedup.simHashDuplicatePairs]].
   */

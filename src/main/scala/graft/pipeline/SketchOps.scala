@@ -228,6 +228,43 @@ object SketchOps {
     out.iterator
   }
 
+  /** (pos, gramhash) rows for [[ShinglePositionsExplode]]: every `n`-token
+    * window of `text` with its 1-based word position — NON-distinct, in
+    * document order (the positional dual of [[hashedShingles]]; same byte-span
+    * XXH64-seed-42 hashing, so the two agree on gram identity). A doc with
+    * fewer than n tokens emits no rows: it contains no full window. Null text
+    * emits no rows.
+    */
+  def shinglePosRowsIter(text: UTF8String, n: Int): Iterator[InternalRow] = {
+    if (text == null) return Iterator.empty
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes()
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') spaces += 1
+      i += 1
+    }
+    val m = spaces + 1
+    if (m < n) return Iterator.empty
+    val starts = new Array[Int](m + 1)
+    var k = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') {
+        starts(k) = i + 1; k += 1
+      }
+      i += 1
+    }
+    starts(m) = len + 1
+    val count = m - n + 1
+    Iterator.tabulate(count) { p =>
+      val s = starts(p)
+      InternalRow(p + 1, XXH64.hashUnsafeBytes(base, off + s, starts(p + n) - 1 - s, 42L))
+    }
+  }
+
   /** L2 norm kernels for [[VectorNorm]] — sequential left-to-right
     * accumulation, the SAME element order as the old `aggregate` HOF (and
     * DuckDB's list_sum), so the 0-ulp oracle parity of the embedding stats is

@@ -643,8 +643,199 @@ object PipelineQueries {
       Some("WITH u AS (" + syntheticUrlOracle + ")\n" +
         "SELECT url_registered_domain AS registered_domain,\n" +
         "       count(*) AS n_docs\n" +
-        "FROM u GROUP BY 1 ORDER BY registered_domain"))
-  )
+        "FROM u GROUP BY 1 ORDER BY registered_domain")),
+
+    // Exact-substring span dedup (Lee et al. 2022 semantics): every 7th doc
+    // gets the same 10-word boilerplate suffix planted, so its three fully-
+    // planted 8-word windows are corpus-duplicated and must merge into one
+    // maximal span covering exactly the planted words. The oracle replays the
+    // whole pipeline (window counts -> gaps-and-islands merge) over gram
+    // STRINGS, checking the Spark side's 64-bit gram hashing is faithful.
+    "pipe_dedup_spans" -> QueryDef(
+      (s, dir) => Dedup.duplicateSpans(
+        plantedSpans(s, dir), "doc_id", "text", windowWords = 8)
+        .orderBy("doc_id", "span_start"),
+      Some(plantedSpansOracle +
+        """,
+          |isl AS (SELECT doc_id, pos,
+          |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+          |       THEN 1 ELSE 0 END AS brk FROM dp),
+          |isl2 AS (SELECT doc_id, pos,
+          |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+          |FROM isl)
+          |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+          |       CAST(max(pos) + 7 AS INT) AS span_end
+          |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin)),
+
+    // Span REMOVAL: same planted corpus, duplicated spans cut out of the text
+    // word-aligned; untouched docs must round-trip byte-identical.
+    "pipe_dedup_spans_remove" -> QueryDef(
+      (s, dir) => Dedup.removeDuplicateSpans(
+        plantedSpans(s, dir), "doc_id", "text", windowWords = 8)
+        .select("doc_id", "text")
+        .orderBy("doc_id"),
+      Some(plantedSpansOracle +
+        """,
+          |isl AS (SELECT doc_id, pos,
+          |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+          |       THEN 1 ELSE 0 END AS brk FROM dp),
+          |isl2 AS (SELECT doc_id, pos,
+          |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+          |FROM isl),
+          |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+          |          FROM isl2 GROUP BY doc_id, island),
+          |toks AS (SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS i FROM d),
+          |keep AS (SELECT tk.doc_id, tk.t, tk.i FROM toks tk
+          |         WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = tk.doc_id
+          |                           AND tk.i BETWEEN s.span_start AND s.span_end)),
+          |agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text
+          |        FROM keep GROUP BY doc_id)
+          |-- left join: a fully-duplicated doc (exact corpus dup) keeps every
+          |-- position in a span, loses all tokens, and must survive as ''
+          |SELECT p.doc_id, coalesce(agg.text, '') AS text
+          |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id ORDER BY p.doc_id""".stripMargin)),
+
+    // Greedy next-fit sequence packing on the n_chars weight: bins are cut by
+    // a running-sum threshold inside content-hashed pack groups; the oracle
+    // replays the sequential scan with a recursive CTE.
+    "pipe_pack_sequences" -> QueryDef(
+      (s, dir) => Curation.packSequences(
+        t(s, dir, "documents"), "doc_id", col("n_chars"), budget = 2000, numGroups = 8)
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT doc_id, CAST((doc_id % 2147483648) * 2654435761 % 4294967296 % 8 AS INT) AS g,
+             |         n_chars AS w,
+             |         row_number() OVER (
+             |           PARTITION BY ((doc_id % 2147483648) * 2654435761 % 4294967296 % 8)
+             |           ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |st AS (
+             |  SELECT g, rn, doc_id, w, CAST(0 AS BIGINT) AS bin, w AS acc FROM base WHERE rn = 1
+             |  UNION ALL
+             |  SELECT b.g, b.rn, b.doc_id, b.w,
+             |    CASE WHEN s.acc + b.w <= 2000 THEN s.bin ELSE s.bin + 1 END,
+             |    CASE WHEN s.acc + b.w <= 2000 THEN s.acc + b.w ELSE b.w END
+             |  FROM st s JOIN base b ON b.g = s.g AND b.rn = s.rn + 1)
+             |SELECT doc_id, g AS pack_group, bin AS bin_id
+             |FROM st ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic domain-mix sampling: per-source keep probabilities via the
+    // portable hash, absent sources at the default weight.
+    "pipe_sample_weights" -> QueryDef(
+      (s, dir) => Curation.sampleByWeights(
+        t(s, dir, "documents"), col("source"),
+        Map("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.1),
+        col("doc_id"), defaultWeight = 0.7)
+        .select("doc_id").orderBy("doc_id"),
+      // floor, not CAST: DuckDB rounds double->BIGINT casts, Scala .toLong
+      // truncates — the cut points must agree exactly
+      Some("""SELECT doc_id FROM documents
+             |WHERE (doc_id % 2147483648) * 2654435761 % 4294967296 <
+             |  CAST(floor(CASE source WHEN 'src0' THEN CAST(0.9 AS DOUBLE) * 4294967296
+             |                         WHEN 'src1' THEN CAST(0.5 AS DOUBLE) * 4294967296
+             |                         WHEN 'src2' THEN CAST(0.1 AS DOUBLE) * 4294967296
+             |                         ELSE CAST(0.7 AS DOUBLE) * 4294967296 END) AS BIGINT)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // BM25 top-k retrieval (Lucene idf variant); per-term contributions are
+    // rounded then summed as DECIMAL(38,6) in BOTH engines, so scores and
+    // ranks are exactly reproducible.
+    "pipe_bm25_topk" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          ("q1", "spark fast query"),
+          ("q2", "customer order line table"),
+          ("q3", "vector scan batch")).toDF("query_id", "qtext")
+        Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          queries, "query_id", "qtext", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q(query_id, qtext) AS (VALUES
+             |  ('q1','spark fast query'), ('q2','customer order line table'), ('q3','vector scan batch')),
+             |dt AS (SELECT doc_id,
+             |         len(list_filter(string_split(lower(coalesce(text,'')),' '), t -> t <> '')) AS dl,
+             |         unnest(list_filter(string_split(lower(coalesce(text,'')),' '), t -> t <> '')) AS term
+             |       FROM documents),
+             |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+             |          FROM (SELECT doc_id, len(list_filter(string_split(lower(coalesce(text,'')),' '), t -> t <> '')) AS dl
+             |                FROM documents)),
+             |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(lower(qtext),' '), t -> t <> '')) AS term FROM q),
+             |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM dt
+             |       WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+             |df_ AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT qt.query_id, tf.doc_id,
+             |         sum(CAST(round(
+             |           ln(1 + (s.n_docs - df_.df + 0.5) / (df_.df + 0.5)) *
+             |           (tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)),
+             |           6) AS DECIMAL(38,6))) AS score
+             |       FROM tf JOIN qt USING (term) JOIN df_ USING (term) CROSS JOIN stats s
+             |       GROUP BY 1, 2),
+             |r AS (SELECT query_id, doc_id, score,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+             |      FROM sc)
+             |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(score AS DOUBLE) AS score
+             |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+  ) :+ qualityScoreQuery
+
+  /** Gate entry appended via concatenation below (kept out of the main map
+    * literal to hold the diff local): fastText-style dictionary scoring with a
+    * FIXED literal model — the oracle replays sigmoid(bias + Σw/n) with
+    * list_sum's sequential order matching the kernel's left-to-right sum.
+    */
+  private def qualityScoreQuery: (String, QueryDef) =
+    "pipe_quality_score" -> QueryDef(
+      (s, dir) => {
+        val model = QualityModel(-0.1,
+          Map("spark" -> 2.0, "fast" -> 1.0, "slow" -> -1.5, "the" -> -0.2))
+        QualityClassifier.score(t(s, dir, "documents"), col("text"), model)
+          .select(col("doc_id"), round(col("quality_score"), 6).as("quality_score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  list_filter(string_split(lower(coalesce(text,'')),' '), t -> t <> '') AS w
+             |FROM documents)
+             |SELECT doc_id,
+             |  round(1.0/(1.0+exp(-(-0.1 + coalesce(list_sum(list_transform(w,
+             |    t -> CASE t WHEN 'spark' THEN CAST(2.0 AS DOUBLE)
+             |                WHEN 'fast' THEN CAST(1.0 AS DOUBLE)
+             |                WHEN 'slow' THEN CAST(-1.5 AS DOUBLE)
+             |                WHEN 'the' THEN CAST(-0.2 AS DOUBLE)
+             |                ELSE CAST(0.0 AS DOUBLE) END)), 0)
+             |    / greatest(len(w), 1)))), 6) AS quality_score
+             |FROM d ORDER BY doc_id""".stripMargin))
+
+  /** documents + the same 10-word boilerplate suffix planted on every 7th doc
+    * — the fixture for the exact-substring span gates. The planted words are
+    * outside the corpus vocabulary, so the only corpus-duplicated 8-grams are
+    * the fully-planted windows.
+    */
+  private def plantedSpans(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" " + PlantedBoilerplate)))
+        .otherwise(col("text")).as("text"))
+
+  // `final val` with a literal initializer: constant-folded at COMPILE time,
+  // so interpolating it from the `all` map during object init is safe (a
+  // plain val defined below the map would still be null at that point — the
+  // same init-order trap syntheticUrlOracle documents)
+  private final val PlantedBoilerplate =
+    "please subscribe to our newsletter for updates and offers today"
+
+  /** Shared oracle prefix: planted corpus -> positional 8-gram windows ->
+    * corpus-duplicated window positions (grams compared as strings).
+    */
+  private def plantedSpansOracle: String =
+    s"""WITH p AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 7 = 0 THEN text || ' $PlantedBoilerplate' ELSE text END AS text
+       |FROM documents),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM p),
+       |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+       |        i -> {'pos': i, 'gram': array_to_string(w[i:i+7], ' ')}), recursive := true)
+       |      FROM d WHERE len(w) >= 8),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup))""".stripMargin
 
   /** Deterministic synthetic URL built in-plan: doc_id % 11 == 0 rows get an
     * IPv4-literal host with a port; the rest get `http(s)://[www.]site{k}.{tld}`

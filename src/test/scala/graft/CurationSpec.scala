@@ -149,4 +149,46 @@ class CurationSpec extends SparkSpec {
       .as[(Int, Boolean)].collect().toMap
     assert(keep(1) && !keep(2))
   }
+
+  test("sampleByWeights keeps per-group fractions: 0 drops all, 1 keeps all") {
+    val df = Seq.tabulate(3000) { i =>
+      (i.toLong, Seq("keep", "drop", "half")(i % 3))
+    }.toDF("id", "src")
+    val out = Curation.sampleByWeights(df, col("src"),
+      Map("keep" -> 1.0, "drop" -> 0.0, "half" -> 0.5), col("id"))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(out("keep") == 1000)
+    assert(!out.contains("drop"))
+    assert(math.abs(out("half") - 500) < 120)
+    // unlisted groups fall back to the default weight
+    val defaulted = Curation.sampleByWeights(df, col("src"),
+      Map("drop" -> 0.0), col("id"), defaultWeight = 1.0)
+    assert(defaulted.count() == 2000)
+  }
+
+  test("packSequences: next-fit bins respect the budget, oversized docs get their own bin") {
+    val df = Seq(
+      (0L, 600L), (8L, 600L), (16L, 600L), (24L, 600L), // one group? no — hashed groups
+      (1L, 5000L), // heavier than budget -> own bin
+      (2L, 100L), (3L, 100L)
+    ).toDF("doc_id", "n_tok")
+    val out = Curation.packSequences(df, "doc_id", col("n_tok"), budget = 1000, numGroups = 1)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toList
+    // single group -> global next-fit in doc_id order:
+    // 0(600) -> bin0(600); 1(5000) -> bin1; 2(100) -> bin2(100); 3(100) -> bin2(200);
+    // 8(600) -> bin2(800); 16(600) -> bin3; 24(600) -> bin4
+    val bins = out.map { case (id, _, bin) => id -> bin }.toMap
+    assert(bins(0L) == 0 && bins(1L) == 1 && bins(2L) == 2 && bins(3L) == 2)
+    assert(bins(8L) == 2 && bins(16L) == 3 && bins(24L) == 4)
+    // bin totals never exceed the budget unless the bin is a single oversized doc
+    val totals = df.as[(Long, Long)].collect().toMap
+    out.groupBy { case (_, g, bin) => (g, bin) }.foreach { case (_, docs) =>
+      val tot = docs.map(d => totals(d._1)).sum
+      assert(tot <= 1000 || docs.size == 1)
+    }
+    // determinism across numGroups for group membership: every doc appears once
+    val multi = Curation.packSequences(df, "doc_id", col("n_tok"), budget = 1000, numGroups = 4)
+    assert(multi.count() == df.count())
+    assert(multi.select("doc_id").distinct().count() == df.count())
+  }
 }

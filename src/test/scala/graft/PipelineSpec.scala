@@ -309,4 +309,36 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(1L, 10L, 99L))
   }
+
+  test("duplicateSpans finds maximal corpus-duplicated substrings, word-aligned") {
+    // shared 5-word boilerplate "one two three four five" planted mid-doc;
+    // window=3 -> duplicated windows at the 3 fully-planted positions, merged
+    val docs = Seq(
+      (1L, "alpha beta one two three four five gamma delta epsilon"),
+      (2L, "zeta eta theta one two three four five iota"),
+      (3L, "totally unrelated words in this document here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", windowWords = 3)
+      .as[(Long, Int, Int)].collect().sortBy(s => (s._1, s._2)).toList
+    // doc 1: planted words at positions 3..7; doc 2: positions 4..8
+    assert(spans == List((1L, 3, 7), (2L, 4, 8)))
+    // within-doc repetition also counts toward corpus multiplicity
+    val selfDup = Seq((1L, "x y z pad pad x y z")).toDF("doc_id", "text")
+    val s2 = Dedup.duplicateSpans(selfDup, "doc_id", "text", windowWords = 3)
+      .as[(Long, Int, Int)].collect().toList
+    assert(s2 == List((1L, 1, 3), (1L, 6, 8)))
+  }
+
+  test("removeDuplicateSpans cuts duplicated spans, untouched docs round-trip") {
+    val docs = Seq(
+      (1L, "alpha beta one two three four five gamma delta epsilon"),
+      (2L, "zeta eta theta one two three four five iota"),
+      (3L, "totally unrelated words in this document here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", windowWords = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha beta gamma delta epsilon")
+    assert(out(2L) == "zeta eta theta iota")
+    assert(out(3L) == "totally unrelated words in this document here")
+  }
 }
