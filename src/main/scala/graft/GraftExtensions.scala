@@ -82,8 +82,41 @@ object GraftExtensions {
           org.apache.spark.sql.catalyst.expressions.Cast(
             args.head, org.apache.spark.sql.types.DoubleType),
           maxValues).toAggregateExpression()
+      }),
+    ("graft_shingle_hashes",
+      info("graft_shingle_hashes",
+        "graft_shingle_hashes(text, n) - distinct 64-bit hashes of the word " +
+          "n-gram shingles (fused tokenize+hash; the MinHash sketch input)"),
+      args => {
+        val a = arity("graft_shingle_hashes", 2, args)
+        graft.pipeline.HashedShingles(a(0), foldableInt("graft_shingle_hashes", a(1)))
+      }),
+    ("graft_shingle_positions",
+      info("graft_shingle_positions",
+        "graft_shingle_positions(text, n) - generator of (pos, gramhash) rows, " +
+          "one per n-word window in document order (exact-substring span dedup input); " +
+          "use in LATERAL VIEW"),
+      args => {
+        val a = arity("graft_shingle_positions", 2, args)
+        graft.pipeline.ShinglePositionsExplode(a(0), foldableInt("graft_shingle_positions", a(1)))
+      }),
+    ("graft_quality_score",
+      info("graft_quality_score",
+        """graft_quality_score(text, model_json) - sigmoid(bias + sum(weight(token))/n) """ +
+          """quality score; model_json is a literal like """ +
+          """'{"bias": -0.1, "weights": {"spark": 2.0}}'"""),
+      args => {
+        val a = arity("graft_quality_score", 2, args)
+        require(a(1).foldable, "graft_quality_score: model_json must be a literal")
+        graft.pipeline.DictScore(a(0),
+          graft.pipeline.QualityModelJson.parse(String.valueOf(a(1).eval())))
       })
   )
+
+  private def foldableInt(fn: String, e: Expression): Int = {
+    require(e.foldable, s"$fn: n must be a literal")
+    String.valueOf(e.eval()).toInt
+  }
 
   /** Register on a live session (same registry the extensions path fills). */
   def register(spark: SparkSession): Unit =

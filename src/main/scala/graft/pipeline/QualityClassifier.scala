@@ -137,6 +137,27 @@ object QualityClassifier {
     df.where(scoreColumn(text, model) >= threshold)
 }
 
+/** JSON (de)serialization for [[QualityModel]] — the SQL surface
+  * (`graft_quality_score(text, model_json)`) and checks-storage both need the
+  * model as a string. json4s ships with Spark.
+  */
+object QualityModelJson {
+  def parse(json: String): QualityModel = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    QualityModel(
+      (j \ "bias").extract[Double],
+      (j \ "weights").extract[Map[String, Double]])
+  }
+
+  def render(model: QualityModel): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("bias" -> model.bias) ~ ("weights" -> model.weights)))
+  }
+}
+
 /** Static kernel for [[DictScore]]: tokens summed LEFT-TO-RIGHT (the same
   * sequential order as DuckDB's list_sum, preserving 0-ulp oracle parity),
   * unknown tokens at 0. Empty/null-token docs score sigmoid(bias).

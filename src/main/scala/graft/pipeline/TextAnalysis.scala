@@ -204,6 +204,29 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("doc_freq"))
   }
 
+  /** One-row corpus summary — the first look at a new text corpus: document
+    * and token counts, exact token-length percentiles, empty-doc and exact-
+    * duplicate rates. ONE aggregation pass (token counting is row-local); the
+    * distinct-text count is the only term carrying text into the shuffle —
+    * swap `approx_count_distinct` in for it at the 100 TB scale where exact
+    * distinct is not worth a text-keyed shuffle.
+    */
+  def corpusStats(df: DataFrame, text: Column): DataFrame = {
+    PipelineGuards.requireBatch(df, "corpusStats")
+    val toks = filter(split(lower(coalesce(text, lit(""))), " "), t => t =!= "")
+    df.select(size(toks).as("__nt"),
+        (text.isNull || length(text) === 0).as("__empty"),
+        text.as("__text"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__nt").as("total_tokens"),
+        round(avg("__nt"), 4).as("avg_tokens"),
+        expr("percentile(__nt, 0.5)").as("p50_tokens"),
+        round(expr("percentile(__nt, 0.95)"), 4).as("p95_tokens"),
+        sum(when(col("__empty"), 1L).otherwise(0L)).as("n_empty"),
+        count_distinct(col("__text")).as("n_distinct_texts"))
+  }
+
   /** 64-bit content fingerprint over normalized text (lowercase, collapsed
     * whitespace, punctuation stripped) — the exact-dedup key.
     */

@@ -776,7 +776,26 @@ object PipelineQueries {
              |      FROM sc)
              |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(score AS DOUBLE) AS score
              |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
-  ) :+ qualityScoreQuery
+  ) :+ qualityScoreQuery :+ corpusStatsQuery
+
+  /** One-row corpus summary; exact percentiles (Spark `percentile` and DuckDB
+    * `quantile_cont` both interpolate, type-7).
+    */
+  private def corpusStatsQuery: (String, QueryDef) =
+    "pipe_corpus_stats" -> QueryDef(
+      (s, dir) => TextAnalysis.corpusStats(t(s, dir, "documents"), col("text")),
+      Some("""WITH d AS (SELECT text,
+             |  len(list_filter(string_split(lower(coalesce(text,'')),' '), t -> t <> '')) AS nt,
+             |  (text IS NULL OR len(text) = 0) AS empty
+             |FROM documents)
+             |SELECT count(*) AS n_docs,
+             |  CAST(sum(nt) AS BIGINT) AS total_tokens, -- DuckDB sums to HUGEINT
+             |  round(avg(nt), 4) AS avg_tokens,
+             |  quantile_cont(nt, 0.5) AS p50_tokens,
+             |  round(quantile_cont(nt, 0.95), 4) AS p95_tokens,
+             |  CAST(sum(CASE WHEN empty THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+             |  count(DISTINCT text) AS n_distinct_texts
+             |FROM d""".stripMargin))
 
   /** Gate entry appended via concatenation below (kept out of the main map
     * literal to hold the diff local): fastText-style dictionary scoring with a

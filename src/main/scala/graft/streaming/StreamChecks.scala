@@ -114,6 +114,98 @@ object StreamChecks {
       }
   }
 
+  final case class BandedDoc(bucketKey: String, docId: Long, signature: Array[Long])
+  final case class BucketState(docIds: Array[Long], signatures: Array[Array[Long]])
+  final case class NearDupEvent(docId: Long, matchedDocId: Long, estJaccard: Double)
+
+  /** Cross-batch NEAR-duplicate detection — the streaming form of
+    * `Dedup.minHashDuplicatePairs` (which is corpus-global and batch-gated):
+    * a document is flagged when it lands in an LSH band bucket already
+    * holding a document whose MinHash signature agrees on at least
+    * `threshold` of its components (the standard unbiased Jaccard estimator).
+    *
+    * State shape: per bucket, up to `maxDocsPerBucket` (docId, signature)
+    * pairs — buckets past the cap stop absorbing new members (skew guard, the
+    * streaming analog of the batch path's maxBucketSize; a degenerate bucket
+    * would otherwise grow state without bound). A pair sharing several
+    * buckets is emitted once per shared bucket — route the output through
+    * [[firstSeenRows]] keyed on the pair to dedupe, or dedupe downstream.
+    * Pass `stateTtlMs` to expire buckets after a silence window so state
+    * tracks the active working set.
+    *
+    * Verification is estimator-based (signature agreement), not exact-shingle
+    * Jaccard as in the batch path: the stream never materializes shingle
+    * sets into state, so state is O(buckets x cap x numHashes) longs.
+    */
+  def nearDupEvents(banded: Dataset[BandedDoc], numHashes: Int,
+                    threshold: Double = 0.8, maxDocsPerBucket: Int = 8,
+                    stateTtlMs: Option[Long] = None): Dataset[NearDupEvent] = {
+    import banded.sparkSession.implicits._
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    require(maxDocsPerBucket >= 1, "maxDocsPerBucket must be >= 1")
+    val timeout = if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    banded
+      .groupByKey(_.bucketKey)
+      .flatMapGroupsWithState[BucketState, NearDupEvent](OutputMode.Append(), timeout) {
+        (_: String, it: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(
+              BucketState(Array.emptyLongArray, Array.empty))
+            val events = scala.collection.mutable.ArrayBuffer.empty[NearDupEvent]
+            it.foreach { d =>
+              var i = 0
+              while (i < s.docIds.length) {
+                if (s.docIds(i) != d.docId) {
+                  var eq = 0
+                  var j = 0
+                  while (j < numHashes) {
+                    if (s.signatures(i)(j) == d.signature(j)) eq += 1
+                    j += 1
+                  }
+                  val est = eq.toDouble / numHashes
+                  if (est >= threshold)
+                    events += NearDupEvent(d.docId, s.docIds(i), est)
+                }
+                i += 1
+              }
+              if (s.docIds.length < maxDocsPerBucket)
+                s = BucketState(s.docIds :+ d.docId, s.signatures :+ d.signature)
+            }
+            state.update(s)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            events.iterator
+          }
+      }
+  }
+
+  /** Row-local banding stage for [[nearDupEvents]]: per document, the MinHash
+    * signature (computed once, codegen'd kernels) plus one [[BandedDoc]] row
+    * per LSH band. Streaming-safe — no shuffle, no corpus-global state; the
+    * stateful join happens inside [[nearDupEvents]]'s state store.
+    */
+  def bandDocuments(stream: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int = 3, numHashes: Int = 64,
+                    bands: Int = 16): Dataset[BandedDoc] = {
+    import stream.sparkSession.implicits._
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    import org.apache.spark.sql.GraftColumnBridge
+    val hsh = GraftColumnBridge.column(graft.pipeline.HashedShingles(
+      GraftColumnBridge.expression(col(textCol)), shingleSize))
+    val bandArr = GraftColumnBridge.column(graft.pipeline.MinHashBands(
+      GraftColumnBridge.expression(hsh), numHashes, bands))
+    stream
+      .select(col(idCol).cast("long").as("docId"),
+        graft.pipeline.Dedup.minHashSignature(hsh, numHashes).as("signature"),
+        posexplode(bandArr).as(Seq("band", "bandhash")))
+      .select(concat_ws(":", col("band"), col("bandhash")).as("bucketKey"),
+        col("docId"), col("signature"))
+      .as[BandedDoc]
+  }
+
   /** Emits a [[GapEvent]] when a key goes silent for more than `maxGapMs`
     * (processing-time timeout, cross-batch state in the state store).
     */

@@ -38,6 +38,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(bad.toSeq == Seq(2))
   }
 
+  test("pipeline sketch/quality functions evaluate from plain SQL") {
+    Seq((1L, "the quick brown fox the quick brown cat"))
+      .toDF("id", "text").createOrReplaceTempView("sqv")
+    // 8 tokens -> 6 trigram windows, 5 DISTINCT grams ("the quick brown" repeats)
+    val row = spark.sql(
+      """SELECT size(graft_shingle_hashes(text, 3)) AS n_sh,
+        |  graft_quality_score(text, '{"bias": 0.0, "weights": {"quick": 4.0}}') AS q
+        |FROM sqv""".stripMargin).head()
+    assert(row.getInt(0) == 5)
+    // two 'quick' in 8 tokens: sigmoid(0 + (4+4)/8) = sigmoid(1)
+    assert(math.abs(row.getDouble(1) - 1.0 / (1.0 + math.exp(-1.0))) < 1e-12)
+    val pos = spark.sql(
+      """SELECT p.pos FROM sqv
+        |LATERAL VIEW graft_shingle_positions(text, 3) p AS pos, gramhash
+        |""".stripMargin).collect().map(_.getInt(0)).toSeq
+    assert(pos == (1 to 6))
+    // model JSON round-trip
+    val m = graft.pipeline.QualityModel(-0.5, Map("a" -> 1.0, "b" -> -2.0))
+    assert(graft.pipeline.QualityModelJson.parse(
+      graft.pipeline.QualityModelJson.render(m)) == m)
+  }
+
   test("extensions class injects the same registry entries") {
     // the SparkSessionExtensions path shares the builder list; spot-check shape
     assert(GraftExtensions.functions.map(_._1).distinct.size == GraftExtensions.functions.size)

@@ -130,4 +130,38 @@ class SketchCodegenSpec extends SparkSpec {
     val off = try pairs() finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
     assert(on == off)
   }
+
+  test("ShinglePositionsExplode runs inside WholeStageCodegen, positions 1-based in order") {
+    val df = docs.select(col("doc_id"),
+      GraftColumnBridge.column(ShinglePositionsExplode(
+        GraftColumnBridge.expression(col("text")), 3)).as(Seq("pos", "gramhash")))
+    assert(codegenned(df).contains("Generate"), df.queryExecution.executedPlan.toString)
+    // 9-token docs emit 7 windows at positions 1..7; the empty doc emits none
+    val perDoc = df.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc(1L) == 7 && perDoc(2L) == 7 && !perDoc.contains(4L))
+    val pos1 = df.where(col("doc_id") === 1L).select("pos")
+      .collect().map(_.getInt(0)).toSeq
+    assert(pos1 == (1 to 7))
+    // gram identity matches HashedShingles' byte-span hashing: docs 1 and 2
+    // share their first 6 windows ("the quick brown ... the lazy") exactly
+    val byDoc = df.collect().groupBy(_.getLong(0))
+    val h1 = byDoc(1L).map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val h2 = byDoc(2L).map(r => r.getInt(1) -> r.getLong(2)).toMap
+    (1 to 6).foreach(p => assert(h1(p) == h2(p)))
+    assert(h1(7) != h2(7)) // dog vs cat
+  }
+
+  test("DictScore projection stays inside WholeStageCodegen, codegen == interpreted") {
+    val model = graft.pipeline.QualityModel(0.2, Map("quick" -> 1.0, "lazy" -> -0.5))
+    def scored() = docs.select(col("doc_id"),
+      QualityClassifier.scoreColumn(col("text"), model).as("q"))
+    assert(codegenned(scored()).contains("Project"),
+      scored().queryExecution.executedPlan.toString)
+    val on = scored().orderBy("doc_id").collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try scored().orderBy("doc_id").collect().map(_.toSeq).toSeq
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on == off)
+  }
 }

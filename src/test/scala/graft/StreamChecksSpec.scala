@@ -117,4 +117,29 @@ class StreamChecksSpec extends SparkSpec {
       graft.checks.PiiChecks.redactPii(col("text")))
     assert(rowLocal.isStreaming)
   }
+
+  test("cross-batch near-dup detection: LSH bucket state flags pairs across batches") {
+    import StreamChecks.NearDupEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val banded = StreamChecks.bandDocuments(stream, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 32)
+    val q = StreamChecks.nearDupEvents(banded, numHashes = 64, threshold = 0.5)
+      .writeStream.format("memory").queryName("ndup_out").outputMode("append").start()
+    val base = "spark catalyst plan optimizer shuffle partition broadcast join window aggregate"
+    // batch 1: the original + an unrelated doc
+    in.addData((1L, base), (3L, "completely different words nothing shared here at all ok then"))
+    q.processAllAvailable()
+    // batch 2: a near-duplicate of doc 1 (one word appended)
+    in.addData((2L, base + " extra"))
+    q.processAllAvailable()
+    val events = spark.table("ndup_out").as[NearDupEvent].collect()
+    q.stop()
+    // doc 2 must match doc 1 (cross-batch), never doc 3; per-bucket emission
+    // means the pair may repeat — distinct pairs is the contract
+    val pairs = events.map(e => (e.docId, e.matchedDocId)).distinct.toSeq
+    assert(pairs == Seq((2L, 1L)), events.mkString(", "))
+    assert(events.forall(_.estJaccard >= 0.5))
+  }
 }
