@@ -94,10 +94,12 @@ object Curation {
     require(numGroups > 0, "numGroups must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(
+    // null ids have no deterministic group or order — excluded by contract
+    // (they would decode as primitive zeros and alias doc 0)
+    val base = df.where(col(idCol).isNotNull).select(
       pmod(portableHash(col(idCol)), lit(numGroups.toLong)).cast("int").as("g"),
       col(idCol).cast("long").as("id"),
-      weight.cast("long").as("w"))
+      coalesce(weight.cast("long"), lit(0L)).as("w"))
     val packed = base.as[(Int, Long, Long)]
       .repartition(col("g"))
       .sortWithinPartitions(col("g"), col("id"))

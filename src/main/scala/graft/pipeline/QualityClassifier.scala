@@ -64,7 +64,10 @@ object QualityClassifier {
     val index: Map[String, Int] = vocab.zipWithIndex.toMap
     val spark = df.sparkSession
     import spark.implicits._
+    // null labels cannot train (and would NPE the primitive decode);
+    // null text is a legitimate 0-token doc handled by the feature loop
     val data = df.select(text.cast("string"), label.cast("double"))
+      .where(label.isNotNull)
       .as[(String, Double)].rdd.cache()
     try {
       val n = data.count().toDouble
@@ -186,6 +189,14 @@ object QualityOps {
 case class DictScore(child: Expression, model: QualityModel)
     extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  // checked input type: the SQL surface (graft_quality_score) makes a
+  // non-string argument a one-keystroke mistake; fail at analysis, not with
+  // a runtime ClassCastException mid-job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_quality_score requires a STRING text argument, got ${child.dataType.sql}")
 
   override def nullSafeEval(v: Any): Any =
     QualityOps.dictScore(model, v.asInstanceOf[UTF8String])

@@ -202,4 +202,31 @@ class EdgeCaseSpec extends SparkSpec {
       refDfs = Map("tags" -> ref)), "sql_query", Seq("tags"))
     assert(errs(df, rule) == Seq(3))
   }
+
+  test("round-6 pipeline ops degrade gracefully on empty and degenerate inputs") {
+    import graft.pipeline._
+    import org.apache.spark.sql.functions.{col, length}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.removeDuplicateSpans(empty, "doc_id", "text").count() == 0)
+    assert(Curation.packSequences(empty, "doc_id", length(col("text")), 100).count() == 0)
+    assert(Curation.sampleByWeights(empty, col("text"), Map("x" -> 0.5), col("doc_id")).count() == 0)
+    // single doc: nothing can be corpus-duplicated
+    val one = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(one, "doc_id", "text", windowWords = 3).count() == 0)
+    // bm25: queries whose terms match nothing return zero rows, not an error
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val q = Seq(("q1", "zeta")).toDF("qid", "qtext")
+    assert(Search.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext").count() == 0)
+    // null ids are excluded from packing by contract (they have no
+    // deterministic group or order)
+    val withNull = Seq((Some(1L), "aa"), (None, "bb")).toDF("doc_id", "text")
+    val packed = Curation.packSequences(withNull, "doc_id", length(col("text")), 100)
+    assert(packed.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // quality training ignores null labels instead of NPE-ing the decode
+    val part = Seq((Some(1.0), "good good"), (None, "ignored")).toDF("label", "text")
+    val m = QualityClassifier.train(part, col("text"), col("label"),
+      vocabSize = 4, epochs = 1)
+    assert(m.weights.keySet.subsetOf(Set("good", "ignored")))
+  }
 }
