@@ -39,6 +39,7 @@ object Search {
                queries: DataFrame, queryIdCol: String, queryTextCol: String,
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     PipelineGuards.requireBatch(docs, "bm25TopK")
+    PipelineGuards.requireBatch(queries, "bm25TopK (query frame)")
     require(k > 0, "k must be positive")
     // corpus stats: 1-row frame, broadcast via crossJoin
     val stats = docs.select(col(idCol), size(toks(col(textCol))).as("__dl"))
