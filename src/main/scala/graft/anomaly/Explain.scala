@@ -41,7 +41,15 @@ object Explain {
                          topN: Int = 3): DataFrame = {
     require(checked.columns.contains("_dq_info"),
       "addTopContributors needs a frame produced by applyChecks with an anomaly check (_dq_info missing)")
-    val anomaly = element_at(col("_dq_info"), 1).getField("anomaly")
+    // find the element whose anomaly struct is populated instead of assuming
+    // it sits first: other info-producing checks (or a pre-existing _dq_info
+    // the engine concat-prepends) may occupy earlier slots, and element_at(1)
+    // would then read a NULL anomaly field and blank every explanation
+    // try_element_at: the filtered array is empty when no anomaly check ran
+    // (ANSI element_at would throw); null then falls through to ''
+    val anomaly = try_element_at(
+      filter(col("_dq_info"), e => e.getField("anomaly").isNotNull), lit(1))
+      .getField("anomaly")
     checked.withColumn("_top_contributors",
       when(anomaly.getField("severity_percentile") >= threshold,
         coalesce(topContributors(anomaly.getField("contributions"), topN), lit("")))

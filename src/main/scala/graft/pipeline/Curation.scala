@@ -92,6 +92,15 @@ object Curation {
     PipelineGuards.requireBatch(df, "packSequences")
     require(budget > 0, "budget must be positive")
     require(numGroups > 0, "numGroups must be positive")
+    // fail fast on non-numeric ids: the long cast would otherwise throw
+    // NumberFormatException mid-job under ANSI (or alias ids to 0 without it)
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      case other => throw new IllegalArgumentException(
+        s"packSequences: idCol '$idCol' must be an integral type (got ${other.sql}); " +
+          "derive a surrogate id (e.g. xxhash64 of the natural key) first")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     // null ids have no deterministic group or order — excluded by contract

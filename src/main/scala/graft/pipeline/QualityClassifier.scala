@@ -42,8 +42,7 @@ object QualityClassifier {
   def buildVocab(df: DataFrame, text: Column, vocabSize: Int): Seq[String] = {
     PipelineGuards.requireBatch(df, "buildVocab")
     require(vocabSize > 0, "vocabSize must be positive")
-    df.select(explode(array_distinct(
-        filter(split(lower(coalesce(text, lit(""))), " "), t => t =!= ""))).as("__t"))
+    df.select(explode(array_distinct(TextAnalysis.wsTokens(text))).as("__t"))
       .groupBy("__t").agg(count(lit(1)).as("__df"))
       .orderBy(col("__df").desc, col("__t"))
       .limit(vocabSize)

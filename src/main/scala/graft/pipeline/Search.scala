@@ -21,9 +21,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Search {
 
-  /** Whitespace word tokens, lowercased; empty tokens dropped. */
-  private def toks(text: Column): Column =
-    filter(split(lower(coalesce(text, lit(""))), " "), t => t =!= "")
+  /** Whitespace word tokens, lowercased; empty tokens dropped (shared
+    * definition — see [[TextAnalysis.wsTokens]]).
+    */
+  private def toks(text: Column): Column = TextAnalysis.wsTokens(text)
 
   /** BM25 top-k documents per query (Robertson/Sparck Jones; the Lucene
     * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf variant, so scores are always
@@ -54,10 +55,12 @@ object Search {
     // Past the threshold the per-token literal scan stops paying — fall back
     // to explode + map-side broadcast semi join. Either way the tf
     // aggregation — the only corpus-wide shuffle — carries matched rows only.
-    val termList = qterms.select("__term").distinct()
-      .collect().map(_.getString(0)).sorted
-    val qtok = if (termList.length <= 256) {
-      val termArr = lit(termList)
+    val distinctTerms = qterms.select("__term").distinct()
+    // limited probe: decides the branch without pulling a large term set to
+    // the driver (collect-everything-then-measure would defeat the fallback)
+    val probe = distinctTerms.limit(257).collect().map(_.getString(0))
+    val qtok = if (probe.length <= 256) {
+      val termArr = lit(probe.sorted)
       docs.select(col(idCol).as("__doc"),
         size(toks(col(textCol))).as("__dl"),
         explode(filter(toks(col(textCol)),
@@ -66,7 +69,7 @@ object Search {
       docs.select(col(idCol).as("__doc"),
         size(toks(col(textCol))).as("__dl"),
         explode(toks(col(textCol))).as("__term"))
-        .join(broadcast(qterms.select("__term").distinct()), Seq("__term"), "left_semi")
+        .join(broadcast(distinctTerms), Seq("__term"), "left_semi")
     }
     // __dl is functionally dependent on __doc so keying on it adds no grain
     val tf = qtok.groupBy("__doc", "__dl", "__term")

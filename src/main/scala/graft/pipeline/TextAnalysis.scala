@@ -204,6 +204,15 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("doc_freq"))
   }
 
+  /** Lowercased whitespace word tokens, empty tokens dropped — the SINGLE
+    * Column-side tokenizer shared by Search.bm25TopK, QualityClassifier's
+    * vocabulary, and corpusStats (and mirrored byte-for-byte by the JVM-side
+    * QualityClassifier.tokenize), so scoring/vocab/oracle parity cannot
+    * drift between call sites.
+    */
+  def wsTokens(text: Column): Column =
+    filter(split(lower(coalesce(text, lit(""))), " "), t => t =!= "")
+
   /** One-row corpus summary — the first look at a new text corpus: document
     * and token counts, exact token-length percentiles, empty-doc and exact-
     * duplicate rates. ONE aggregation pass (token counting is row-local); the
@@ -213,7 +222,7 @@ object TextAnalysis {
     */
   def corpusStats(df: DataFrame, text: Column): DataFrame = {
     PipelineGuards.requireBatch(df, "corpusStats")
-    val toks = filter(split(lower(coalesce(text, lit(""))), " "), t => t =!= "")
+    val toks = wsTokens(text)
     df.select(size(toks).as("__nt"),
         (text.isNull || length(text) === 0).as("__empty"),
         text.as("__text"))

@@ -135,9 +135,9 @@ object StreamChecks {
     *
     * Verification is estimator-based (signature agreement), not exact-shingle
     * Jaccard as in the batch path: the stream never materializes shingle
-    * sets into state, so state is O(buckets x cap x numHashes) longs.
+    * sets into state, so state is O(buckets x cap x signature-width) longs.
     */
-  def nearDupEvents(banded: Dataset[BandedDoc], numHashes: Int,
+  def nearDupEvents(banded: Dataset[BandedDoc],
                     threshold: Double = 0.8, maxDocsPerBucket: Int = 8,
                     stateTtlMs: Option[Long] = None): Dataset[NearDupEvent] = {
     import banded.sparkSession.implicits._
@@ -157,22 +157,27 @@ object StreamChecks {
               BucketState(Array.emptyLongArray, Array.empty))
             val events = scala.collection.mutable.ArrayBuffer.empty[NearDupEvent]
             it.foreach { d =>
+              // signature width comes from the rows themselves (no redundant
+              // numHashes parameter to mis-wire against bandDocuments)
+              val width = d.signature.length
               var i = 0
               while (i < s.docIds.length) {
-                if (s.docIds(i) != d.docId) {
+                if (s.docIds(i) != d.docId && s.signatures(i).length == width) {
                   var eq = 0
                   var j = 0
-                  while (j < numHashes) {
+                  while (j < width) {
                     if (s.signatures(i)(j) == d.signature(j)) eq += 1
                     j += 1
                   }
-                  val est = eq.toDouble / numHashes
+                  val est = eq.toDouble / width
                   if (est >= threshold)
                     events += NearDupEvent(d.docId, s.docIds(i), est)
                 }
                 i += 1
               }
-              if (s.docIds.length < maxDocsPerBucket)
+              // store each doc once: an at-least-once source replaying a doc
+              // must not fill the bucket cap with copies of it
+              if (s.docIds.length < maxDocsPerBucket && !s.docIds.contains(d.docId))
                 s = BucketState(s.docIds :+ d.docId, s.signatures :+ d.signature)
             }
             state.update(s)

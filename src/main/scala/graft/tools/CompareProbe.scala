@@ -24,11 +24,6 @@ object CompareProbe {
     spark.sparkContext.setLogLevel("WARN")
     val par = spark.sparkContext.defaultParallelism
 
-    def time(name: String)(f: => Long): Unit = {
-      f // warmup? no: each run expensive; single timed run after a GC
-      ()
-    }
-
     val df = BenchRef.generatedDf(spark, rows)
     val ref = BenchRef.refDf(spark, rows)
     println(s"df stats bytes=${df.queryExecution.optimizedPlan.stats.sizeInBytes}")

@@ -125,7 +125,7 @@ class StreamChecksSpec extends SparkSpec {
     val stream = in.toDF().toDF("doc_id", "text")
     val banded = StreamChecks.bandDocuments(stream, "doc_id", "text",
       shingleSize = 3, numHashes = 64, bands = 32)
-    val q = StreamChecks.nearDupEvents(banded, numHashes = 64, threshold = 0.5)
+    val q = StreamChecks.nearDupEvents(banded, threshold = 0.5)
       .writeStream.format("memory").queryName("ndup_out").outputMode("append").start()
     val base = "spark catalyst plan optimizer shuffle partition broadcast join window aggregate"
     // batch 1: the original + an unrelated doc
