@@ -83,7 +83,12 @@ object PipeBench {
         QualityClassifier.score(docs, col("text"),
           QualityModel(0.0, Map("w1" -> 1.0, "w2" -> -1.0)))
           .agg(sum("quality_score")).collect()),
-      "corpus_stats" -> time(TextAnalysis.corpusStats(docs, col("text")).collect()))
+      "corpus_stats" -> time(TextAnalysis.corpusStats(docs, col("text")).collect()),
+      "bpe_train_256" -> time(Bpe.train(docs, col("text"), numMerges = 256)),
+      "bpe_count" -> {
+        val m = Bpe.train(docs, col("text"), numMerges = 256)
+        time(docs.agg(sum(Bpe.countColumn(col("text"), m))).collect())
+      })
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     println(f"""{"metric":"pipe_total","value":${results.map(_._2).sum}%.2f,"unit":"sec","n_docs":$n,"ops":$qs}""")

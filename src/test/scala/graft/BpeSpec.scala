@@ -1,0 +1,58 @@
+package graft
+
+import graft.pipeline.{Bpe, BpeModel}
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq.fill(20)("banana band bandana ban").zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+
+  test("train learns frequent pairs from the word dictionary, deterministically") {
+    val m = Bpe.train(corpus, col("text"), numMerges = 8)
+    assert(m.merges.nonEmpty && m.merges.size <= 8)
+    // 'an' dominates the pair counts (banana has two, band/bandana/ban one+)
+    assert(m.merges.head == ("a", "n"), m.merges.toString)
+    val again = Bpe.train(corpus, col("text"), numMerges = 8)
+    assert(again == m)
+  }
+
+  test("encode merges per word, round-trips characters, count matches") {
+    val m = Bpe.train(corpus, col("text"), numMerges = 8)
+    val out = corpus.limit(1).select(
+      Bpe.encodeColumn(col("text"), m).as("toks"),
+      Bpe.countColumn(col("text"), m).as("n")).head()
+    val toks = out.getSeq[String](0)
+    assert(out.getInt(1) == toks.length)
+    // concatenating tokens reproduces the words with spaces dropped
+    assert(toks.mkString("") == "banana band bandana ban".replace(" ", ""))
+    // merges compress: fewer tokens than characters
+    assert(toks.length < "bananabandbandanaban".length)
+    // an empty merge table degenerates to character tokens
+    val chars = corpus.limit(1).select(
+      Bpe.countColumn(col("text"), BpeModel(Vector.empty)).as("n")).head().getInt(0)
+    assert(chars == "bananabandbandanaban".length)
+    assert(out.getInt(1) < chars)
+  }
+
+  test("codegen and interpreted paths agree") {
+    val m = Bpe.train(corpus, col("text"), numMerges = 4)
+    def run() = corpus.select(col("id"), Bpe.encodeColumn(col("text"), m))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val on = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try run() finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on == off)
+  }
+
+  test("null and empty text degrade gracefully") {
+    val m = BpeModel(Vector(("a", "b")))
+    val df = Seq((1L, "ab ab"), (2L, ""), (3L, null)).toDF("id", "text")
+    val out = df.select(col("id"), Bpe.countColumn(col("text"), m).as("n"))
+      .as[(Long, Option[Int])].collect().toMap
+    assert(out(1L).contains(2)) // two words, each one merged 'ab' token
+    assert(out(2L).contains(0))
+    assert(out(3L).isEmpty)
+  }
+}
