@@ -776,7 +776,26 @@ object PipelineQueries {
              |      FROM sc)
              |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(score AS DOUBLE) AS score
              |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
-  ) :+ qualityScoreQuery :+ corpusStatsQuery
+  ) :+ qualityScoreQuery :+ corpusStatsQuery :+ bpeCountQuery
+
+  /** BPE apply with a FIXED single-merge model: lowest-rank-first with one
+    * pair degenerates to leftmost-first non-overlapping fusing, which is
+    * exactly SQL `replace()` semantics — token count per word =
+    * len(replace(word, 'ab', 'Z')). Gates the real merge-apply loop, not an
+    * estimate.
+    */
+  private def bpeCountQuery: (String, QueryDef) =
+    "pipe_bpe_count" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          Bpe.countColumn(col("text"), BpeModel(Vector(("a", "b")))).as("n_bpe"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id,
+             |  list_filter(string_split(lower(coalesce(text,'')),' '), t -> t <> '') AS w
+             |FROM documents)
+             |SELECT doc_id,
+             |  CAST(coalesce(list_sum(list_transform(w, t -> len(replace(t, 'ab', 'Z')))), 0) AS INT) AS n_bpe
+             |FROM d ORDER BY doc_id""".stripMargin))
 
   /** One-row corpus summary; exact percentiles (Spark `percentile` and DuckDB
     * `quantile_cont` both interpolate, type-7).
