@@ -15,6 +15,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr straight through instead of routing
+// them via sbt's logger: the default LoggedOutput prefixes every stdout line
+// with "[info] " (and stderr with "[error] "), which is exactly why the
+// driver's per-line JSON parse of the Bench output failed every round
+// (BENCH_r*.json "parsed": null — the tail shows `[info] {"metric":...}`).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -64,6 +64,22 @@ object Bench {
     DQEngine.applyChecks(li, rules)
   }
 
+  /** Protocol self-guard (VERDICT r6 "Next #1"): the sf0.1 / 10M-row bench is
+    * only comparable under the default 8g heap — a ~90g heap measurably makes
+    * shuffle-heavy suites 3-6x slower (GC never fires, so the ContextCleaner
+    * never frees the 120-query phase's shuffle files and the grown RSS evicts
+    * the page cache; see .claude/skills/verify/SKILL.md). The 96g heap is for
+    * the 100M fixture only. When the small-scale bench starts on an oversized
+    * heap, stamp the violation into the stdout JSON and both artifacts so a
+    * contaminated run is machine-detectable rather than a forensic exercise.
+    */
+  private[graft] def protocolViolation(refRows: Long, heapMaxBytes: Long): Option[String] = {
+    val heapMb = heapMaxBytes / (1024L * 1024L)
+    if (refRows <= 10000000L && heapMb > 16384L)
+      Some(s"heap:${heapMb}mb exceeds the 16g sf0.1/10M protocol ceiling (use the default 8g; 96g is for SPARK_GRAFT_BENCH_ROWS=100000000 only)")
+    else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -76,6 +92,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val refRows = sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.toLong).getOrElse(BenchRef.DefaultRows)
+    protocolViolation(refRows, Runtime.getRuntime.maxMemory()).foreach(v =>
+      System.err.println(s"BENCH PROTOCOL VIOLATION (run will be stamped): $v"))
 
     // JVM/IO warmup: materialize each table once
     Seq("lineitem", "orders", "customer", "supplier", "part", "events", "documents", "embeddings")
@@ -141,7 +161,6 @@ object Bench {
 
     // reference-shaped synthetic suites at BASELINE.md row scale
     // (SPARK_GRAFT_BENCH_ROWS=100000000 for full parity; 0 disables)
-    val refRows = sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.toLong).getOrElse(BenchRef.DefaultRows)
     val rounds = BenchRef.defaultRounds
     val refStats = if (refRows > 0) BenchRef.runStats(spark, refRows, rounds) else Seq.empty
     val refTimes = refStats.map(s => s.name -> s.secs)
@@ -154,10 +173,16 @@ object Bench {
     val headline = suiteTimes ++ refTimes
     val qs = headline.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+    val violation = protocolViolation(refRows, Runtime.getRuntime.maxMemory())
+      .map(v => s""","protocol_violation":"$v"""").getOrElse("")
+    val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"$violation}"""
     BenchRef.writeArtifacts(
-      BenchRef.artifactJson("graft.Bench", all, refStats, sfDir, refRows, rounds))
+      BenchRef.artifactJson("graft.Bench", all, refStats, sfDir, refRows, rounds, violation))
+    // quiet the logger, then emit the contract line LAST so nothing Spark
+    // prints can land between it and process exit in the driver's capture
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

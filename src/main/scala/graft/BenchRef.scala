@@ -322,13 +322,14 @@ object BenchRef {
     * from the artifact alone.
     */
   def artifactJson(main: String, queries: Seq[(String, Double)], stats: Seq[SuiteStat],
-                   sf: String, rows: Long, rounds: Int): String = {
+                   sf: String, rows: Long, rounds: Int,
+                   violationField: String = ""): String = {
     val qs = queries.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = queries.map(_._2).filter(_ >= 0).sum
     val rt = Runtime.getRuntime
     val stamp = s"""{"main":"$main","ts":"${java.time.Instant.now()}","rows":$rows,""" +
       s""""sf":"$sf","cpus":${rt.availableProcessors()},""" +
-      s""""heapMaxMb":${rt.maxMemory() / (1024 * 1024)},"rounds":$rounds}"""
+      s""""heapMaxMb":${rt.maxMemory() / (1024 * 1024)},"rounds":$rounds$violationField}"""
     val suites = stats.map { s =>
       val rs = s.roundsSec.map(v => f"$v%.4f").mkString("[", ",", "]")
       s"""{"name":"${s.name}","secs":${f"${s.secs}%.4f"},"roundsSec":$rs,""" +

@@ -17,6 +17,18 @@ package graft.checks
   *    person).
   * A span at or above `threshold` yields PERSON. Street addresses (number +
   * capitalized words + street suffix) yield ADDRESS via a shape pattern.
+  * ORG = a multi-token capitalized span ending in a legal/organizational
+  * suffix ("Acme Corp", "Stanford University"). LOC = a capitalized span
+  * whose full phrase sits in the public place gazetteer (countries, major
+  * cities, US states).
+  *
+  * UNCASED text (no uppercase letter anywhere — chat logs, scraped corpora)
+  * gets a fallback pass with no capitalization signal and strictly stronger
+  * evidence requirements: PERSON needs an adjacent given+surname pair from
+  * different lists or an honorific directly before a gazetteer name; ORG
+  * needs the suffix shape AND an attachment cue ("at", "for", "joined", ...)
+  * within two tokens before the span; LOC needs a locative preposition
+  * directly before the gazetteer phrase ("in paris", not bare "turkey").
   *
   * Thread-safe and stateless: one instance serves every row of every
   * partition, riding whole-stage codegen as a reference object (see
@@ -32,24 +44,43 @@ final class GazetteerNerEngine(threshold: Double = 0.6) extends NerEngine {
   override def detect(text: String): Seq[String] = {
     if (text == null || text.isEmpty) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (containsPerson(text)) out += "PERSON"
+    if (hasUpper(text)) {
+      val toks = TokenRx.findAllMatchIn(text).toVector
+      if (containsPerson(text, toks)) out += "PERSON"
+      if (containsOrg(text, toks)) out += "ORG"
+      if (containsLoc(text, toks)) out += "LOC"
+    } else {
+      val words = text.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z'\\-]+").filter(_.nonEmpty).toVector
+      if (uncasedPerson(words)) out += "PERSON"
+      if (uncasedOrg(words)) out += "ORG"
+      if (uncasedLoc(words)) out += "LOC"
+    }
     if (AddressRx.findFirstIn(text).isDefined) out += "ADDRESS"
     out.toSeq
   }
 
-  private def containsPerson(text: String): Boolean = {
-    val toks = TokenRx.findAllMatchIn(text).toVector
+  private def hasUpper(text: String): Boolean = {
+    var i = 0
+    while (i < text.length) { if (text.charAt(i).isUpper) return true; i += 1 }
+    false
+  }
+
+  // -------------------------------------------------------------- cased pass
+
+  private def isCap(s: String): Boolean =
+    s.length >= 2 && s.head.isUpper &&
+      s.drop(1).forall(c => c.isLower || c == '\'' || c == '-')
+
+  /** Maximal space-joined capitalized spans (skipping honorific/cue tokens),
+    * handed to `score`; any span scoring true short-circuits.
+    */
+  private def anyCapSpan(text: String, toks: Vector[scala.util.matching.Regex.Match])
+                        (score: (Int, Int, IndexedSeq[String]) => Boolean): Boolean = {
     def word(k: Int): String = toks(k).matched
-    def isCap(s: String): Boolean =
-      s.length >= 2 && s.head.isUpper &&
-        s.drop(1).forall(c => c.isLower || c == '\'' || c == '-')
     def spaceJoined(a: Int, b: Int): Boolean = {
       val between = text.substring(toks(a).end, toks(b).start)
       between.nonEmpty && between.forall(_ == ' ')
-    }
-    def sentenceStart(k: Int): Boolean = {
-      val before = text.substring(0, toks(k).start).reverse.dropWhile(c => c == ' ' || c == '"')
-      before.isEmpty || ".!?\n".contains(before.head)
     }
     // honorifics and cue words never join a span — "Dear Alice" scores the
     // span ["Alice"] with "dear" in its context window, not ["Dear","Alice"]
@@ -62,26 +93,87 @@ final class GazetteerNerEngine(threshold: Double = 0.6) extends NerEngine {
       if (spanToken(i)) {
         var j = i
         while (j + 1 < toks.length && spanToken(j + 1) && spaceJoined(j, j + 1)) j += 1
-        val span = (i to j).map(k => word(k).toLowerCase)
-        var score = 0.0
-        // given and surname evidence must come from DIFFERENT tokens: many
-        // names sit in both lists ("Jordan", "Thomas"), and one ambiguous
-        // token is one piece of evidence, not two ("Jordan River" must not
-        // outscore what "Jordan" alone would)
-        val givenIdx = span.indexWhere(GivenNames)
-        val surIdx = span.lastIndexWhere(Surnames)
-        if (givenIdx >= 0) score += 0.5
-        if (surIdx >= 0 && surIdx != givenIdx) score += 0.4
-        val window = toks.slice(math.max(0, i - 3), i).map(_.matched.toLowerCase)
-        if (window.lastOption.exists(Honorifics)) score += 0.45
-        else if (window.exists(ContextCues)) score += 0.35
-        if (span.length == 1) {
-          score -= 0.15
-          if (sentenceStart(i)) score -= 0.2
-        }
-        if (score >= threshold) return true
+        if (score(i, j, (i to j).map(k => word(k).toLowerCase))) return true
         i = j + 1
       } else i += 1
+    }
+    false
+  }
+
+  private def containsPerson(text: String, toks: Vector[scala.util.matching.Regex.Match]): Boolean = {
+    def sentenceStart(k: Int): Boolean = {
+      val before = text.substring(0, toks(k).start).reverse.dropWhile(c => c == ' ' || c == '"')
+      before.isEmpty || ".!?\n".contains(before.head)
+    }
+    anyCapSpan(text, toks) { (i, _, span) =>
+      var score = 0.0
+      // given and surname evidence must come from DIFFERENT tokens: many
+      // names sit in both lists ("Jordan", "Thomas"), and one ambiguous
+      // token is one piece of evidence, not two ("Jordan River" must not
+      // outscore what "Jordan" alone would)
+      val givenIdx = span.indexWhere(GivenNames)
+      val surIdx = span.lastIndexWhere(Surnames)
+      if (givenIdx >= 0) score += 0.5
+      if (surIdx >= 0 && surIdx != givenIdx) score += 0.4
+      val window = toks.slice(math.max(0, i - 3), i).map(_.matched.toLowerCase)
+      if (window.lastOption.exists(Honorifics)) score += 0.45
+      else if (window.exists(ContextCues)) score += 0.35
+      if (span.length == 1) {
+        score -= 0.15
+        if (sentenceStart(i)) score -= 0.2
+      }
+      score >= threshold
+    }
+  }
+
+  /** Multi-token capitalized span ending in an org suffix ("Acme Corp"). */
+  private def containsOrg(text: String, toks: Vector[scala.util.matching.Regex.Match]): Boolean =
+    anyCapSpan(text, toks) { (_, _, span) =>
+      span.length >= 2 && OrgSuffixes(span.last)
+    }
+
+  /** Capitalized span whose full phrase is a gazetteer place ("New York"). */
+  private def containsLoc(text: String, toks: Vector[scala.util.matching.Regex.Match]): Boolean =
+    anyCapSpan(text, toks) { (_, _, span) =>
+      Places(span.mkString(" "))
+    }
+
+  // ------------------------------------------------------------ uncased pass
+
+  private def uncasedPerson(w: Vector[String]): Boolean = {
+    var i = 0
+    while (i < w.length) {
+      if (i + 1 < w.length && GivenNames(w(i)) && Surnames(w(i + 1)) && w(i) != w(i + 1))
+        return true
+      if (Honorifics(w(i)) && i + 1 < w.length &&
+        (GivenNames(w(i + 1)) || Surnames(w(i + 1)))) return true
+      i += 1
+    }
+    false
+  }
+
+  private def uncasedOrg(w: Vector[String]): Boolean = {
+    var i = 1
+    while (i < w.length) {
+      if (OrgSuffixes(w(i)) && !OrgSuffixes(w(i - 1)) &&
+        (i >= 2 && OrgCues(w(i - 2)) || i >= 3 && OrgCues(w(i - 3)))) return true
+      i += 1
+    }
+    false
+  }
+
+  private def uncasedLoc(w: Vector[String]): Boolean = {
+    var i = 0
+    while (i < w.length) {
+      if (LocPrepositions(w(i))) {
+        // gazetteer phrase of 1-3 tokens directly after the preposition
+        var n = 1
+        while (n <= 3 && i + n < w.length) {
+          if (Places(w.slice(i + 1, i + 1 + n).mkString(" "))) return true
+          n += 1
+        }
+      }
+      i += 1
     }
     false
   }
@@ -98,6 +190,69 @@ object GazetteerNerEngine {
   private val Honorifics: Set[String] =
     Set("mr", "mrs", "ms", "miss", "dr", "prof", "professor", "sir", "madam",
       "rev", "fr", "capt", "lt", "sgt")
+
+  /** Legal/organizational suffix tokens ending an ORG span (public company-
+    * registry conventions; the standard shape feature every rule-based NER
+    * system uses for ORG).
+    */
+  private val OrgSuffixes: Set[String] = Set(
+    "inc", "corp", "llc", "ltd", "gmbh", "plc", "co", "company", "corporation",
+    "group", "holdings", "partners", "foundation", "institute", "university",
+    "college", "bank", "labs", "laboratories", "technologies", "systems",
+    "solutions", "industries", "enterprises", "associates", "agency",
+    "committee", "council", "ministry", "department", "bureau", "commission",
+    "society", "association", "hospital", "airlines", "motors",
+    "pharmaceuticals", "ventures", "capital", "trust", "federation")
+
+  /** Attachment cues for uncased ORG spans ("works at acme corp"). */
+  private val OrgCues: Set[String] =
+    Set("at", "for", "with", "joined", "from", "by", "of", "works", "founded")
+
+  /** Locative prepositions gating uncased LOC spans ("in paris"). */
+  private val LocPrepositions: Set[String] =
+    Set("in", "from", "to", "near", "at", "via", "visited", "visiting",
+      "leaving", "reached", "toward", "towards")
+
+  /** Public place gazetteer: countries, major world cities, US states
+    * (multi-word phrases lowercased, matched against the full span).
+    */
+  private val Places: Set[String] = Set(
+    // countries (common English short names)
+    "afghanistan", "argentina", "australia", "austria", "bangladesh",
+    "belgium", "brazil", "canada", "chile", "china", "colombia", "cuba",
+    "denmark", "egypt", "ethiopia", "finland", "france", "germany", "ghana",
+    "greece", "hungary", "india", "indonesia", "iran", "iraq", "ireland",
+    "israel", "italy", "japan", "jordan", "kenya", "malaysia", "mexico",
+    "morocco", "nepal", "netherlands", "new zealand", "nigeria", "norway",
+    "pakistan", "peru", "philippines", "poland", "portugal", "romania",
+    "russia", "saudi arabia", "singapore", "somalia", "south africa",
+    "south korea", "spain", "sweden", "switzerland", "syria", "thailand",
+    "turkey", "ukraine", "united kingdom", "united states", "venezuela",
+    "vietnam", "yemen", "zimbabwe",
+    // major world cities
+    "amsterdam", "athens", "baghdad", "bangkok", "barcelona", "beijing",
+    "berlin", "bogota", "boston", "brussels", "budapest", "buenos aires",
+    "cairo", "calgary", "cape town", "caracas", "chicago", "copenhagen",
+    "dallas", "delhi", "denver", "detroit", "dubai", "dublin", "edinburgh",
+    "frankfurt", "geneva", "glasgow", "hanoi", "havana", "helsinki",
+    "hong kong", "houston", "istanbul", "jakarta", "johannesburg", "karachi",
+    "kyiv", "lagos", "lima", "lisbon", "london", "los angeles", "madrid",
+    "manila", "melbourne", "mexico city", "miami", "milan", "montreal",
+    "moscow", "mumbai", "munich", "nairobi", "new york", "osaka", "oslo",
+    "ottawa", "paris", "philadelphia", "phoenix", "prague", "rome",
+    "san francisco", "santiago", "sao paulo", "seattle", "seoul", "shanghai",
+    "stockholm", "sydney", "taipei", "tehran", "tokyo", "toronto", "vancouver",
+    "vienna", "warsaw", "zurich",
+    // US states
+    "alabama", "alaska", "arizona", "arkansas", "california", "colorado",
+    "connecticut", "delaware", "florida", "georgia", "hawaii", "idaho",
+    "illinois", "indiana", "iowa", "kansas", "kentucky", "louisiana", "maine",
+    "maryland", "massachusetts", "michigan", "minnesota", "mississippi",
+    "missouri", "montana", "nebraska", "nevada", "new hampshire",
+    "new jersey", "new mexico", "north carolina", "north dakota", "ohio",
+    "oklahoma", "oregon", "pennsylvania", "rhode island", "south carolina",
+    "south dakota", "tennessee", "texas", "utah", "vermont", "virginia",
+    "washington", "west virginia", "wisconsin", "wyoming")
 
   /** Soft context cues within 3 tokens before the span. */
   private val ContextCues: Set[String] =

@@ -27,7 +27,7 @@ final case class ResultColumnNames(
 /** Engine knobs (dqx/engine.py:85-95). `runTimeOverwrite`/`runIdOverwrite` pin the
   * per-run stamps so golden tests are deterministic.
   *
-  * `checkpointEvery`: opt-in plan-blowup fence. Many dataset checks compose
+  * `checkpointEvery`: explicit plan-blowup fence. Many dataset checks compose
   * into ONE Catalyst plan (each contributes its joins/windows upstream — the
   * reference warns about exactly this, check_funcs.py:2161); past a few dozen
   * heavy checks, analysis/optimization time grows superlinearly. With
@@ -37,6 +37,14 @@ final case class ResultColumnNames(
   * only — streaming frames are never checkpointed. Trade-off: checkpointed
   * data occupies executor memory/disk and disables cross-segment Catalyst
   * optimization, so leave it off for small rule sets.
+  *
+  * `autoFenceEvery`: the conservative DEFAULT fence when `checkpointEvery` is
+  * unset — a 21-deep unfenced sql_query chain cannot even render an explain
+  * string under an 8g driver, so rule sets that deep must not depend on the
+  * caller knowing the knob. When more than `autoFenceEvery` dataset checks
+  * accumulate, the engine fences at that cadence and logs once. Explicit
+  * `checkpointEvery` always wins; `autoFenceEvery = None` disables the
+  * safety net entirely.
   */
 final case class ExtraParams(
     resultColumnNames: ResultColumnNames = ResultColumnNames(),
@@ -44,7 +52,8 @@ final case class ExtraParams(
     runIdOverwrite: Option[String] = None,
     userMetadata: Map[String, String] = Map.empty,
     suppressSkipped: Boolean = false,
-    checkpointEvery: Option[Int] = None)
+    checkpointEvery: Option[Int] = None,
+    autoFenceEvery: Option[Int] = Some(10))
 
 /** Result schemas (dqx/schema/dq_result_schema.py:3-19). */
 object DQSchemas {

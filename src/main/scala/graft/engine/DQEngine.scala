@@ -51,13 +51,22 @@ object DQEngine {
     var current = df
     var appliedDatasetChecks = 0
     val infoCols = scala.collection.mutable.ArrayBuffer[String]()
-    def maybeCheckpoint(): Unit = extra.checkpointEvery.foreach { n =>
-      // lazy localCheckpoint: lineage truncates NOW (the plan becomes a scan
-      // of the checkpoint RDD) but nothing materializes until the first
-      // action — rule compilation stays job-free
-      if (n > 0 && appliedDatasetChecks % n == 0 && !current.isStreaming)
-        current = current.localCheckpoint(eager = false)
-    }
+    var autoFenceLogged = false
+    def maybeCheckpoint(): Unit =
+      extra.checkpointEvery.orElse(extra.autoFenceEvery).foreach { n =>
+        // lazy localCheckpoint: lineage truncates NOW (the plan becomes a scan
+        // of the checkpoint RDD) but nothing materializes until the first
+        // action — rule compilation stays job-free
+        if (n > 0 && appliedDatasetChecks % n == 0 && !current.isStreaming) {
+          if (extra.checkpointEvery.isEmpty && !autoFenceLogged) {
+            autoFenceLogged = true
+            org.slf4j.LoggerFactory.getLogger(getClass).info(
+              s"auto-fencing plan growth: localCheckpoint every $n dataset checks " +
+                "(set ExtraParams.checkpointEvery to tune, autoFenceEvery=None to disable)")
+          }
+          current = current.localCheckpoint(eager = false)
+        }
+      }
     val compiled: Seq[Compiled] = rules.map {
       case r: DQRowRule =>
         // plan-time resolution probe — analysis only, no job (manager.py:323-345)

@@ -32,9 +32,13 @@ final case class QualityModel(bias: Double, weights: Map[String, Double])
   */
 object QualityClassifier {
 
+  // Locale.ROOT, not the JVM default: the Column-side tokenizer
+  // (TextAnalysis.wsTokens) lowercases via Spark's locale-independent
+  // lower(); a Turkish-locale JVM ('I' -> dotless 'ı') would otherwise
+  // drift the JVM-side tokens from the vocab/merge tables trained on it.
   private[pipeline] def tokenize(text: String): Array[String] =
     if (text == null) Array.empty
-    else text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+    else text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).filter(_.nonEmpty)
 
   /** Top-`vocabSize` terms by document frequency (ties broken by term, so the
     * vocabulary is deterministic). One shuffle; driver receives only the cap.
@@ -70,6 +74,9 @@ object QualityClassifier {
       .as[(String, Double)].rdd.cache()
     try {
       val n = data.count().toDouble
+      require(n > 0,
+        "train needs at least one non-null-label row (got 0 — an empty or " +
+          "all-null-label training frame would silently yield NaN weights)")
       val dim = vocab.size
       var w = new Array[Double](dim)
       var b = 0.0

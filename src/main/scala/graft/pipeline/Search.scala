@@ -36,12 +36,24 @@ object Search {
     * therefore ranks — are bit-stable across partitionings, reruns, and
     * engines.
     */
+  /** Distinct-term count at which the row-local literal filter hands off to
+    * the explode + broadcast-semi-join path. Swept in PipeBench at 1M docs
+    * (COVERAGE.md r7 table): the literal-filter branch wins at every term
+    * count the sweep reached (array_contains on a sorted literal array stays
+    * cheap relative to the full token-stream explode), so the default sits
+    * at the driver-comfort bound for a literal in the plan, not at a
+    * measured performance crossover.
+    */
+  val DefaultTermFilterThreshold = 256
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, queryIdCol: String, queryTextCol: String,
-               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               termFilterThreshold: Int = DefaultTermFilterThreshold): DataFrame = {
     PipelineGuards.requireBatch(docs, "bm25TopK")
     PipelineGuards.requireBatch(queries, "bm25TopK (query frame)")
     require(k > 0, "k must be positive")
+    require(termFilterThreshold >= 0, "termFilterThreshold must be >= 0")
     // corpus stats: 1-row frame, broadcast via crossJoin
     val stats = docs.select(col(idCol), size(toks(col(textCol))).as("__dl"))
       .agg(count(lit(1)).as("__n_docs"), avg("__dl").as("__avgdl"))
@@ -58,8 +70,8 @@ object Search {
     val distinctTerms = qterms.select("__term").distinct()
     // limited probe: decides the branch without pulling a large term set to
     // the driver (collect-everything-then-measure would defeat the fallback)
-    val probe = distinctTerms.limit(257).collect().map(_.getString(0))
-    val qtok = if (probe.length <= 256) {
+    val probe = distinctTerms.limit(termFilterThreshold + 1).collect().map(_.getString(0))
+    val qtok = if (probe.length <= termFilterThreshold) {
       val termArr = lit(probe.sorted)
       docs.select(col(idCol).as("__doc"),
         size(toks(col(textCol))).as("__dl"),

@@ -192,12 +192,18 @@ object Profiler {
     *
     * Job count is FIXED regardless of column count (the reference runs
     * per-column jobs, profiler.py:442-469, and [[hasNoOutliersProfile]] runs
-    * three more per column): pass 1 = [[summarize]] (all base stats including
-    * the medians, one agg); pass 2 = every numeric column's MAD plus every
+    * three more per column) — TWO aggregation passes total: pass 1 =
+    * [[summarize]] (all base stats including the medians, one agg); pass 2 =
+    * every numeric column's |x - median| quantile sketch plus every
     * low-cardinality column's value set (one agg — collect_set is bounded
     * because only columns the pass-1 sketch flagged at <= maxInListSize
-    * distinct get one); pass 3 = every MAD band's outlier count (one agg).
-    * Columns that need no pass-2/3 work cost nothing extra.
+    * distinct get one). The former pass 3 (per-band outlier counts) is folded
+    * into pass 2: the SAME percentile sketch that yields the MAD is asked for
+    * a 1%-step quantile grid of |x - median|, and the outlier ratio is read
+    * off the grid as 1 - max{p : q(p) <= factor*MAD} — one sketch per column
+    * either way, one fewer corpus pass, ratio resolution 1% (the emission
+    * gate compares it to `outliersRatioMax`, default 5%). Columns that need
+    * no pass-2 work cost nothing extra.
     */
   def profile(df: DataFrame, columns: Seq[String] = Seq.empty,
               opts: ProfilerOptions = ProfilerOptions()): (Map[String, Map[String, Any]], Seq[DQProfile]) = {
@@ -229,9 +235,14 @@ object Profiler {
         distinct.toDouble / total <= opts.distinctRatioMax
     }
 
-    // pass 2: all MADs + all bounded value sets in one aggregation
+    // pass 2: all |x-med| quantile grids (MAD = grid(0)) + all bounded value
+    // sets in one aggregation. grid = 0.5 followed by 0.00..1.00 at 1% steps:
+    // one percentile sketch per column serves both the MAD and the outlier
+    // ratio, so the former pass 3 disappears at no extra sketch cost.
+    val gridProbs: Seq[Double] = 0.5 +: (0 to 100).map(_ / 100.0)
     val madAggs = madCols.map(n => percentile_approx(
-      abs(col(n).cast("double") - lit(medians(n))), lit(0.5), lit(10000)).as(s"__mad_$n"))
+      abs(col(n).cast("double") - lit(medians(n))),
+      array(gridProbs.map(lit): _*), lit(10000)).as(s"__madq_$n"))
     val valAggs = inListCols.map(n =>
       slice(sort_array(collect_set(col(n))), 1, opts.maxInListSize + 1).as(s"__vals_$n"))
     val pass2 = madAggs ++ valAggs
@@ -245,26 +256,34 @@ object Profiler {
       inListCols.flatMap(n =>
         fromRow2[scala.collection.Seq[Any]](s"__vals_$n").map(v => n -> v.toSeq)).toMap
 
-    // MAD bands, degenerate ones dropped (same predicate as hasNoOutliersProfile)
-    val bands: Map[String, (Double, Double)] = madCols.flatMap { n =>
-      fromRow2[Number](s"__mad_$n").map(_.doubleValue()).flatMap { mad =>
-        val med = medians(n)
-        val lo = med - opts.madFactor * mad
-        val hi = med + opts.madFactor * mad
-        val scale = math.max(math.abs(lo), math.abs(hi))
-        if (hi - lo <= 0 || (scale > 0 && hi - lo <= 1e-12 * scale)) None
-        else Some(n -> (lo, hi))
-      }
-    }.toMap
+    val grids: Map[String, IndexedSeq[Double]] = madCols.flatMap(n =>
+      fromRow2[scala.collection.Seq[Any]](s"__madq_$n").map(v =>
+        n -> v.map(_.asInstanceOf[Number].doubleValue()).toIndexedSeq)).toMap
 
-    // pass 3: every band's outlier count in one aggregation
-    val outAggs = bands.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
-      count(when(col(n) < lo || col(n) > hi, lit(1))).as(s"__out_$n")
+    // MAD bands, degenerate ones dropped (same predicate as hasNoOutliersProfile)
+    val bands: Map[String, (Double, Double)] = grids.flatMap { case (n, g) =>
+      val mad = g(0)
+      val med = medians(n)
+      val lo = med - opts.madFactor * mad
+      val hi = med + opts.madFactor * mad
+      val scale = math.max(math.abs(lo), math.abs(hi))
+      if (hi - lo <= 0 || (scale > 0 && hi - lo <= 1e-12 * scale)) None
+      else Some(n -> (lo, hi))
     }
-    val row3 = if (outAggs.nonEmpty) Some(sampled.agg(outAggs.head, outAggs.tail: _*).collect().head) else None
-    def outlierCount(n: String): Option[Long] = row3.flatMap { r =>
-      val i = r.fieldIndex(s"__out_$n")
-      if (r.isNullAt(i)) None else Some(r.getLong(i))
+
+    /** Outlier ratio off the pass-2 grid: 1 - max{p : q(p) <= factor*MAD}.
+      * Values EQUAL to the band edge are inliers, matching the former exact
+      * count's strict `< lo || > hi` predicate.
+      */
+    def outlierRatio(n: String): Option[Double] = grids.get(n).map { g =>
+      val cut = opts.madFactor * g(0)
+      var best = 0.0
+      var i = 1
+      while (i < g.length) {
+        if (g(i) <= cut) best = (i - 1) / 100.0
+        i += 1
+      }
+      1.0 - best
     }
 
     val profiles = names.flatMap { name =>
@@ -297,9 +316,8 @@ object Profiler {
       }
       // builder-chain order: null_or_empty -> is_in -> min_max -> has_no_outliers
       // (profiler.py:482-505)
-      val outlierRule = (bands.get(name), bands.get(name).flatMap(_ => outlierCount(name))) match {
-        case (Some((lo, hi)), Some(out)) if total > nulls =>
-          val ratio = out.toDouble / (total - nulls)
+      val outlierRule = (bands.get(name), bands.get(name).flatMap(_ => outlierRatio(name))) match {
+        case (Some((lo, hi)), Some(ratio)) if total > nulls =>
           if (ratio <= opts.outliersRatioMax)
             Seq(DQProfile("has_no_outliers", name,
               f"Column $name has ${ratio * 100}%.1f%% of outliers (allowed: ${opts.outliersRatioMax * 100}%.1f%%). " +

@@ -776,26 +776,152 @@ object PipelineQueries {
              |      FROM sc)
              |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(score AS DOUBLE) AS score
              |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
-  ) :+ qualityScoreQuery :+ corpusStatsQuery :+ bpeCountQuery
+  ) :+ qualityScoreQuery :+ corpusStatsQuery :+ bpeCountQuery :+ bpeApplyQuery :+ streamingNearDupQuery
 
-  /** BPE apply with a FIXED single-merge model: lowest-rank-first with one
-    * pair degenerates to leftmost-first non-overlapping fusing, which is
-    * exactly SQL `replace()` semantics — token count per word =
-    * len(replace(word, 'ab', 'Z')). Gates the real merge-apply loop, not an
-    * estimate.
+  /** Oracle gate for the cross-batch streaming near-dup pipeline (VERDICT r6
+    * "Next #4" — the one pipeline op that had no CORRECTNESS row). A real
+    * multi-batch MemoryStream run: a corpus built IN PLAN from doc_id
+    * arithmetic (24 tokens `w<(id*131 + 17*j*j) mod 9973>` per doc — distinct
+    * docs share at most isolated tokens, never a 3-token shingle, so
+    * inter-doc shingle jaccard is ~0 and MinHash cannot collide) split across
+    * two batches, then a third batch of planted EXACT copies (one copy of
+    * every %10==1 doc, TWO copies of every %20==7 doc). With
+    * `threshold = 1.0`, est == 1.0 iff all 64 MinHash components agree,
+    * which on this corpus holds iff the texts are equal — so the expected
+    * pair set is the planting arithmetic itself, closed-form in DuckDB. (A
+    * first cut streamed the raw documents table: its natural near-dup pairs
+    * at jaccard ~0.97 legitimately agree on all 64 components with ~15%
+    * probability each — correct operator behavior, but not SQL-replayable.)
+    * The pair set spans cross-batch pairs (original in batch 1/2, copy in
+    * batch 3) and same-batch pairs (the two %20==7 copies); events arrive
+    * once per shared LSH band and the query normalizes to distinct unordered
+    * pairs. The driver-side collect is the MemoryStream feeding harness
+    * (bounded: the sf verify table), not a distributed-operator pattern.
     */
+  private def streamingNearDupQuery: (String, QueryDef) =
+    "pipe_streaming_neardup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.streaming.StreamChecks
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat_ws(" ", transform(sequence(lit(0), lit(23)),
+              j => concat(lit("w"), pmod(col("doc_id") * 131 + j * j * 17, lit(9973)))))
+              .as("text"))
+          .as[(Long, String)].collect()
+        val copies1 = docs.filter(_._1 % 10 == 1).map { case (id, tx) => (id + 200000L, tx) }
+        val copies2 = docs.filter(_._1 % 20 == 7).map { case (id, tx) => (id + 300000L, tx) }
+        val copies3 = docs.filter(_._1 % 20 == 7).map { case (id, tx) => (id + 400000L, tx) }
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val banded = StreamChecks.bandDocuments(in.toDF().toDF("doc_id", "text"),
+          "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16)
+        val events = StreamChecks.nearDupEvents(banded, threshold = 1.0, maxDocsPerBucket = 64)
+        val qname = "graft_stream_neardup_sink"
+        val q = events.writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        try {
+          in.addData(docs.filter(_._1 % 2 == 0).toIndexedSeq)
+          q.processAllAvailable()
+          in.addData(docs.filter(_._1 % 2 == 1).toIndexedSeq)
+          q.processAllAvailable()
+          in.addData((copies1 ++ copies2 ++ copies3).toIndexedSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(qname)
+          .select(least(col("docId"), col("matchedDocId")).as("id_a"),
+            greatest(col("docId"), col("matchedDocId")).as("id_b"))
+          .distinct().orderBy("id_a", "id_b")
+      },
+      Some("""SELECT doc_id AS id_a, doc_id + 200000 AS id_b
+             |FROM documents WHERE doc_id % 10 = 1
+             |UNION ALL
+             |SELECT doc_id, doc_id + 300000 FROM documents WHERE doc_id % 20 = 7
+             |UNION ALL
+             |SELECT doc_id, doc_id + 400000 FROM documents WHERE doc_id % 20 = 7
+             |UNION ALL
+             |SELECT doc_id + 300000, doc_id + 400000 FROM documents WHERE doc_id % 20 = 7
+             |ORDER BY 1, 2""".stripMargin))
+
+  /** BPE apply with a FIXED MULTI-merge model `[(b,c), (a,b), (x,ab)]`
+    * (upgraded from the r6 single-merge gate — VERDICT r6 "Next #3"): the
+    * model is *hierarchical* (every composite component comes from a strictly
+    * earlier rank), and under that invariant a higher-rank application can
+    * only create pairs containing its own fused symbol — never a lower-rank
+    * pair — so BPE's interleaved lowest-rank-first loop is provably equal to
+    * full replace-all passes in rank order, which DuckDB replays as nested
+    * `replace()` with single-char placeholders. The model still DISTINGUISHES
+    * rank-priority from positional scheduling: on 'abc', rank order merges
+    * (b,c) first → 2 tokens, while leftmost-pair-first would fuse (a,b) then
+    * (ab,c)-style chains → different token stream. Counts over the full
+    * documents corpus, so every real word exercises the loop.
+    */
+  // lazy: referenced from query defs invoked during the queries-map val's
+  // initialization, which runs before plain vals declared below it
+  private lazy val bpeTestModel = BpeModel(Vector(("b", "c"), ("a", "b"), ("x", "ab")))
+
+  /** DuckDB string-space replay of [[bpeTestModel]]: rank-order replace-all
+    * with placeholders chr(1)=bc, chr(2)=ab, chr(3)=xab.
+    */
+  private lazy val bpeReplaySql =
+    "replace(replace(replace(t, 'bc', chr(1)), 'ab', chr(2)), 'x' || chr(2), chr(3))"
+
   private def bpeCountQuery: (String, QueryDef) =
     "pipe_bpe_count" -> QueryDef(
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
-          Bpe.countColumn(col("text"), BpeModel(Vector(("a", "b")))).as("n_bpe"))
+          Bpe.countColumn(coalesce(col("text"), lit("")), bpeTestModel).as("n_bpe"))
         .orderBy("doc_id"),
-      Some("""WITH d AS (SELECT doc_id,
+      Some(s"""WITH d AS (SELECT doc_id,
              |  list_filter(string_split(lower(coalesce(text,'')),' '), t -> t <> '') AS w
              |FROM documents)
              |SELECT doc_id,
-             |  CAST(coalesce(list_sum(list_transform(w, t -> len(replace(t, 'ab', 'Z')))), 0) AS INT) AS n_bpe
+             |  CAST(coalesce(list_sum(list_transform(w, t -> len($bpeReplaySql))), 0) AS INT) AS n_bpe
              |FROM d ORDER BY doc_id""".stripMargin))
+
+  /** Full ENCODE gate for the multi-merge model: the complete BPE token
+    * stream (space-joined) must match, over documents PLUS planted words
+    * chosen so every scheduling decision fires — chained merges ('xabd':
+    * (a,b) then (x,ab)), rank-over-position ('abc': (b,c) wins over the
+    * leftmost (a,b)), repeated fusing ('abab', 'bcbc'), and re-scan cases
+    * ('abcabc'). The oracle rebuilds token strings by spacing the replayed
+    * placeholder string char-by-char and expanding placeholders back.
+    */
+  private def bpeApplyQuery: (String, QueryDef) =
+    "pipe_bpe_apply" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val planted = Seq(
+          (-1L, "abc"), (-2L, "xabd xabc"), (-3L, "ab bc abab aab xab"),
+          (-4L, "zabcq cab abx bcbc abcabc")).toDF("doc_id", "text")
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(planted)
+          .select(col("doc_id"),
+            concat_ws(" ", Bpe.encodeColumn(coalesce(col("text"), lit("")), bpeTestModel))
+              .as("bpe_tokens"),
+            Bpe.countColumn(coalesce(col("text"), lit("")), bpeTestModel).as("n_bpe"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH src(doc_id, text) AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT * FROM (VALUES
+             |    (-1, 'abc'), (-2, 'xabd xabc'), (-3, 'ab bc abab aab xab'),
+             |    (-4, 'zabcq cab abx bcbc abcabc'))
+             |),
+             |d AS (SELECT doc_id,
+             |  list_filter(string_split(lower(coalesce(text,'')),' '), t -> t <> '') AS w
+             |FROM src),
+             |e AS (SELECT doc_id,
+             |  list_transform(w, t ->
+             |    replace(replace(replace(rtrim(regexp_replace(
+             |      $bpeReplaySql,
+             |      '(.)', '\1 ', 'g')), chr(1), 'bc'), chr(2), 'ab'), chr(3), 'xab')) AS toks,
+             |  list_transform(w, t -> len($bpeReplaySql)) AS lens
+             |FROM d)
+             |SELECT doc_id, coalesce(array_to_string(toks, ' '), '') AS bpe_tokens,
+             |  CAST(coalesce(list_sum(lens), 0) AS INT) AS n_bpe
+             |FROM e ORDER BY doc_id""".stripMargin))
 
   /** One-row corpus summary; exact percentiles (Spark `percentile` and DuckDB
     * `quantile_cont` both interpolate, type-7).

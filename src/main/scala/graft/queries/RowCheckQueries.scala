@@ -462,6 +462,28 @@ object RowCheckQueries {
           Seq("doc_id"))
       },
       Some("""SELECT doc_id FROM documents
-             |WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 ORDER BY 1""".stripMargin))
+             |WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 ORDER BY 1""".stripMargin)),
+
+    // ORG/LOC + uncased coverage for the gazetteer engine (VERDICT r6 "Next
+    // #5"): %13 plants a cased ORG span (suffix shape "Acme Corp"), %17 a
+    // cased LOC span (gazetteer phrase "New York"), %19 an ALL-LOWERCASE
+    // person ("contact james smith") that only the uncased fallback pass can
+    // flag — the base documents text is lowercase and stays clean under all
+    // three detectors (vocab contains "group" of the org-suffix set but none
+    // of the attachment cues).
+    "row_does_not_contain_pii_ner_orgloc" -> QueryDef(
+      (s, dir) => {
+        val df = t(s, dir, "documents")
+          .withColumn("body",
+            when(col("doc_id") % 13 === 0, concat(lit("Meeting at Acme Corp today. "), col("text")))
+              .when(col("doc_id") % 17 === 0, concat(lit("Flights from New York depart. "), col("text")))
+              .when(col("doc_id") % 19 === 0, concat(lit("contact james smith asap. "), col("text")))
+              .otherwise(col("text")))
+        failing(df, row(graft.checks.PiiChecks.doesNotContainPii(col("body"),
+          ner = Some(new graft.checks.GazetteerNerEngine())), "does_not_contain_pii", "body"),
+          Seq("doc_id"))
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE doc_id % 13 = 0 OR doc_id % 17 = 0 OR doc_id % 19 = 0 ORDER BY 1""".stripMargin))
   )
 }

@@ -197,6 +197,17 @@ object StreamChecks {
                     bands: Int = 16): Dataset[BandedDoc] = {
     import stream.sparkSession.implicits._
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // fail fast on non-integral ids: the silent long cast would otherwise
+    // yield a null docId and crash the Dataset[BandedDoc] encoder mid-stream
+    // ("Null value appeared in non-nullable field") — same contract as
+    // Curation.packSequences
+    stream.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      case other => throw new IllegalArgumentException(
+        s"bandDocuments: idCol '$idCol' must be an integral type (got ${other.sql}); " +
+          "derive a surrogate id (e.g. xxhash64 of the natural key) first")
+    }
     import org.apache.spark.sql.GraftColumnBridge
     val hsh = GraftColumnBridge.column(graft.pipeline.HashedShingles(
       GraftColumnBridge.expression(col(textCol)), shingleSize))

@@ -92,6 +92,23 @@ object PipeBench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     println(f"""{"metric":"pipe_total","value":${results.map(_._2).sum}%.2f,"unit":"sec","n_docs":$n,"ops":$qs}""")
+
+    // bm25 branch sweep (VERDICT r6 "Next #8"): literal-filter vs broadcast
+    // semi-join at 64/256/1024 distinct query terms. Query terms drawn from
+    // the corpus vocabulary so they actually match documents.
+    if (sys.env.get("SPARK_GRAFT_BM25_SWEEP").contains("1")) {
+      import spark.implicits._
+      Seq(64, 256, 1024).foreach { nTerms =>
+        val sweepQueries = (0 until nTerms).grouped(32).zipWithIndex.map { case (g, qi) =>
+          (s"q$qi", g.map(t => s"w${(t * 31) % 10000}").mkString(" "))
+        }.toSeq.toDF("qid", "qtext")
+        val tLit = time(Search.bm25TopK(docs, "doc_id", "text", sweepQueries,
+          "qid", "qtext", k = 10, termFilterThreshold = 100000).count())
+        val tSemi = time(Search.bm25TopK(docs, "doc_id", "text", sweepQueries,
+          "qid", "qtext", k = 10, termFilterThreshold = 0).count())
+        println(f"""{"metric":"bm25_sweep","terms":$nTerms,"literal_filter_sec":$tLit%.2f,"semi_join_sec":$tSemi%.2f}""")
+      }
+    }
     spark.stop()
   }
 }

@@ -189,10 +189,18 @@ class EngineSpec extends SparkSpec {
     // 4.6 GB heap. The fence truncates lineage every 5 checks: 21 fenced
     // checks must plan SMALLER than 11 unfenced ones, and execute fine.
     val fenced = DQEngine.applyChecks(df, mk(21), ExtraParams(checkpointEvery = Some(5)))
-    val plain11 = DQEngine.applyChecks(df, mk(11))
+    // autoFenceEvery = None: the TRUE unfenced baseline (the default safety
+    // net would otherwise fence plain11 at its 10th check)
+    val plain11 = DQEngine.applyChecks(df, mk(11), ExtraParams(autoFenceEvery = None))
     assert(nodeCount(fenced) < nodeCount(plain11),
       s"fenced21=${nodeCount(fenced)} plain11=${nodeCount(plain11)}")
     assert(nodeCount(fenced) < 400, s"fenced plan not bounded: ${nodeCount(fenced)}")
+    // DEFAULT params now carry the safety net: 25 sql_query checks complete
+    // without the caller ever learning the knob (r6 verdict "Next #7" — the
+    // unfenced 21-deep chain cannot even render explain at 8g)
+    val auto25 = DQEngine.applyChecks(df, mk(25))
+    assert(nodeCount(auto25) < 400, s"auto-fenced plan not bounded: ${nodeCount(auto25)}")
+    assert(auto25.selectExpr("count(*)").first().getLong(0) == 100L)
     def answers(d: org.apache.spark.sql.DataFrame) =
       d.selectExpr("id", "coalesce(size(_errors), -1) AS n")
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet

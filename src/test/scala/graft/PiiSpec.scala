@@ -161,6 +161,72 @@ class PiiSpec extends SparkSpec {
       .getDeclaredConstructor().newInstance().asInstanceOf[graft.checks.NerEngine]
     assert(viaFqcn.detect("Dear Alice, hello").contains("PERSON"))
   }
+
+  test("GazetteerNerEngine: ORG and LOC detection (cased)") {
+    val eng = new graft.checks.GazetteerNerEngine()
+    val orgPos = Seq(
+      "Meeting at Acme Corp today",
+      "She joined Vertex Technologies last spring",
+      "The grant came from the Ford Foundation",
+      "Stanford University published the study",
+      "Shares of Globex Corporation fell sharply")
+    val orgNeg = Seq(
+      "The group met at noon",
+      "Many Plans Succeed Eventually",
+      "the quick brown fox jumps over the lazy dog")
+    assert(orgPos.forall(p => eng.detect(p).contains("ORG")),
+      s"missed ORG: ${orgPos.filterNot(p => eng.detect(p).contains("ORG"))}")
+    assert(!orgNeg.exists(n => eng.detect(n).contains("ORG")),
+      s"false ORG: ${orgNeg.filter(n => eng.detect(n).contains("ORG"))}")
+    val locPos = Seq(
+      "Flights from New York depart hourly",
+      "They moved to Paris in June",
+      "Texas has wide roads",
+      "He was born in South Korea",
+      "The shipment cleared customs in Hong Kong")
+    val locNeg = Seq(
+      "The capital city is very large",
+      "the quick brown fox jumps over the lazy dog",
+      "Sort Keys Before Merging")
+    assert(locPos.forall(p => eng.detect(p).contains("LOC")),
+      s"missed LOC: ${locPos.filterNot(p => eng.detect(p).contains("LOC"))}")
+    assert(!locNeg.exists(n => eng.detect(n).contains("LOC")),
+      s"false LOC: ${locNeg.filter(n => eng.detect(n).contains("LOC"))}")
+  }
+
+  test("GazetteerNerEngine: uncased fallback recall + precision") {
+    val eng = new graft.checks.GazetteerNerEngine()
+    // all-lowercase text: the capitalized-span pass finds nothing; the
+    // fallback pass must still recall strong-evidence entities
+    val personPos = Seq(
+      "contact james smith asap",
+      "mr patel will call this afternoon",
+      "the memo was signed by maria garcia",
+      "dr thompson reviewed the chart")
+    val orgPos = Seq(
+      "she works at acme corp now",
+      "he joined vertex technologies in march",
+      "the grant was funded by the knight foundation")
+    val locPos = Seq(
+      "we met in paris last summer",
+      "flights from new york to berlin are cheap",
+      "the package was shipped to south korea")
+    assert(personPos.forall(p => eng.detect(p).contains("PERSON")),
+      s"missed uncased PERSON: ${personPos.filterNot(p => eng.detect(p).contains("PERSON"))}")
+    assert(orgPos.forall(p => eng.detect(p).contains("ORG")),
+      s"missed uncased ORG: ${orgPos.filterNot(p => eng.detect(p).contains("ORG"))}")
+    assert(locPos.forall(p => eng.detect(p).contains("LOC")),
+      s"missed uncased LOC: ${locPos.filterNot(p => eng.detect(p).contains("LOC"))}")
+    // precision traps: gazetteer words WITHOUT the stronger uncased evidence
+    val clean = Seq(
+      "sort the table by key and merge the group",   // org suffix, no cue
+      "james likes apples",                          // given name, no surname/honorific
+      "we should meet at noon",                      // loc preposition, no place
+      "turkey sandwiches are tasty",                 // place word, no preposition
+      "the quick brown fox jumps over the lazy dog")
+    val dirty = clean.filter(c => eng.detect(c).nonEmpty)
+    assert(dirty.isEmpty, s"uncased false positives: ${dirty.map(c => c -> eng.detect(c))}")
+  }
 }
 
 /** Toy Presidio-stand-in: dictionary person-name matcher. Proves the

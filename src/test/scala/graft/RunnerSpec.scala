@@ -171,6 +171,29 @@ class RunnerSpec extends SparkSpec {
     assert(py.startsWith("@dlt.expect_all_or_fail(") && py.contains("\"a_is_not_null\""))
   }
 
+  test("profile() costs two aggregation passes regardless of column count") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val df = (1 to 500).map(i => (i, if (i % 2 == 0) "A" else "B", i * 1.0, i * 2.0, i % 7))
+      .toDF("id", "cat", "v1", "v2", "bucket")
+    val counter = new SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val (_, profiles) = Profiler.profile(df,
+        opts = graft.profiler.ProfilerOptions(sampleFraction = 1.0, distinctRatioMax = 0.5))
+      Thread.sleep(500) // let the listener bus drain
+      val jobs = counter.jobs.get()
+      // pass 1 (summarize) + pass 2 (grids + value sets); the former pass 3
+      // is folded into pass 2 (r7). Each sample+limit+agg action can cost 2
+      // scheduler jobs (limit escalation), so 2 actions bound at 4 — the
+      // 3-pass shape measured 6 here.
+      assert(jobs <= 4, s"expected <=4 jobs for a 2-pass profile, got $jobs")
+      assert(profiles.exists(p => p.name == "has_no_outliers" && p.column == "v1"))
+    } finally spark.sparkContext.removeSparkListener(counter)
+  }
+
   test("profiler infers null/in-list/range rules in one agg pass") {
     val df = (1 to 200).map(i => (i, if (i % 2 == 0) "A" else "B", i * 1.0))
       .toDF("id", "cat", "v")

@@ -41,6 +41,20 @@ class SearchSpec extends SparkSpec {
     assert(again == out.as[(String, Int, Long, Double)].collect().toSet)
   }
 
+  test("bm25TopK fallback branch: semi join is BROADCAST, results identical") {
+    val queries = Seq(("q1", "spark engine"), ("q2", "database")).toDF("qid", "qtext")
+    // threshold 0 forces the explode + semi-join fallback
+    val fallback = Search.bm25TopK(docs, "doc_id", "text", queries, "qid", "qtext",
+      k = 10, termFilterThreshold = 0)
+    val plan = fallback.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"fallback term filter must be a broadcast semi join, plan:\n${plan.take(2000)}")
+    // branch parity: both paths produce identical (query, rank, doc, score)
+    val viaFilter = Search.bm25TopK(docs, "doc_id", "text", queries, "qid", "qtext", k = 10)
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(fallback.as[(String, Int, Long, Double)].collect().toSet == viaFilter)
+  }
+
   test("bm25TopK streaming corpus is rejected (corpus-global stats)") {
     val stream = spark.readStream.format("rate").load()
       .selectExpr("value AS doc_id", "CAST(value AS STRING) AS text")
