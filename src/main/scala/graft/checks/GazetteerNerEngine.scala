@@ -132,10 +132,21 @@ final class GazetteerNerEngine(threshold: Double = 0.6) extends NerEngine {
       span.length >= 2 && OrgSuffixes(span.last)
     }
 
-  /** Capitalized span whose full phrase is a gazetteer place ("New York"). */
+  /** Capitalized span containing a gazetteer place phrase — matched over
+    * contiguous subspans of up to 3 tokens, so "New York City" (span longer
+    * than the gazetteer phrase "new york") still resolves.
+    */
   private def containsLoc(text: String, toks: Vector[scala.util.matching.Regex.Match]): Boolean =
     anyCapSpan(text, toks) { (_, _, span) =>
-      Places(span.mkString(" "))
+      span.indices.exists { a =>
+        var n = 1
+        var hit = false
+        while (!hit && n <= 3 && a + n <= span.length) {
+          hit = Places(span.slice(a, a + n).mkString(" "))
+          n += 1
+        }
+        hit
+      }
     }
 
   // ------------------------------------------------------------ uncased pass

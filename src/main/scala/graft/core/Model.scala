@@ -38,12 +38,18 @@ final case class ResultColumnNames(
   * data occupies executor memory/disk and disables cross-segment Catalyst
   * optimization, so leave it off for small rule sets.
   *
-  * `autoFenceEvery`: the conservative DEFAULT fence when `checkpointEvery` is
-  * unset — a 21-deep unfenced sql_query chain cannot even render an explain
-  * string under an 8g driver, so rule sets that deep must not depend on the
-  * caller knowing the knob. When more than `autoFenceEvery` dataset checks
-  * accumulate, the engine fences at that cadence and logs once. Explicit
-  * `checkpointEvery` always wins; `autoFenceEvery = None` disables the
+  * `autoFencePlanNodes`: the conservative DEFAULT fence when `checkpointEvery`
+  * is unset — a 21-deep unfenced sql_query chain cannot even render an
+  * explain string under an 8g driver, so rule sets that deep must not depend
+  * on the caller knowing the knob. After each applied dataset check the
+  * engine probes the accumulated LOGICAL plan's node count (budgeted
+  * traversal, so the probe never walks more than the cap) and fences once it
+  * exceeds `autoFencePlanNodes`, logging the first time. Plan size — not
+  * check count — is the trigger: only self-referential shapes (each sql_query
+  * joins the frame to an aggregate OF the frame, roughly doubling the tree)
+  * blow up; ten windows or joins grow linearly and never trip the fence, so
+  * ordinary suites keep their un-checkpointed single-plan execution. Explicit
+  * `checkpointEvery` always wins; `autoFencePlanNodes = None` disables the
   * safety net entirely.
   */
 final case class ExtraParams(
@@ -53,7 +59,7 @@ final case class ExtraParams(
     userMetadata: Map[String, String] = Map.empty,
     suppressSkipped: Boolean = false,
     checkpointEvery: Option[Int] = None,
-    autoFenceEvery: Option[Int] = Some(10))
+    autoFencePlanNodes: Option[Int] = Some(4096))
 
 /** Result schemas (dqx/schema/dq_result_schema.py:3-19). */
 object DQSchemas {

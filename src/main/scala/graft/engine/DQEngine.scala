@@ -51,22 +51,43 @@ object DQEngine {
     var current = df
     var appliedDatasetChecks = 0
     val infoCols = scala.collection.mutable.ArrayBuffer[String]()
+    // Budgeted logical-plan node count: returns true once the tree exceeds
+    // `cap` WITHOUT walking further — an exponentially-grown plan must never
+    // cost an exponential probe.
+    def planExceeds(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                    cap: Int): Boolean = {
+      var n = 0
+      def visit(p: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Boolean = {
+        n += 1
+        n > cap || p.children.exists(c =>
+          visit(c.asInstanceOf[org.apache.spark.sql.catalyst.trees.TreeNode[_]]))
+      }
+      visit(plan)
+    }
     var autoFenceLogged = false
-    def maybeCheckpoint(): Unit =
-      extra.checkpointEvery.orElse(extra.autoFenceEvery).foreach { n =>
-        // lazy localCheckpoint: lineage truncates NOW (the plan becomes a scan
-        // of the checkpoint RDD) but nothing materializes until the first
-        // action — rule compilation stays job-free
-        if (n > 0 && appliedDatasetChecks % n == 0 && !current.isStreaming) {
-          if (extra.checkpointEvery.isEmpty && !autoFenceLogged) {
-            autoFenceLogged = true
-            org.slf4j.LoggerFactory.getLogger(getClass).info(
-              s"auto-fencing plan growth: localCheckpoint every $n dataset checks " +
-                "(set ExtraParams.checkpointEvery to tune, autoFenceEvery=None to disable)")
+    def maybeCheckpoint(): Unit = {
+      // lazy localCheckpoint: lineage truncates NOW (the plan becomes a scan
+      // of the checkpoint RDD) but nothing materializes until the first
+      // action — rule compilation stays job-free
+      extra.checkpointEvery match {
+        case Some(n) =>
+          if (n > 0 && appliedDatasetChecks % n == 0 && !current.isStreaming)
+            current = current.localCheckpoint(eager = false)
+        case None => extra.autoFencePlanNodes.foreach { cap =>
+          if (cap > 0 && !current.isStreaming &&
+            planExceeds(current.queryExecution.logical, cap)) {
+            if (!autoFenceLogged) {
+              autoFenceLogged = true
+              org.slf4j.LoggerFactory.getLogger(getClass).info(
+                s"auto-fencing plan growth: logical plan exceeded $cap nodes, " +
+                  "localCheckpoint inserted (set ExtraParams.checkpointEvery to " +
+                  "tune, autoFencePlanNodes=None to disable)")
+            }
+            current = current.localCheckpoint(eager = false)
           }
-          current = current.localCheckpoint(eager = false)
         }
       }
+    }
     val compiled: Seq[Compiled] = rules.map {
       case r: DQRowRule =>
         // plan-time resolution probe — analysis only, no job (manager.py:323-345)

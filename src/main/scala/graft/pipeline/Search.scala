@@ -37,12 +37,13 @@ object Search {
     * engines.
     */
   /** Distinct-term count at which the row-local literal filter hands off to
-    * the explode + broadcast-semi-join path. Swept in PipeBench at 1M docs
-    * (COVERAGE.md r7 table): the literal-filter branch wins at every term
-    * count the sweep reached (array_contains on a sorted literal array stays
-    * cheap relative to the full token-stream explode), so the default sits
-    * at the driver-comfort bound for a literal in the plan, not at a
-    * measured performance crossover.
+    * the explode + broadcast-semi-join path. Swept in PipeBench at 1M
+    * ~50-token docs (SPARK_GRAFT_BM25_SWEEP=1; COVERAGE.md r7): literal
+    * filter 7.9 / 26.4 / 95.4 s at 64 / 256 / 1024 terms (array_contains on
+    * a literal array is a linear per-token scan, so cost grows linearly in
+    * the term count) vs semi join flat at ~33 / 32.6 / 27.8 s — measured
+    * crossover ≈ 320 terms; 256 keeps the literal branch strictly on its
+    * winning side.
     */
   val DefaultTermFilterThreshold = 256
 

@@ -189,18 +189,26 @@ class EngineSpec extends SparkSpec {
     // 4.6 GB heap. The fence truncates lineage every 5 checks: 21 fenced
     // checks must plan SMALLER than 11 unfenced ones, and execute fine.
     val fenced = DQEngine.applyChecks(df, mk(21), ExtraParams(checkpointEvery = Some(5)))
-    // autoFenceEvery = None: the TRUE unfenced baseline (the default safety
-    // net would otherwise fence plain11 at its 10th check)
-    val plain11 = DQEngine.applyChecks(df, mk(11), ExtraParams(autoFenceEvery = None))
+    // autoFencePlanNodes = None: the TRUE unfenced baseline (the default
+    // safety net would otherwise fence plain11 once its plan passes 4096
+    // nodes)
+    val plain11 = DQEngine.applyChecks(df, mk(11), ExtraParams(autoFencePlanNodes = None))
     assert(nodeCount(fenced) < nodeCount(plain11),
       s"fenced21=${nodeCount(fenced)} plain11=${nodeCount(plain11)}")
     assert(nodeCount(fenced) < 400, s"fenced plan not bounded: ${nodeCount(fenced)}")
     // DEFAULT params now carry the safety net: 25 sql_query checks complete
     // without the caller ever learning the knob (r6 verdict "Next #7" — the
-    // unfenced 21-deep chain cannot even render explain at 8g)
+    // unfenced 21-deep chain cannot even render explain at 8g). The trigger
+    // is plan SIZE: a linear-growth suite below the node cap must stay
+    // checkpoint-free (no surprise materialization in ordinary rule sets).
     val auto25 = DQEngine.applyChecks(df, mk(25))
     assert(nodeCount(auto25) < 400, s"auto-fenced plan not bounded: ${nodeCount(auto25)}")
     assert(auto25.selectExpr("count(*)").first().getLong(0) == 100L)
+    val linear = (1 to 12).map(i => DQDatasetRule(
+      DatasetChecks.isUnique(Seq("g")), "is_unique", Seq("g")))
+    val linearOut = DQEngine.applyChecks(df, linear)
+    assert(!linearOut.queryExecution.logical.toString.contains("LogicalRDD"),
+      "12 linear-growth checks must not trip the default auto-fence")
     def answers(d: org.apache.spark.sql.DataFrame) =
       d.selectExpr("id", "coalesce(size(_errors), -1) AS n")
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet

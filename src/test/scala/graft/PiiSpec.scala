@@ -183,7 +183,8 @@ class PiiSpec extends SparkSpec {
       "They moved to Paris in June",
       "Texas has wide roads",
       "He was born in South Korea",
-      "The shipment cleared customs in Hong Kong")
+      "The shipment cleared customs in Hong Kong",
+      "New York City is large") // place phrase inside a LONGER cap span
     val locNeg = Seq(
       "The capital city is very large",
       "the quick brown fox jumps over the lazy dog",
