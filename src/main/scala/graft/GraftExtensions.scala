@@ -110,6 +110,42 @@ object GraftExtensions {
         require(a(1).foldable, "graft_quality_score: model_json must be a literal")
         graft.pipeline.DictScore(a(0),
           graft.pipeline.QualityModelJson.parse(String.valueOf(a(1).eval())))
+      }),
+    ("graft_bpe_encode",
+      info("graft_bpe_encode",
+        """graft_bpe_encode(text, model_json) - BPE tokens (array<string>) of the """ +
+          """whitespace-lowercased words, merges applied lowest-rank-first; """ +
+          """model_json is a literal like '{"merges": [["a","b"], ["ab","c"]]}'"""),
+      args => {
+        val a = arity("graft_bpe_encode", 2, args)
+        require(a(1).foldable, "graft_bpe_encode: model_json must be a literal")
+        graft.pipeline.BpeEncode(a(0),
+          graft.pipeline.BpeModelJson.parse(String.valueOf(a(1).eval())))
+      }),
+    ("graft_bpe_count",
+      info("graft_bpe_count",
+        "graft_bpe_count(text, model_json) - BPE token count without materializing the tokens"),
+      args => {
+        val a = arity("graft_bpe_count", 2, args)
+        require(a(1).foldable, "graft_bpe_count: model_json must be a literal")
+        graft.pipeline.BpeCount(a(0),
+          graft.pipeline.BpeModelJson.parse(String.valueOf(a(1).eval())))
+      }),
+    ("graft_ner_entities",
+      info("graft_ner_entities",
+        "graft_ner_entities(text[, engine_fqcn]) - entity types the NER engine finds " +
+          "(array<string>, empty = clean); default engine is the shipped gazetteer " +
+          "(PERSON/ORG/LOC/ADDRESS, cased + uncased passes); pass a literal FQCN with " +
+          "a zero-arg constructor to plug a model-backed NerEngine"),
+      args => {
+        require(args.length == 1 || args.length == 2,
+          s"graft_ner_entities expects 1 or 2 argument(s), got ${args.length}")
+        val engine: graft.checks.NerEngine = if (args.length == 2) {
+          require(args(1).foldable, "graft_ner_entities: engine_fqcn must be a literal")
+          Class.forName(String.valueOf(args(1).eval()))
+            .getDeclaredConstructor().newInstance().asInstanceOf[graft.checks.NerEngine]
+        } else new graft.checks.GazetteerNerEngine()
+        graft.checks.NerDetect(args.head, engine)
       })
   )
 

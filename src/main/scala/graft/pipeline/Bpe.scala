@@ -106,6 +106,31 @@ object Bpe {
   }
 }
 
+/** JSON (de)serialization for [[BpeModel]] — the SQL surface
+  * (`graft_bpe_count(text, model_json)`) and checks-storage need the model as
+  * a string. Merges serialize as an ordered array of 2-element arrays so rank
+  * is the array position: `{"merges": [["a","b"], ["ab","c"]]}`.
+  */
+object BpeModelJson {
+  def parse(json: String): BpeModel = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    val merges = (j \ "merges").extract[List[List[String]]].map {
+      case a :: b :: Nil => (a, b)
+      case other => throw new IllegalArgumentException(
+        s"BPE merge must be a 2-element array, got $other")
+    }
+    BpeModel(merges.toIndexedSeq)
+  }
+
+  def render(model: BpeModel): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        "merges" -> model.merges.map(p => List(p._1, p._2)).toList))
+  }
+}
+
 /** Static kernels for the BPE expressions. The per-word apply is the standard
   * lowest-rank-first merge loop; whole-text tokenization reuses the SAME
   * whitespace word split as the Column-side tokenizer.

@@ -60,6 +60,33 @@ class ExtensionsSpec extends SparkSpec {
       graft.pipeline.QualityModelJson.render(m)) == m)
   }
 
+  test("bpe and ner functions evaluate from plain SQL") {
+    Seq((1L, "abc xabd plain"), (2L, "Dear James Smith, hello"), (3L, "nothing here"))
+      .toDF("id", "text").createOrReplaceTempView("bnv")
+    // hierarchical 3-merge model: rank order (b,c) < (a,b) < (x,ab)
+    val model = """{"merges": [["b","c"], ["a","b"], ["x","ab"]]}"""
+    val enc = spark.sql(
+      s"""SELECT id, graft_bpe_encode(text, '$model') AS toks,
+         |  graft_bpe_count(text, '$model') AS n FROM bnv WHERE id = 1""".stripMargin).head()
+    // 'abc' -> [a, bc] (rank over position), 'xabd' -> [xab, d] (chained
+    // merge), 'plain' -> single chars (no merge applies)
+    assert(enc.getSeq[String](1) ==
+      Seq("a", "bc", "xab", "d", "p", "l", "a", "i", "n"))
+    assert(enc.getInt(2) == 9)
+    val ner = spark.sql(
+      "SELECT id, graft_ner_entities(text) AS ents FROM bnv ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    assert(ner(1)._2.contains("PERSON") && ner(0)._2.isEmpty && ner(2)._2.isEmpty)
+    // FQCN plug-in path from SQL
+    val toy = spark.sql(
+      "SELECT graft_ner_entities('met alice johnson today', 'graft.ToyPersonNer')")
+      .head().getSeq[String](0)
+    assert(toy == Seq("PERSON"))
+    // model JSON round-trip
+    val bm = graft.pipeline.BpeModel(Vector(("b", "c"), ("a", "b"), ("x", "ab")))
+    assert(graft.pipeline.BpeModelJson.parse(graft.pipeline.BpeModelJson.render(bm)) == bm)
+  }
+
   test("extensions class injects the same registry entries") {
     // the SparkSessionExtensions path shares the builder list; spot-check shape
     assert(GraftExtensions.functions.map(_._1).distinct.size == GraftExtensions.functions.size)
