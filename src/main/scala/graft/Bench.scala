@@ -179,9 +179,12 @@ object Bench {
     BenchRef.writeArtifacts(
       BenchRef.artifactJson("graft.Bench", all, refStats, sfDir, refRows, rounds, violation))
     // quiet the logger, then emit the contract line LAST so nothing Spark
-    // prints can land between it and process exit in the driver's capture
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.stop()
+    // prints can land between it and process exit in the driver's capture;
+    // a throwing stop() must not swallow the line
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.stop()
+    } catch { case e: Throwable => System.err.println(s"spark.stop failed: $e") }
     println(line)
     System.out.flush()
   }

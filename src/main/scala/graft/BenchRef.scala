@@ -188,7 +188,12 @@ object BenchRef {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val stats = scala.collection.mutable.ArrayBuffer.empty[SuiteStat]
+    // dev-iteration filter: SPARK_GRAFT_BENCH_SUITES=substring runs only
+    // matching suites (isolates one suite from the full run's cumulative
+    // JVM/page-cache pressure when re-checking a suspicious number)
+    val suiteFilter = sys.env.get("SPARK_GRAFT_BENCH_SUITES")
     def benchNamed(name: String)(f: => Unit): Unit = {
+      if (suiteFilter.exists(s => !name.contains(s))) return
       f // warmup
       val ts = (0 until rounds).map(_ => time(f))
       val sorted = ts.sorted

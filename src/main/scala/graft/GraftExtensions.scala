@@ -131,6 +131,25 @@ object GraftExtensions {
         graft.pipeline.BpeCount(a(0),
           graft.pipeline.BpeModelJson.parse(String.valueOf(a(1).eval())))
       }),
+    ("graft_lm_perplexity",
+      info("graft_lm_perplexity",
+        """graft_lm_perplexity(text, model_json) - add-k bigram LM perplexity """ +
+          """exp(-mean ln P(w|v)) (null below 2 tokens); model_json is a literal like """ +
+          """'{"k": 0.5, "unigrams": {"the": 100, "<unk>": 850}, "bigrams": {"the table": 20}}'"""),
+      args => {
+        val a = arity("graft_lm_perplexity", 2, args)
+        require(a(1).foldable, "graft_lm_perplexity: model_json must be a literal")
+        graft.pipeline.LmPerplexity(a(0),
+          graft.pipeline.LmModelJson.parse(String.valueOf(a(1).eval())))
+      }),
+    ("graft_strip_markup",
+      info("graft_strip_markup",
+        "graft_strip_markup(html) - visible text: script/style/comment blocks and tags " +
+          "removed, common entities decoded, whitespace collapsed"),
+      args => graft.pipeline.StripMarkup(
+        org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+          arity("graft_strip_markup", 1, args).head,
+          org.apache.spark.sql.catalyst.expressions.Literal(""))))),
     ("graft_ner_entities",
       info("graft_ner_entities",
         "graft_ner_entities(text[, engine_fqcn]) - entity types the NER engine finds " +

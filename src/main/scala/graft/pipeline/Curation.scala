@@ -52,6 +52,34 @@ object Curation {
       .drop("__quota_rn")
   }
 
+  /** Deterministic stratified train/validation split: within every stratum
+    * (the `groupCols` combination) exactly `ceil(valFraction * stratum_size)`
+    * rows land in the `"val"` split, chosen by portable-hash order of `id`
+    * (id as tie-break) — so small strata are never starved out of the eval
+    * set the way a plain per-row Bernoulli split starves them, and the split
+    * is reproducible across runs, engines, and row order. Adds a `split`
+    * column (`"val"` / `"train"`).
+    *
+    * Scale shape: ONE shuffle on the stratum key — the row-number and the
+    * stratum-count windows share the same partitioning, so Catalyst plans a
+    * single exchange.
+    */
+  def stratifiedSplit(df: DataFrame, groupCols: Seq[String], id: Column,
+                      valFraction: Double): DataFrame = {
+    PipelineGuards.requireBatch(df, "stratifiedSplit")
+    require(valFraction >= 0 && valFraction <= 1, "valFraction must be in [0,1]")
+    val parts = groupCols.map(col)
+    val ordered = Window.partitionBy(parts: _*).orderBy(portableHash(id), id)
+    val whole = Window.partitionBy(parts: _*)
+    df.withColumn("__split_rn", row_number().over(ordered))
+      .withColumn("__split_n", count(lit(1)).over(whole))
+      .withColumn("split",
+        when(col("__split_rn") <=
+          ceil(col("__split_n") * lit(valFraction)).cast("long"), lit("val"))
+          .otherwise(lit("train")))
+      .drop("__split_rn", "__split_n")
+  }
+
   /** Deterministic per-group weighted sampling — the "domain mixing" step of a
     * pretraining pipeline: keep each row with the probability configured for
     * its group (e.g. source domain), decided by the portable hash of `id` so

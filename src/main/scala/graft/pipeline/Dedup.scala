@@ -367,4 +367,61 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDeDup (Abbas et al. 2023) semantic near-duplicate pairs: every row is
+    * assigned its nearest centroid (max dot product against the broadcast,
+    * L2-normalized centroid list — the same [[NearestCentroids]] kernel IVF
+    * uses, codegen'd and row-local), then pairs are generated ONLY within a
+    * cluster and verified by exact cosine. Returns (id_a, id_b, cluster)
+    * with id_a < id_b.
+    *
+    * Scale shape: the cluster id is the blocking key — one shuffle on it, no
+    * all-pairs join; `maxClusterSize` drops degenerate clusters before the
+    * self-join (same skew guard as [[cosineNearDupPairs]]; size the centroid
+    * count so clusters stay ~√corpus). Centroids come from the caller —
+    * train with [[Similarity.trainKMeans]] on a capped sample, or reuse an
+    * existing quantizer.
+    */
+  def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                       centroids: Array[Array[Double]], threshold: Double = 0.95,
+                       maxClusterSize: Int = 100000): DataFrame = {
+    PipelineGuards.requireBatch(df, "semanticDupPairs")
+    require(centroids.nonEmpty, "semanticDupPairs needs at least one centroid")
+    import org.apache.spark.sql.GraftColumnBridge
+    val normed = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    val base = df.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val cluster = GraftColumnBridge.column(NearestCentroids(
+      GraftColumnBridge.expression(col("__v")), normed, 1))(0)
+    val assigned = base.select(col("__id"), col("__v"), cluster.as("__cluster"))
+    val sizes = assigned.groupBy("__cluster").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxClusterSize)
+      .select("__cluster")
+    val kept = assigned.join(sizes, Seq("__cluster"))
+    val l = kept.select(col("__cluster"), col("__id").as("id_a"), col("__v").as("__va"))
+    val r = kept.select(col("__cluster"), col("__id").as("id_b"), col("__v").as("__vb"))
+    l.join(r, Seq("__cluster"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("__cluster").as("cluster"), col("cosine"))
+  }
+
+  /** SemDeDup removal with the conservative keep rule: a row is dropped iff
+    * it appears as the HIGHER id of some over-threshold pair — every dup
+    * group keeps its minimum id (and possibly more when similarity is not
+    * transitive; use [[duplicateClusters]] + [[dedupByClusters]] for the
+    * transitive-closure policy). The drop set carries only ids; the corpus
+    * anti-joins against it (AQE-broadcastable when small).
+    */
+  def dedupSemantic(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]], threshold: Double = 0.95,
+                    maxClusterSize: Int = 100000): DataFrame = {
+    val drop = semanticDupPairs(df, idCol, vecCol, centroids, threshold, maxClusterSize)
+      .select(col("id_b").as("__drop_id")).distinct()
+    df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
+  }
 }

@@ -163,6 +163,20 @@ object TextAnalysis {
   def c4CleanedText(text: Column): Column =
     array_join(filter(split(coalesce(text, lit("")), "\n"), c4LineKept(_)), "\n")
 
+  /** Strip HTML/markup down to visible text: script/style blocks and
+    * comments removed whole, remaining tags replaced by spaces (so adjacent
+    * words never fuse), the six common entities decoded AFTER tag removal
+    * (decoded `&lt;b&gt;` is content, not markup), whitespace collapsed and
+    * trimmed. Pure regexp/replace chain — row-local, codegen'd, a free rider
+    * on the scan at any scale. Patterns stay inside the RE2 subset (no
+    * backreferences) so the DuckDB oracle replays them verbatim.
+    */
+  def stripMarkup(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(StripMarkup(
+      GraftColumnBridge.expression(coalesce(text, lit("")))))
+  }
+
   /** Canonical text normalization: lowercase, control chars to spaces,
     * whitespace collapsed, trimmed. Row-local; the standard first step before
     * fingerprinting/sharding a raw crawl.
@@ -258,6 +272,19 @@ object TextAnalysis {
       GraftColumnBridge.expression(text), n)))
   }
 
+  /** Shannon entropy (nats) of the character distribution — the Dolma/
+    * RefinedWeb-style "compressibility" quality signal: near-zero entropy
+    * flags repeated-character spam, unusually high entropy flags binary/
+    * encoded junk. Codegen'd row-local custom expression ([[CharEntropy]]);
+    * terms summed over code points in ASCENDING code-point order so the
+    * DuckDB oracle's sorted-list replay is bit-compatible. Empty text scores
+    * 0.0; null stays null.
+    */
+  def charEntropy(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(CharEntropy(GraftColumnBridge.expression(text)))
+  }
+
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "but", "if", "of", "to", "in", "on", "at", "by", "for",
     "with", "about", "as", "is", "are", "was", "were", "be", "been", "being", "it", "its",
@@ -273,4 +300,113 @@ object TextAnalysis {
     "it" -> Seq("il", "la", "le", "e", "è", "un", "una", "di", "che", "per", "con", "non", "sono", "della", "nel"),
     "pt" -> Seq("o", "a", "os", "as", "e", "é", "um", "uma", "de", "em", "que", "por", "para", "com", "não"),
     "nl" -> Seq("de", "het", "een", "en", "is", "van", "op", "dat", "met", "voor", "niet", "zijn", "aan", "bij", "ook"))
+}
+
+/** Static kernel for [[CharEntropy]]: code-point counts via a sorted map,
+  * -Σ p ln p accumulated in ascending code-point order (the defined order the
+  * oracle replays with a sorted list).
+  */
+object CharEntropyOps {
+  def entropy(u: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val s = u.toString
+    val n = s.codePointCount(0, s.length)
+    if (n == 0) return 0.0
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      i += Character.charCount(cp)
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      h -= p * math.log(p)
+    }
+    h
+  }
+}
+
+/** Character-distribution Shannon entropy in nats — see
+  * [[TextAnalysis.charEntropy]].
+  */
+case class CharEntropy(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"char_entropy requires a STRING argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    CharEntropyOps.entropy(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.CharEntropyOps.entropy($c)")
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): CharEntropy = copy(child = c)
+}
+
+/** Static kernel for [[StripMarkup]]: the same regex chain the DuckDB oracle
+  * expects (RE2-subset patterns, entities decoded after tag removal with
+  * `&amp;` last), precompiled once per JVM.
+  */
+object StripMarkupOps {
+  private val Script =
+    java.util.regex.Pattern.compile("(?is)<script\\b[^>]*>.*?</script\\s*>")
+  private val Style =
+    java.util.regex.Pattern.compile("(?is)<style\\b[^>]*>.*?</style\\s*>")
+  private val Comment = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  private val Tag = java.util.regex.Pattern.compile("(?s)<[^>]*>")
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  def strip(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    var s = u.toString
+    s = Script.matcher(s).replaceAll(" ")
+    s = Style.matcher(s).replaceAll(" ")
+    s = Comment.matcher(s).replaceAll(" ")
+    s = Tag.matcher(s).replaceAll(" ")
+    // &amp; decoded LAST so '&amp;lt;' stays the literal text '&lt;'
+    s = s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      Ws.matcher(s).replaceAll(" ").trim)
+  }
+}
+
+/** Markup-to-visible-text stripping — see [[TextAnalysis.stripMarkup]].
+  * Null-intolerant like the built-ins; wrap in coalesce for a non-null
+  * contract (the Column wrapper does).
+  */
+case class StripMarkup(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_strip_markup requires a STRING argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    StripMarkupOps.strip(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.StripMarkupOps.strip($c)")
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): StripMarkup = copy(child = c)
 }

@@ -776,7 +776,10 @@ object PipelineQueries {
              |      FROM sc)
              |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(score AS DOUBLE) AS score
              |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
-  ) :+ qualityScoreQuery :+ corpusStatsQuery :+ bpeCountQuery :+ bpeApplyQuery :+ streamingNearDupQuery
+  ) :+ qualityScoreQuery :+ corpusStatsQuery :+ bpeCountQuery :+ bpeApplyQuery :+
+    streamingNearDupQuery :+ lmBigramsQuery :+ lmPerplexityQuery :+
+    stripMarkupQuery :+ stratifiedSplitQuery :+ semanticDedupQuery :+
+    charEntropyQuery
 
   /** Oracle gate for the cross-batch streaming near-dup pipeline (VERDICT r6
     * "Next #4" — the one pipeline op that had no CORRECTNESS row). A real
@@ -922,6 +925,165 @@ object PipelineQueries {
              |SELECT doc_id, coalesce(array_to_string(toks, ' '), '') AS bpe_tokens,
              |  CAST(coalesce(list_sum(lens), 0) AS INT) AS n_bpe
              |FROM e ORDER BY doc_id""".stripMargin))
+
+  /** TRAIN-path gate for the bigram LM: vocabSize=20 forces 11 of the
+    * corpus's 31 distinct words through the `<unk>` mapping, and all 441
+    * mapped pairs exist so maxBigrams=300 exercises the cap's deterministic
+    * (count desc, v, w) boundary. The oracle recomputes vocabulary selection,
+    * OOV mapping, pair counting, and the cap from scratch in DuckDB.
+    */
+  private def lmBigramsQuery: (String, QueryDef) =
+    "pipe_lm_bigrams" -> QueryDef(
+      (s, dir) => {
+        val model = NgramLm.train(t(s, dir, "documents"), col("text"),
+          vocabSize = 20, maxBigrams = 300)
+        import s.implicits._
+        model.bigrams.toSeq.map { case (key, c) =>
+          // key = v + " " + w; whitespace-split tokens contain no spaces
+          val Array(v, w) = key.split(" ", 2)
+          (v, w, c)
+        }.sortBy(x => (x._1, x._2)).toDF("v", "w", "cnt")
+      },
+      Some("""WITH d AS (SELECT list_filter(string_split(lower(coalesce(text,'')),' '), t -> t <> '') AS w FROM documents),
+             |uni AS (SELECT u AS term, count(*) AS c FROM (SELECT unnest(w) AS u FROM d) GROUP BY 1),
+             |voc AS (SELECT term FROM uni ORDER BY c DESC, term LIMIT 20),
+             |pr AS (SELECT unnest(list_transform(range(1, len(w)), i -> {'pv': w[i], 'pw': w[i+1]}), recursive := true)
+             |       FROM d WHERE len(w) >= 2),
+             |m AS (SELECT CASE WHEN pv IN (SELECT term FROM voc) THEN pv ELSE '<unk>' END AS v,
+             |             CASE WHEN pw IN (SELECT term FROM voc) THEN pw ELSE '<unk>' END AS w
+             |      FROM pr),
+             |b AS (SELECT v, w, count(*) AS cnt FROM m GROUP BY 1, 2
+             |      ORDER BY cnt DESC, v, w LIMIT 300)
+             |SELECT v, w, CAST(cnt AS BIGINT) AS cnt FROM b ORDER BY v, w""".stripMargin))
+
+  /** SCORING-path gate for the bigram LM: a FIXED literal model (so the
+    * oracle's CASE chains replay it exactly) with add-0.5 smoothing over a
+    * 4-entry vocabulary including `<unk>`. The oracle re-derives
+    * exp(-mean ln P(w|v)) with list_sum's sequential order matching the
+    * kernel's left-to-right accumulation; rounded to 4 dp (ln/exp last-ulp
+    * cross-engine headroom).
+    */
+  private def lmPerplexityQuery: (String, QueryDef) =
+    "pipe_lm_perplexity" -> QueryDef(
+      (s, dir) => {
+        val model = LmModel(0.5,
+          Map("the" -> 100L, "table" -> 40L, "fast" -> 10L, LmModel.Unk -> 850L),
+          Map(LmModel.key("the", "table") -> 20L, LmModel.key("table", "fast") -> 5L,
+            LmModel.key(LmModel.Unk, "the") -> 60L, LmModel.key("fast", LmModel.Unk) -> 8L))
+        NgramLm.score(t(s, dir, "documents"), col("text"), model)
+          .select(col("doc_id"), round(col("lm_perplexity"), 4).as("lm_perplexity"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, list_filter(string_split(lower(coalesce(text,'')),' '), t -> t <> '') AS w0 FROM documents),
+             |m AS (SELECT doc_id, len(w0) AS n,
+             |  list_transform(w0, t -> CASE WHEN t IN ('the','table','fast') THEN t ELSE '<unk>' END) AS w
+             |FROM d),
+             |p AS (SELECT doc_id, n, CASE WHEN n >= 2 THEN list_sum(list_transform(range(1, n), i ->
+             |  ln((CASE
+             |        WHEN w[i]='the' AND w[i+1]='table' THEN 20
+             |        WHEN w[i]='table' AND w[i+1]='fast' THEN 5
+             |        WHEN w[i]='<unk>' AND w[i+1]='the' THEN 60
+             |        WHEN w[i]='fast' AND w[i+1]='<unk>' THEN 8
+             |        ELSE 0 END + 0.5)
+             |     / ((CASE w[i] WHEN 'the' THEN 100 WHEN 'table' THEN 40 WHEN 'fast' THEN 10 ELSE 850 END) + 0.5*4))))
+             |  ELSE NULL END AS lp FROM m)
+             |SELECT doc_id, round(exp(-lp/(n-1)), 4) AS lm_perplexity
+             |FROM p ORDER BY doc_id""".stripMargin))
+
+  /** Markup stripping gate with a CLOSED-FORM oracle: the query wraps each
+    * doc's text in a synthetic HTML page (style block, tags, a comment, a
+    * script whose body contains a tag, three entities), and the expected
+    * output is derivable without replaying the strip algorithm — the corpus
+    * text contains no markup characters (verified at fixture build), so
+    * clean == text + ' ' + text + ' & more <stuff>'.
+    */
+  private def stripMarkupQuery: (String, QueryDef) =
+    "pipe_text_strip_markup" -> QueryDef(
+      (s, dir) => {
+        val body = coalesce(col("text"), lit(""))
+        val wrapped = concat(
+          lit("<html><head><style type=\"text/css\">p { color: red }</style></head><body><h1>"),
+          body, lit("</h1>\n<p>"), body,
+          lit(" &amp; more &lt;stuff&gt;</p><!-- hidden --><script>var x = \"<p>\";</script></body></html>"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.stripMarkup(wrapped).as("clean"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""SELECT doc_id,
+             |  trim(regexp_replace(
+             |    coalesce(text,'') || ' ' || coalesce(text,'') || ' & more <stuff>',
+             |    '\s+', ' ', 'g')) AS clean
+             |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Stratified-split gate: per-lang ceil(0.2 * n) validation rows chosen by
+    * portable-hash order; the oracle replays the hash, the per-stratum
+    * row_number, and the quota arithmetic.
+    */
+  private def stratifiedSplitQuery: (String, QueryDef) =
+    "pipe_stratified_split" -> QueryDef(
+      (s, dir) => Curation.stratifiedSplit(
+        t(s, dir, "documents"), Seq("lang"), col("doc_id"), valFraction = 0.2)
+        .select(col("doc_id"), col("split")).orderBy("doc_id"),
+      Some("""WITH h AS (SELECT doc_id, lang,
+             |            (doc_id % 2147483648) * 2654435761 % 4294967296 AS hv FROM documents),
+             |r AS (SELECT doc_id,
+             |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn,
+             |        count(*) OVER (PARTITION BY lang) AS n
+             |      FROM h)
+             |SELECT doc_id, CASE WHEN rn <= ceil(n * 0.2) THEN 'val' ELSE 'train' END AS split
+             |FROM r ORDER BY doc_id""".stripMargin))
+
+  /** SemDeDup gate: FIXED literal centroids (the 4-dim identity — already
+    * unit-normalized) over the 4-dim embedding prefix, so the oracle replays
+    * the argmax-dot assignment (ties to the lowest index, matching the
+    * kernel's sort) with plain comparisons, and the within-cluster pair scan
+    * + exact cosine verify with list_cosine_similarity. Threshold 0.9965 sits
+    * mid-gap in the fixture's cosine distribution (nearest pair 3.4e-4 away),
+    * so cross-engine dot-product summation order cannot flip a pair.
+    */
+  private def semanticDedupQuery: (String, QueryDef) =
+    "pipe_semantic_dedup" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 4).as("v4"))
+        Dedup.semanticDupPairs(emb, "vec_id", "v4",
+          Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0),
+            Array(0, 0, 1.0, 0), Array(0, 0, 0, 1.0)),
+          threshold = 0.9965)
+          .select(col("id_a"), col("id_b"), col("cluster").cast("int").as("cluster"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |a AS (SELECT vec_id, v,
+             |  CASE WHEN v[1] >= v[2] AND v[1] >= v[3] AND v[1] >= v[4] THEN 0
+             |       WHEN v[2] >= v[3] AND v[2] >= v[4] THEN 1
+             |       WHEN v[3] >= v[4] THEN 2 ELSE 3 END AS cluster
+             |FROM e)
+             |SELECT x.vec_id AS id_a, y.vec_id AS id_b, CAST(x.cluster AS INT) AS cluster
+             |FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+             |WHERE list_cosine_similarity(x.v, y.v) >= 0.9965
+             |ORDER BY 1, 2""".stripMargin))
+
+  /** Character-entropy gate: the oracle recomputes -Σ p ln p per doc with the
+    * counts listed in character order (DuckDB's binary collation = code-point
+    * order for valid UTF-8, matching the kernel's sorted accumulation);
+    * sequential negated addition is bit-identical to the kernel's sequential
+    * subtraction. Empty docs come back via the left join at exactly 0.0.
+    */
+  private def charEntropyQuery: (String, QueryDef) =
+    "pipe_text_entropy" -> QueryDef(
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        round(TextAnalysis.charEntropy(coalesce(col("text"), lit(""))), 6)
+          .as("char_entropy"))
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT doc_id, string_split(coalesce(text,''), '') AS ch FROM documents),
+             |g AS (SELECT doc_id, u AS c, count(*) AS cnt
+             |      FROM (SELECT doc_id, unnest(ch) AS u FROM c) GROUP BY 1, 2),
+             |l AS (SELECT doc_id, list(cnt ORDER BY c) AS cnts, sum(cnt) AS n FROM g GROUP BY 1)
+             |SELECT d.doc_id,
+             |  round(coalesce(-list_sum(list_transform(l.cnts, x -> (x/l.n) * ln(x/l.n))), 0.0), 6) AS char_entropy
+             |FROM documents d LEFT JOIN l ON d.doc_id = l.doc_id
+             |ORDER BY d.doc_id""".stripMargin))
 
   /** One-row corpus summary; exact percentiles (Spark `percentile` and DuckDB
     * `quantile_cont` both interpolate, type-7).

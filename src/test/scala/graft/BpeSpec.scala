@@ -46,6 +46,52 @@ class BpeSpec extends SparkSpec {
     assert(on == off)
   }
 
+  test("property: lowest-rank-first apply == rank-order full passes on hierarchical models") {
+    // Independent naive reference: apply each merge as a FULL left-to-right
+    // pass over the symbol list, in rank order. For hierarchical models
+    // (every composite part formed by a strictly earlier rank — the invariant
+    // every trained model satisfies, and the one the DuckDB oracle's nested
+    // replace() replay leans on) this must equal BpeOps' interleaved
+    // lowest-rank-first loop. Implemented differently on purpose: a shared
+    // bug cannot hide.
+    def naive(word: String, merges: Seq[(String, String)]): List[String] = {
+      var syms = word.map(_.toString).toList
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case x :: y :: tail if x == a && y == b => out += (a + b); rest = tail
+          case x :: tail => out += x; rest = tail
+          case Nil =>
+        }
+        syms = out.toList
+      }
+      syms
+    }
+    // deterministic pseudo-random hierarchical model + words over {a,b,c,d}
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "c", "d")
+    (1 to 50).foreach { trial =>
+      var symbols = alphabet
+      val merges = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+      (1 to rnd.nextInt(6)).foreach { _ =>
+        val p = (symbols(rnd.nextInt(symbols.size)), symbols(rnd.nextInt(symbols.size)))
+        // distinct pairs only: a duplicate would OVERWRITE the earlier rank in
+        // the model's rank map, which legitimately diverges from naive
+        // sequential passes — trained models never contain duplicates
+        if (merges.add(p)) symbols = symbols :+ (p._1 + p._2)
+      }
+      val model = BpeModel(merges.toVector)
+      val words = Seq.fill(8)(Seq.fill(2 + rnd.nextInt(10))(
+        alphabet(rnd.nextInt(alphabet.size))).mkString)
+      val text = words.mkString(" ")
+      val got = Seq((1L, text)).toDF("id", "text")
+        .select(Bpe.encodeColumn(col("text"), model)).head().getSeq[String](0)
+      val want = words.flatMap(w => naive(w, model.merges))
+      assert(got == want, s"trial $trial model=${model.merges} text='$text'")
+    }
+  }
+
   test("null and empty text degrade gracefully") {
     val m = BpeModel(Vector(("a", "b")))
     val df = Seq((1L, "ab ab"), (2L, ""), (3L, null)).toDF("id", "text")

@@ -87,6 +87,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(graft.pipeline.BpeModelJson.parse(graft.pipeline.BpeModelJson.render(bm)) == bm)
   }
 
+  test("lm perplexity and markup stripping evaluate from plain SQL") {
+    Seq((1L, "the table z"), (2L, "x"), (3L, "<p>hello &amp; <b>world</b></p>"))
+      .toDF("id", "text").createOrReplaceTempView("lmv")
+    val model = """{"k": 0.5, "unigrams": {"the": 100, "table": 40, "<unk>": 850},
+                   |"bigrams": {"the table": 20, "<unk> the": 60}}""".stripMargin
+    val rows = spark.sql(
+      s"""SELECT id, graft_lm_perplexity(text, '$model') AS ppl FROM lmv ORDER BY id""")
+      .collect()
+    // hand computation: bigrams (the,table), (table,<unk>); V = 3
+    val want = math.exp(-(
+      math.log((20 + 0.5) / (100 + 0.5 * 3)) +
+        math.log((0 + 0.5) / (40 + 0.5 * 3))) / 2)
+    assert(math.abs(rows(0).getDouble(1) - want) < 1e-12)
+    assert(rows(1).isNullAt(1)) // 1 token -> no bigram evidence
+    val clean = spark.sql(
+      "SELECT graft_strip_markup(text) FROM lmv WHERE id = 3").head().getString(0)
+    assert(clean == "hello & world")
+    // model JSON round-trip
+    val lm = graft.pipeline.LmModel(0.5,
+      Map("a" -> 2L, graft.pipeline.LmModel.Unk -> 1L),
+      Map(graft.pipeline.LmModel.key("a", "a") -> 1L))
+    assert(graft.pipeline.LmModelJson.parse(graft.pipeline.LmModelJson.render(lm)) == lm)
+  }
+
   test("extensions class injects the same registry entries") {
     // the SparkSessionExtensions path shares the builder list; spot-check shape
     assert(GraftExtensions.functions.map(_._1).distinct.size == GraftExtensions.functions.size)

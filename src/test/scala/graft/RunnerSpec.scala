@@ -194,6 +194,19 @@ class RunnerSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(counter)
   }
 
+  test("profile() grid ratio withholds has_no_outliers past the threshold") {
+    // 10% of values sit far outside the MAD band: the grid-read ratio
+    // (resolution 1%) must withhold the rule exactly like the former exact
+    // count did, while the clean column still emits
+    val df = (0 until 1000).map(i =>
+      (i, if (i < 900) i.toDouble else 1e9, i.toDouble)).toDF("id", "dirty", "clean")
+    val (_, profiles) = Profiler.profile(df, columns = Seq("dirty", "clean"),
+      opts = graft.profiler.ProfilerOptions(sampleFraction = 1.0))
+    assert(!profiles.exists(p => p.name == "has_no_outliers" && p.column == "dirty"),
+      profiles.filter(_.name == "has_no_outliers").toString)
+    assert(profiles.exists(p => p.name == "has_no_outliers" && p.column == "clean"))
+  }
+
   test("profiler infers null/in-list/range rules in one agg pass") {
     val df = (1 to 200).map(i => (i, if (i % 2 == 0) "A" else "B", i * 1.0))
       .toDF("id", "cat", "v")
