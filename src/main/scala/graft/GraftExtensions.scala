@@ -150,6 +150,11 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
           arity("graft_strip_markup", 1, args).head,
           org.apache.spark.sql.catalyst.expressions.Literal(""))))),
+    ("graft_char_entropy",
+      info("graft_char_entropy",
+        "graft_char_entropy(str) - Shannon entropy (nats) of the code-point " +
+          "distribution (repeated-char spam ~0, encoded junk high)"),
+      args => graft.pipeline.CharEntropy(arity("graft_char_entropy", 1, args).head)),
     ("graft_ner_entities",
       info("graft_ner_entities",
         "graft_ner_entities(text[, engine_fqcn]) - entity types the NER engine finds " +

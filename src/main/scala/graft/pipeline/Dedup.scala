@@ -397,10 +397,14 @@ object Dedup {
     val cluster = GraftColumnBridge.column(NearestCentroids(
       GraftColumnBridge.expression(col("__v")), normed, 1))(0)
     val assigned = base.select(col("__id"), col("__v"), cluster.as("__cluster"))
-    val sizes = assigned.groupBy("__cluster").agg(count(lit(1)).as("__n"))
+    // skew guard as an unbounded window count: ONE exchange on the cluster
+    // key and ONE assignment evaluation (the groupBy+join-back alternative
+    // re-evaluates the centroid scan on both plan branches)
+    val kept = assigned
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__cluster")))
       .where(col("__n") <= maxClusterSize)
-      .select("__cluster")
-    val kept = assigned.join(sizes, Seq("__cluster"))
+      .drop("__n")
     val l = kept.select(col("__cluster"), col("__id").as("id_a"), col("__v").as("__va"))
     val r = kept.select(col("__cluster"), col("__id").as("id_b"), col("__v").as("__vb"))
     l.join(r, Seq("__cluster"))

@@ -338,4 +338,28 @@ object SketchOps {
     val order = sims.zipWithIndex.sortBy { case (s, idx) => (-s, idx) }
     new GenericArrayData(order.take(nprobe).map(_._2))
   }
+
+  /** Exact cosine of two double arrays in ONE fused pass; null (boxed) when
+    * lengths differ or any element is null — the exact poisoning semantics of
+    * the old `zip_with`/`aggregate` HOF chain, accumulated in the same
+    * left-to-right element order so results are bit-identical.
+    */
+  def cosineSim(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
 }

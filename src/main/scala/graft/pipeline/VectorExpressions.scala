@@ -133,3 +133,52 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
 
   override protected def withNewChildInternal(c: Expression): NearestCentroids = copy(child = c)
 }
+
+/** Exact cosine similarity of two double-array columns — one tight fused
+  * loop per pair, fully codegen'd via [[SketchOps.cosineSim]]. Replaces the
+  * zip_with/aggregate HOF formulation whose CodegenFallback de-codegen'd
+  * every cosine verify stage (knn ranking, cosine near-dup, SemDeDup); the
+  * kernel accumulates dot and both norms left-to-right in the exact element
+  * order the HOF chain used, so results are bit-identical (and the DuckDB
+  * oracles are unaffected). Null when either array is null, lengths differ,
+  * or an element is null — the same poisoning the HOF zip_with/aggregate
+  * produced.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"CosineSimilarity needs two array<double> arguments, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchOps.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val boxed = ctx.freshName("cos")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${leftGen.isNull} && !${rightGen.isNull}) {
+          java.lang.Double $boxed =
+            graft.pipeline.SketchOps.cosineSim(${leftGen.value}, ${rightGen.value});
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.doubleValue(); }
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CosineSimilarity = copy(left = l, right = r)
+}

@@ -19,6 +19,12 @@ object PipeBench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** time() plus a stderr marker so a dead run identifies its op. */
+  private def timed(name: String)(f: => Unit): Double = {
+    System.err.println(s"[pipebench] $name")
+    time(f)
+  }
+
   private val Boiler = "subscribe to our newsletter today for offers updates deals news and more"
 
   def corpus(spark: SparkSession, nDocs: Long): DataFrame = {
@@ -54,40 +60,84 @@ object PipeBench {
     }
 
     val results = Seq(
-      "exact_dedup" -> time(
+      "exact_dedup" -> timed("exact_dedup")(
         Dedup.dedupExact(docs, Seq(col("text")), col("doc_id")).count()),
-      "dedup_lines" -> time(
+      "dedup_lines" -> timed("dedup_lines")(
         Dedup.dedupLines(docs, "doc_id", "text", sep = " ").count()),
-      "minhash_pairs" -> time(
+      "minhash_pairs" -> timed("minhash_pairs")(
         Dedup.minHashDuplicatePairs(docs, "doc_id", "text",
           shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.8).count()),
-      "duplicate_spans" -> time(
+      "duplicate_spans" -> timed("duplicate_spans")(
         Dedup.duplicateSpans(docs, "doc_id", "text", windowWords = 8).count()),
-      "remove_spans" -> time(
+      "remove_spans" -> timed("remove_spans")(
         Dedup.removeDuplicateSpans(docs, "doc_id", "text", windowWords = 8)
           .agg(sum(length(col("text")))).collect()),
-      "simhash_pairs" -> time(
+      "simhash_pairs" -> timed("simhash_pairs")(
         Dedup.simHashDuplicatePairs(docs, "doc_id", "text", maxHamming = 3).count()),
-      "decontaminate" -> time(
+      "decontaminate" -> timed("decontaminate")(
         Curation.decontaminate(docs, col("doc_id"), col("text"),
           evalSet, col("text"), n = 8).where(col("is_contaminated")).count()),
-      "pack_sequences" -> time(
+      "pack_sequences" -> timed("pack_sequences")(
         Curation.packSequences(docs, "doc_id", length(col("text")), budget = 4096,
           numGroups = 256).agg(max("bin_id")).collect()),
-      "bm25_topk" -> time(
+      "bm25_topk" -> timed("bm25_topk")(
         Search.bm25TopK(docs, "doc_id", "text", queries, "qid", "qtext", k = 10).count()),
-      "quality_train_5ep" -> time(
+      "quality_train_5ep" -> timed("quality_train_5ep")(
         QualityClassifier.train(docs.withColumn("label", (col("doc_id") % 2).cast("double")),
           col("text"), col("label"), vocabSize = 4096, epochs = 5)),
-      "quality_score" -> time(
+      "quality_score" -> timed("quality_score")(
         QualityClassifier.score(docs, col("text"),
           QualityModel(0.0, Map("w1" -> 1.0, "w2" -> -1.0)))
           .agg(sum("quality_score")).collect()),
-      "corpus_stats" -> time(TextAnalysis.corpusStats(docs, col("text")).collect()),
-      "bpe_train_256" -> time(Bpe.train(docs, col("text"), numMerges = 256)),
+      "corpus_stats" -> timed("corpus_stats")(TextAnalysis.corpusStats(docs, col("text")).collect()),
+      "bpe_train_256" -> timed("bpe_train_256")(Bpe.train(docs, col("text"), numMerges = 256)),
       "bpe_count" -> {
+        System.err.println("[pipebench] bpe_count")
         val m = Bpe.train(docs, col("text"), numMerges = 256)
         time(docs.agg(sum(Bpe.countColumn(col("text"), m))).collect())
+      },
+      "lm_train_8k" -> timed("lm_train_8k")(
+        NgramLm.train(docs, col("text"), vocabSize = 8192, maxBigrams = 262144)),
+      "lm_score" -> timed("lm_score")(
+        NgramLm.score(docs, col("text"), LmModel(0.5,
+          Map("w1" -> 100L, "w2" -> 40L, LmModel.Unk -> 1000L),
+          Map(LmModel.key("w1", "w2") -> 10L)))
+          .agg(sum("lm_perplexity")).collect()),
+      "strip_markup" -> timed("strip_markup")(
+        docs.select(TextAnalysis.stripMarkup(
+          concat(lit("<html><body><p>"), col("text"),
+            lit(" &amp; tail</p><script>var x=1;</script></body></html>")))
+          .as("clean")).agg(sum(length(col("clean")))).collect()),
+      "char_entropy" -> timed("char_entropy")(
+        docs.agg(sum(TextAnalysis.charEntropy(col("text")))).collect()),
+      "stratified_split" -> timed("stratified_split")(
+        Curation.stratifiedSplit(docs.withColumn("grp", col("doc_id") % 20),
+          Seq("grp"), col("doc_id"), 0.1)
+          .where(col("split") === "val").count()),
+      // SemDeDup probed at 250k docs: the within-cluster exact step is
+      // inherently sum(|cluster|^2), so the centroid count must scale with
+      // the corpus — 2048 centroids over 250k docs keeps clusters ~122 docs
+      // (~15M verified pairs total). doc_id % 2048 picks one of 2048
+      // deterministic directions; every cluster's docs are near-parallel.
+      "semantic_dedup_250k" -> {
+        System.err.println("[pipebench] semantic_dedup_250k")
+        val nSem = math.min(nDocs, 250000L)
+        val dim = 16
+        // SIGNED components (no abs): all-positive vectors would crowd one
+        // orthant, correlate the directions, and skew the argmax assignment
+        val dirs = Array.tabulate(2048) { g =>
+          val v = Array.tabulate(dim)(j => math.sin(g * 131 + j * 17))
+          val norm = math.sqrt(v.map(x => x * x).sum)
+          v.map(_ / norm)
+        }
+        // j runs 0..dim-1 to mirror the driver-side Array.tabulate indexing
+        val vecExpr = transform(sequence(lit(0), lit(dim - 1)), j =>
+          sin(col("doc_id") % 2048 * 131 + j.cast("double") * 17) +
+            (pmod(hash(col("doc_id") * 31 + j), lit(1000)).cast("double") / 1e7))
+        val emb = corpus(spark, nSem)
+          .select(col("doc_id"), vecExpr.as("v")).localCheckpoint()
+        time(Dedup.semanticDupPairs(emb, "doc_id", "v", dirs,
+          threshold = 0.999, maxClusterSize = 10000).count())
       })
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")

@@ -104,6 +104,8 @@ class ExtensionsSpec extends SparkSpec {
     val clean = spark.sql(
       "SELECT graft_strip_markup(text) FROM lmv WHERE id = 3").head().getString(0)
     assert(clean == "hello & world")
+    val h = spark.sql("SELECT graft_char_entropy('abab')").head().getDouble(0)
+    assert(math.abs(h - math.log(2)) < 1e-12)
     // model JSON round-trip
     val lm = graft.pipeline.LmModel(0.5,
       Map("a" -> 2L, graft.pipeline.LmModel.Unk -> 1L),

@@ -59,6 +59,29 @@ class LmSpec extends SparkSpec {
     assert(kept == Set(1L))
   }
 
+  test("train's bigram stage broadcasts the vocab — the corpus never shuffles pre-agg") {
+    // capture the physical plan of the mapped-pair aggregation by replaying
+    // train's plan shape on a small frame and asserting both vocab joins are
+    // broadcast; the only Exchange below the agg must be the partial-agg one
+    val df = Seq("a b c a b", "c a b").toDF("text")
+    val toks = graft.pipeline.TextAnalysis.wsTokens(col("text"))
+    val vocabDf = broadcast(Seq("a", "b").toDF("__w"))
+    val pairs = df.select(toks.as("__t")).where(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("v"),
+          element_at(col("__t"), i + 1).as("w")))).as("__p"))
+      .select(col("__p.v").as("__v"), col("__p.w").as("__w0"))
+    val mapped = pairs
+      .join(vocabDf.withColumnRenamed("__w", "__lv"), col("__v") === col("__lv"), "left")
+      .join(vocabDf.withColumnRenamed("__w", "__lw"), col("__w0") === col("__lw"), "left")
+      .select(coalesce(col("__lv"), lit("<unk>")).as("v"),
+        coalesce(col("__lw"), lit("<unk>")).as("w"))
+      .groupBy("v", "w").agg(count(lit(1)).as("c"))
+    val plan = mapped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("perplexity expression stays inside whole-stage codegen") {
     val m = LmModel(0.5, Map("a" -> 1L, LmModel.Unk -> 0L), Map.empty)
     // non-literal input so the projection cannot constant-fold away

@@ -79,4 +79,46 @@ class SemDedupSpec extends SparkSpec {
       .head().getDouble(0)
     assert(h == 0.0)
   }
+
+  test("row-local curation signals run unchanged inside a streaming plan") {
+    // stripMarkup / charEntropy / lm scoring are row-local expressions: the
+    // same projection must work incrementally under readStream (no batch
+    // gate, no state) — the streaming form of the curation scan stage
+    val dir = java.nio.file.Files.createTempDirectory("curation_stream").toString
+    Seq((1L, "<p>hello &amp; world</p>"), (2L, "aa bb aa"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val m = LmModel(0.5, Map("aa" -> 4L, LmModel.Unk -> 2L),
+      Map(LmModel.key("aa", LmModel.Unk) -> 1L))
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir)
+      .select(col("doc_id"),
+        TextAnalysis.stripMarkup(col("text")).as("clean"),
+        TextAnalysis.charEntropy(coalesce(col("text"), lit(""))).as("h"),
+        NgramLm.perplexityColumn(col("text"), m).as("ppl"))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("curation_stream_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("curation_stream_out").orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "hello & world")
+    assert(out(1).getString(1) == "aa bb aa")
+    assert(out(1).getDouble(2) > 0.0)
+    assert(!out(1).isNullAt(3))
+  }
+
+  test("cosine verify stage stays inside whole-stage codegen (kernel, not HOF)") {
+    // non-foldable input (range-derived) so the projection can't constant-fold
+    val df = spark.range(1)
+      .select(array(col("id") + 1.0, lit(0.0)).as("a"),
+        array(lit(0.6), lit(0.8)).as("b"))
+      .select(graft.pipeline.Similarity.cosine(col("a"), col("b")).as("c"))
+    val spans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(math.abs(df.head().getDouble(0) - 0.6) < 1e-12)
+    // HOF-parity semantics: length mismatch and null elements poison to null
+    val bad = Seq((Seq(1.0, 0.0), Seq(1.0)), (Seq(1.0, 0.0), null))
+      .toDF("a", "b")
+      .select(graft.pipeline.Similarity.cosine(col("a"), col("b"))).collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
 }
