@@ -75,7 +75,11 @@ object NgramLm {
     try {
       val top = uni.orderBy(col("__c").desc, col("__t")).limit(vocabSize)
         .collect().map(r => r.getString(0) -> r.getLong(1))
-      val total = uni.agg(sum("__c")).head().getLong(0)
+      // coalesce: sum over an empty term frame is NULL, and a bare getLong
+      // would NPE — fail with the real story instead
+      val total = uni.agg(coalesce(sum("__c"), lit(0L))).head().getLong(0)
+      require(total > 0,
+        "NgramLm.train needs at least one token (empty or all-null text corpus)")
       val unkCount = total - top.map(_._2).sum
       val unigrams = (top :+ (LmModel.Unk -> unkCount)).toMap
 

@@ -1,0 +1,74 @@
+package graft.tools
+
+import graft.BenchRef
+import graft.checks.{NetChecks, RowChecks}
+import graft.engine.DQEngine
+import graft.rules.DQRowRule
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-check cost breakdown of the all_row_checks bench suite: applies each
+  * of the 24 rules ALONE over the same 10M synthetic frame and times the
+  * honest result-reading action, so the suite's aggregate cost
+  * (ref10m_all_row_checks) can be attributed to individual expressions.
+  *
+  * Usage: SPARK_GRAFT_PROBE_ROWS=10000000 runMain graft.tools.RowCheckProbe
+  */
+object RowCheckProbe {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.get("SPARK_GRAFT_PROBE_ROWS").map(_.toLong).getOrElse(10000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = BenchRef.generatedDf(spark, rows).localCheckpoint()
+    df.count()
+
+    val R = RowChecks
+    val rules: Seq[(String, DQRowRule)] = Seq(
+      "is_not_null" -> DQRowRule(R.isNotNull(col("col1")), "is_not_null", Seq("col1")),
+      "is_not_null_and_not_empty" -> DQRowRule(R.isNotNullAndNotEmpty(col("col2")), "n", Seq("col2")),
+      "is_not_empty" -> DQRowRule(R.isNotEmpty(col("col2")), "n", Seq("col2")),
+      "is_in_list_97" -> DQRowRule(R.isInList(col("col3"), (0 until 97).map(_.asInstanceOf[Any])), "n", Seq("col3")),
+      "is_not_in_list" -> DQRowRule(R.isNotInList(col("col3"), Seq(1000)), "n", Seq("col3")),
+      "is_in_range" -> DQRowRule(R.isInRange(col("col2"), 0, 4000000), "n", Seq("col2")),
+      "is_not_in_range" -> DQRowRule(R.isNotInRange(col("col2"), -10, -1), "n", Seq("col2")),
+      "is_not_less_than" -> DQRowRule(R.isNotLessThan(col("col2"), 0), "n", Seq("col2")),
+      "is_not_greater_than" -> DQRowRule(R.isNotGreaterThan(col("col2"), 4000000), "n", Seq("col2")),
+      "is_equal_to" -> DQRowRule(R.isEqualTo(col("col3"), col("col3")), "n", Seq("col3")),
+      "sql_expression" -> DQRowRule(R.sqlExpression("col2 >= 0"), "n"),
+      "is_older_than_n_days" -> DQRowRule(R.isOlderThanNDays(col("col5"), 0, Some(lit("2026-01-01").cast("date"))), "n", Seq("col5")),
+      "is_not_in_future" -> DQRowRule(R.isNotInFuture(col("col6"), 0, Some(lit("2026-01-01 00:00:00").cast("timestamp"))), "n", Seq("col6")),
+      "not_empty_array" -> DQRowRule(R.isNotNullAndNotEmptyArray(col("col4")), "n", Seq("col4")),
+      "is_valid_date" -> DQRowRule(R.isValidDate(col("col5").cast("string")), "n", Seq("col5")),
+      "is_valid_timestamp" -> DQRowRule(R.isValidTimestamp(col("col6").cast("string")), "n", Seq("col6")),
+      "is_valid_ipv4" -> DQRowRule(R.isValidIpv4Address(col("col_ipv4")), "n", Seq("col_ipv4")),
+      "is_valid_ipv6" -> DQRowRule(NetChecks.isValidIpv6Address(col("col_ipv6")), "n", Seq("col_ipv6")),
+      "ipv4_in_cidr" -> DQRowRule(NetChecks.isIpv4AddressInCidr(col("col_ipv4"), "10.0.0.0/8"), "n", Seq("col_ipv4")),
+      "is_valid_json" -> DQRowRule(R.isValidJson(col("col_json_str")), "n", Seq("col_json_str")),
+      "has_json_keys" -> DQRowRule(R.hasJsonKeys(col("col_json_str"), Seq("key1", "key2")), "n", Seq("col_json_str")),
+      "regex_match" -> DQRowRule(R.regexMatch(col("col_json_str"), "^\\{.*\\}$"), "n", Seq("col_json_str")),
+      "geo_is_point" -> DQRowRule(graft.checks.GeoChecks.isPoint(col("col_geo_point")), "n", Seq("col_geo_point")),
+      "geo_not_null_island" -> DQRowRule(graft.checks.GeoChecks.isNotNullIsland(col("col_geo_point")), "n", Seq("col_geo_point")))
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // baseline: the honest action over a frame with empty result columns
+    val base = time { BenchRef.touch(df
+      .withColumn("_errors", lit(null).cast("string"))
+      .withColumn("_warnings", lit(null).cast("string"))); () }
+    val results = rules.map { case (name, rule) =>
+      val checked = DQEngine.applyChecks(df, Seq(rule))
+      checked.count() // warmup (count-parity pass, also JITs)
+      name -> time { BenchRef.touch(checked); () }
+    }
+    println(f"""{"baseline_touch":$base%.2f,${
+      results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString(",")
+    },"rows":$rows}""")
+    spark.stop()
+  }
+}

@@ -21,6 +21,13 @@ class LmSpec extends SparkSpec {
       LmModel.key(LmModel.Unk, "a") -> 1L))
   }
 
+  test("train fails fast on an empty/all-null corpus instead of NPE") {
+    val e = intercept[IllegalArgumentException] {
+      NgramLm.train(Seq(Option.empty[String]).toDF("text"), col("text"))
+    }
+    assert(e.getMessage.contains("at least one token"))
+  }
+
   test("maxBigrams keeps the top pairs by (count desc, v, w)") {
     val df = Seq("a b a b b a").toDF("text") // (a,b)x2, (b,a)x2, (b,b)x1
     val m = NgramLm.train(df, col("text"), vocabSize = 10, maxBigrams = 2)
