@@ -779,7 +779,7 @@ object PipelineQueries {
   ) :+ qualityScoreQuery :+ corpusStatsQuery :+ bpeCountQuery :+ bpeApplyQuery :+
     streamingNearDupQuery :+ lmBigramsQuery :+ lmPerplexityQuery :+
     stripMarkupQuery :+ stratifiedSplitQuery :+ semanticDedupQuery :+
-    charEntropyQuery
+    semanticDedupRemoveQuery :+ charEntropyQuery
 
   /** Oracle gate for the cross-batch streaming near-dup pipeline (VERDICT r6
     * "Next #4" — the one pipeline op that had no CORRECTNESS row). A real
@@ -1063,6 +1063,33 @@ object PipelineQueries {
              |FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
              |WHERE list_cosine_similarity(x.v, y.v) >= 0.9965
              |ORDER BY 1, 2""".stripMargin))
+
+  /** Removal-policy gate for [[Dedup.dedupSemantic]]: keep = ids never
+    * appearing as the higher id of an over-threshold pair; the oracle derives
+    * the same keep set from its own recomputed pair relation.
+    */
+  private def semanticDedupRemoveQuery: (String, QueryDef) =
+    "pipe_semantic_dedup_remove" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 4).as("v4"))
+        Dedup.dedupSemantic(emb, "vec_id", "v4",
+          Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0),
+            Array(0, 0, 1.0, 0), Array(0, 0, 0, 1.0)),
+          threshold = 0.9965)
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |a AS (SELECT vec_id, v,
+             |  CASE WHEN v[1] >= v[2] AND v[1] >= v[3] AND v[1] >= v[4] THEN 0
+             |       WHEN v[2] >= v[3] AND v[2] >= v[4] THEN 1
+             |       WHEN v[3] >= v[4] THEN 2 ELSE 3 END AS cluster
+             |FROM e),
+             |drop AS (SELECT DISTINCT y.vec_id AS id
+             |  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+             |  WHERE list_cosine_similarity(x.v, y.v) >= 0.9965)
+             |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT id FROM drop)
+             |ORDER BY vec_id""".stripMargin))
 
   /** Character-entropy gate: the oracle recomputes -Σ p ln p per doc with the
     * counts listed in character order (DuckDB's binary collation = code-point

@@ -69,6 +69,22 @@ object RowCheckProbe {
     println(f"""{"baseline_touch":$base%.2f,${
       results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString(",")
     },"rows":$rows}""")
+
+    // CSE probe: do paired checks over the same expensive parse (two WKT
+    // checks; two JSON checks) cost ~one parse (codegen subexpression
+    // elimination shares it) or ~two (each rule's branch re-parses)?
+    if (sys.env.get("SPARK_GRAFT_PROBE_PAIRS").contains("1")) {
+      val byName = rules.toMap
+      def runPair(label: String, names: Seq[String]): Unit = {
+        val checked = DQEngine.applyChecks(df, names.map(byName))
+        checked.count()
+        val t = time { BenchRef.touch(checked); () }
+        println(f"""{"pair":"$label","secs":$t%.2f}""")
+      }
+      runPair("geo_pair", Seq("geo_is_point", "geo_not_null_island"))
+      runPair("json_pair", Seq("is_valid_json", "has_json_keys"))
+      runPair("json_triple", Seq("is_valid_json", "has_json_keys", "regex_match"))
+    }
     spark.stop()
   }
 }
