@@ -195,7 +195,12 @@ object BenchRef {
     def benchNamed(name: String)(f: => Unit): Unit = {
       if (suiteFilter.exists(s => !name.contains(s))) return
       f // warmup
-      val ts = (0 until rounds).map(_ => time(f))
+      // GC between ROUNDS too, not just suites: a spill-heavy suite's own
+      // shuffle files otherwise accumulate across its rounds (the
+      // ContextCleaner frees them only on GC) — measured r7 on
+      // compare_datasets_values in isolation: rounds [112 s, 293 s] without
+      // this, the growing-round signature of intra-suite spill pressure
+      val ts = (0 until rounds).map { _ => System.gc(); time(f) }
       val sorted = ts.sorted
       val med =
         if (sorted.length % 2 == 1) sorted(sorted.length / 2)
