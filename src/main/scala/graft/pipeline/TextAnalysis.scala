@@ -272,6 +272,56 @@ object TextAnalysis {
       GraftColumnBridge.expression(text), n)))
   }
 
+  /** Flesch readability signals: word/sentence/syllable counts (syllables ≈
+    * vowel groups — the standard public heuristic) plus Flesch-Kincaid grade
+    * and Flesch reading-ease. Three `regexp_extract_all` passes over the
+    * whole text — no per-word HOF loop, so the projection stays inside
+    * whole-stage codegen. Sentence and word floors of 1 keep empty docs
+    * finite. Ratios rounded to 4 dp (oracle parity).
+    */
+  def readabilitySignals(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val words = size(regexp_extract_all(t, lit("\\S+"), lit(0)))
+    val sentences = greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1))
+    val syllables = size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+    val w = greatest(words, lit(1)).cast("double")
+    val wps = words.cast("double") / sentences.cast("double")
+    val spw = syllables.cast("double") / w
+    struct(
+      words.as("n_words"),
+      sentences.as("n_sentences"),
+      syllables.as("n_syllables"),
+      round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4).as("fk_grade"),
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4).as("flesch_ease"))
+  }
+
+  /** Top-`k` TF-IDF keywords per document: `score = tf * ln(N / df)`,
+    * deterministic ordering (score desc, term asc). Output
+    * (`idCol`, rank, term, tf, df); docs with no tokens emit no rows.
+    *
+    * Scale shape: three shuffles, none corpus-wide in the term dimension —
+    * the (doc, term) tf aggregation (partial-agg), a term-partition window
+    * for document frequency (derived from the tf frame, NOT a second corpus
+    * scan), and the per-doc top-k window. N rides in as a broadcast 1-row
+    * aggregate.
+    */
+  def tfIdfKeywords(df: DataFrame, idCol: String, text: Column, k: Int = 3): DataFrame = {
+    PipelineGuards.requireBatch(df, "tfIdfKeywords")
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(wsTokens(text)).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val n = broadcast(df.agg(count(lit(1)).as("__n")))
+    val scored = withDf.crossJoin(n)
+      .withColumn("__score", col("tf") * log(col("__n").cast("double") / col("df")))
+    val ranked = scored.withColumn("rank",
+      row_number().over(Window.partitionBy(idCol)
+        .orderBy(col("__score").desc, col("term"))).cast("int"))
+    ranked.where(col("rank") <= k).select(col(idCol), col("rank"), col("term"),
+      col("tf"), col("df"))
+  }
+
   /** Shannon entropy (nats) of the character distribution — the Dolma/
     * RefinedWeb-style "compressibility" quality signal: near-zero entropy
     * flags repeated-character spam, unusually high entropy flags binary/

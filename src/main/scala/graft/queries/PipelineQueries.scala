@@ -779,7 +779,8 @@ object PipelineQueries {
   ) :+ qualityScoreQuery :+ corpusStatsQuery :+ bpeCountQuery :+ bpeApplyQuery :+
     streamingNearDupQuery :+ lmBigramsQuery :+ lmPerplexityQuery :+
     stripMarkupQuery :+ stratifiedSplitQuery :+ semanticDedupQuery :+
-    semanticDedupRemoveQuery :+ charEntropyQuery
+    semanticDedupRemoveQuery :+ charEntropyQuery :+ readabilityQuery :+
+    tfIdfKeywordsQuery
 
   /** Oracle gate for the cross-batch streaming near-dup pipeline (VERDICT r6
     * "Next #4" — the one pipeline op that had no CORRECTNESS row). A real
@@ -1090,6 +1091,60 @@ object PipelineQueries {
              |  WHERE list_cosine_similarity(x.v, y.v) >= 0.9965)
              |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT id FROM drop)
              |ORDER BY vec_id""".stripMargin))
+
+  /** Readability gate: every count and both ratio formulas recomputed in
+    * DuckDB from the same three regex passes.
+    */
+  private def readabilityQuery: (String, QueryDef) =
+    "pipe_text_readability" -> QueryDef(
+      (s, dir) => {
+        val sig = TextAnalysis.readabilitySignals(col("text"))
+        t(s, dir, "documents").select(col("doc_id"),
+          sig.getField("n_words").as("n_words"),
+          sig.getField("n_sentences").as("n_sentences"),
+          sig.getField("n_syllables").as("n_syllables"),
+          sig.getField("fk_grade").as("fk_grade"),
+          sig.getField("flesch_ease").as("flesch_ease"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH d AS (SELECT doc_id,
+             |  len(regexp_extract_all(coalesce(text,''), '\S+')) AS n_words,
+             |  greatest(len(regexp_extract_all(coalesce(text,''), '[.!?]+')), 1) AS n_sentences,
+             |  len(regexp_extract_all(lower(coalesce(text,'')), '[aeiouy]+')) AS n_syllables
+             |FROM documents)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  round(0.39 * (n_words * 1.0 / n_sentences)
+             |    + 11.8 * (n_syllables * 1.0 / greatest(n_words, 1)) - 15.59, 4) AS fk_grade,
+             |  round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+             |    - 84.6 * (n_syllables * 1.0 / greatest(n_words, 1)), 4) AS flesch_ease
+             |FROM d ORDER BY doc_id""".stripMargin))
+
+  /** TF-IDF keyword gate: tf, df, N, the ln-scored ranking, and the
+    * deterministic (score desc, term) tie-break all recomputed in DuckDB.
+    * A fixture probe confirmed no cross-engine near-collisions (distinct
+    * (tf, df) pairs never score within 1e-9 relative), so 1-ulp ln drift
+    * cannot flip a rank; exact ties fall to the term tie-break on both
+    * sides. Scores excluded from the output (ranks carry the signal).
+    */
+  private def tfIdfKeywordsQuery: (String, QueryDef) =
+    "pipe_tfidf_keywords" -> QueryDef(
+      (s, dir) => TextAnalysis.tfIdfKeywords(
+        t(s, dir, "documents"), "doc_id", col("text"), k = 3)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH d AS (SELECT doc_id, list_filter(string_split(lower(coalesce(text,'')),' '), t -> t <> '') AS w FROM documents),
+             |tf AS (SELECT doc_id, u AS term, count(*) AS tf
+             |       FROM (SELECT doc_id, unnest(w) AS u FROM d) GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS nd FROM documents),
+             |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             |        tf.tf * ln((SELECT nd FROM n) * 1.0 / dfq.df) AS score
+             |      FROM tf JOIN dfq USING (term)),
+             |r AS (SELECT doc_id, term, tf, df,
+             |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+             |      FROM s)
+             |SELECT doc_id, CAST(rank AS INT) AS rank, term,
+             |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+             |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
 
   /** Character-entropy gate: the oracle recomputes -Σ p ln p per doc with the
     * counts listed in character order (DuckDB's binary collation = code-point

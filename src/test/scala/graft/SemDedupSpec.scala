@@ -121,4 +121,40 @@ class SemDedupSpec extends SparkSpec {
       .select(graft.pipeline.Similarity.cosine(col("a"), col("b"))).collect()
     assert(bad.forall(_.isNullAt(0)))
   }
+
+  test("readabilitySignals: closed-form counts and formulas, empty-doc floors") {
+    val r = Seq("The quick brown fox. It jumps!").toDF("t")
+      .select(TextAnalysis.readabilitySignals(col("t")).as("s"))
+      .select("s.*").head()
+    // words 6, sentences 2, vowel groups: e,ui,o,o,I,u,(fox 'o' counted),(jumps 'u')
+    assert(r.getAs[Int]("n_words") == 6)
+    assert(r.getAs[Int]("n_sentences") == 2)
+    val words = 6.0; val sent = 2.0; val syl = r.getAs[Int]("n_syllables").toDouble
+    val fk = BigDecimal(0.39 * (words / sent) + 11.8 * (syl / words) - 15.59)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("fk_grade") - fk) < 1e-9)
+    val empty = Seq("").toDF("t")
+      .select(TextAnalysis.readabilitySignals(col("t")).as("s")).select("s.*").head()
+    assert(empty.getAs[Int]("n_words") == 0 && empty.getAs[Int]("n_sentences") == 1)
+    assert(empty.getAs[Double]("fk_grade") == -15.59)
+  }
+
+  test("tfIdfKeywords: rare terms outrank common ones, deterministic ties, k bound") {
+    // 'rare' appears once in doc 1 only; 'common' in every doc
+    val df = Seq(
+      (1L, "common rare common alpha"),
+      (2L, "common beta beta"),
+      (3L, "common gamma")).toDF("id", "text")
+    val out = TextAnalysis.tfIdfKeywords(df, "id", col("text"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toList
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(doc1.head != "common", out) // idf of the everywhere-term is ln(1)=0
+    assert(doc1.size == 2)
+    // doc 2: beta tf=2 idf=ln(3) outranks common tf=1 idf=0
+    assert(out.filter(_._1 == 2L).minBy(_._2)._3 == "beta", out)
+    // empty doc emits nothing
+    val out2 = TextAnalysis.tfIdfKeywords(
+      Seq((9L, "")).toDF("id", "text"), "id", col("text"))
+    assert(out2.count() == 0)
+  }
 }
