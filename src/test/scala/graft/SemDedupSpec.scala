@@ -3,7 +3,10 @@ package graft
 import graft.pipeline._
 import org.apache.spark.sql.functions._
 
-/** SemDeDup semantic near-dup pairs + character-entropy quality signal. */
+/** Round-7 curation ops: SemDeDup semantic near-dup pairs/removal, the
+  * char-entropy and readability quality signals, TF-IDF keywords, the
+  * codegen'd cosine kernel, and the streaming form of the row-local stages.
+  */
 class SemDedupSpec extends SparkSpec {
   import spark.implicits._
 
