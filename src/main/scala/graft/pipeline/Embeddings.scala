@@ -71,4 +71,22 @@ object Embeddings {
         transform(col("__pairs"), p => p.getField("__mean")).as("centroid"))
       .withColumn("centroid_norm", round(l2Norm(col("centroid")), roundTo))
   }
+
+  /** Topic/cluster assignment: each row labeled with its nearest centroid
+    * (max dot against the L2-normalized centroid list; ties → lowest index)
+    * — the corpus-bucketing step before per-topic sampling or domain mixing.
+    * Row-local and codegen'd (the [[NearestCentroids]] IVF kernel; centroids
+    * broadcast as a reference object, zero shuffle). Train centroids with
+    * [[Similarity.trainKMeans]] on a capped sample, or pass any external
+    * quantizer.
+    */
+  def assignClusters(df: DataFrame, vecCol: String,
+                     centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "assignClusters needs at least one centroid")
+    import org.apache.spark.sql.GraftColumnBridge
+    val cluster = GraftColumnBridge.column(NearestCentroids(
+      GraftColumnBridge.expression(col(vecCol).cast("array<double>")),
+      centroids, 1))(0)
+    df.withColumn("cluster", cluster)
+  }
 }

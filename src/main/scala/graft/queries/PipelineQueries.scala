@@ -780,7 +780,7 @@ object PipelineQueries {
     streamingNearDupQuery :+ lmBigramsQuery :+ lmPerplexityQuery :+
     stripMarkupQuery :+ stratifiedSplitQuery :+ semanticDedupQuery :+
     semanticDedupRemoveQuery :+ charEntropyQuery :+ readabilityQuery :+
-    tfIdfKeywordsQuery
+    tfIdfKeywordsQuery :+ embeddingClustersQuery
 
   /** Oracle gate for the cross-batch streaming near-dup pipeline (VERDICT r6
     * "Next #4" — the one pipeline op that had no CORRECTNESS row). A real
@@ -1091,6 +1091,28 @@ object PipelineQueries {
              |  WHERE list_cosine_similarity(x.v, y.v) >= 0.9965)
              |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT id FROM drop)
              |ORDER BY vec_id""".stripMargin))
+
+  /** Cluster-assignment gate: same fixed identity centroids and argmax-dot
+    * replay as the SemDeDup gates, but over the full assignment output (plus
+    * a per-cluster size rollup exercising the downstream groupBy).
+    */
+  private def embeddingClustersQuery: (String, QueryDef) =
+    "pipe_embedding_clusters" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 4).as("v4"))
+        Embeddings.assignClusters(emb, "v4",
+          Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0),
+            Array(0, 0, 1.0, 0), Array(0, 0, 0, 1.0)))
+          .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+             |SELECT vec_id,
+             |  CAST(CASE WHEN v[1] >= v[2] AND v[1] >= v[3] AND v[1] >= v[4] THEN 0
+             |       WHEN v[2] >= v[3] AND v[2] >= v[4] THEN 1
+             |       WHEN v[3] >= v[4] THEN 2 ELSE 3 END AS INT) AS cluster
+             |FROM e ORDER BY vec_id""".stripMargin))
 
   /** Readability gate: every count and both ratio formulas recomputed in
     * DuckDB from the same three regex passes.

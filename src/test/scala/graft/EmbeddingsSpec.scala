@@ -68,4 +68,17 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got("b")._2.toSeq == Seq(3.0, 5.0)) // mean of (6,8),(0,2)
     assert(got("b")._3 == math.sqrt(34.0).floor / 1 || got("b")._3 == 5.830952) // rounded norm
   }
+
+  test("assignClusters labels rows with the nearest centroid, zero shuffle") {
+    val df = Seq(
+      (1L, Seq(5.0, 0.1)), (2L, Seq(0.1, 3.0)), (3L, Seq(1.0, 1.0)))
+      .toDF("id", "v")
+    val out = Embeddings.assignClusters(df, "v",
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val got = out.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0), got) // tie -> lowest index
+    val exchanges = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 0, out.queryExecution.executedPlan.toString)
+  }
 }
