@@ -166,8 +166,25 @@ final class GazetteerNerEngine(threshold: Double = 0.6) extends NerEngine {
   private def uncasedOrg(w: Vector[String]): Boolean = {
     var i = 1
     while (i < w.length) {
-      if (OrgSuffixes(w(i)) && !OrgSuffixes(w(i - 1)) &&
-        (i >= 2 && OrgCues(w(i - 2)) || i >= 3 && OrgCues(w(i - 3)))) return true
+      if (OrgSuffixes(w(i)) && !OrgSuffixes(w(i - 1))) {
+        // candidate name spans of 1-4 tokens ending at the suffix; the
+        // attachment cue must sit within TWO tokens before the span START
+        // (anchoring the window at the suffix instead silently capped org
+        // names at two tokens — "works at acme global data systems" has its
+        // cue four back from the suffix but directly before the span). Name
+        // tokens must be content words: letting function words into the
+        // span would stretch any nearby cue into a false positive
+        // ("...sort the table BY key and merge the GROUP").
+        var len = 1
+        var contentOk = true
+        while (contentOk && len <= 4 && i - len >= 1) {
+          val start = i - len
+          if (FunctionWords(w(start))) contentOk = false
+          else if (OrgCues(w(start - 1)) ||
+            (start >= 2 && OrgCues(w(start - 2)))) return true
+          len += 1
+        }
+      }
       i += 1
     }
     false
@@ -264,6 +281,12 @@ object GazetteerNerEngine {
     "oklahoma", "oregon", "pennsylvania", "rhode island", "south carolina",
     "south dakota", "tennessee", "texas", "utah", "vermont", "virginia",
     "washington", "west virginia", "wisconsin", "wyoming")
+
+  /** Function words that cannot be part of an uncased org NAME span (they
+    * stretch the cue window into false positives).
+    */
+  private val FunctionWords: Set[String] =
+    graft.pipeline.TextAnalysis.EnglishStopwords.toSet
 
   /** Soft context cues within 3 tokens before the span. */
   private val ContextCues: Set[String] =

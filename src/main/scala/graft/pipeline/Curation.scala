@@ -71,11 +71,14 @@ object Curation {
     val parts = groupCols.map(col)
     val ordered = Window.partitionBy(parts: _*).orderBy(portableHash(id), id)
     val whole = Window.partitionBy(parts: _*)
+    // round to 9 dp before ceil: IEEE products like 100 * 0.55 =
+    // 55.00000000000001 would otherwise ceil to 56 and silently break the
+    // documented exact quota (the DuckDB oracle applies the same rounding)
     df.withColumn("__split_rn", row_number().over(ordered))
       .withColumn("__split_n", count(lit(1)).over(whole))
       .withColumn("split",
         when(col("__split_rn") <=
-          ceil(col("__split_n") * lit(valFraction)).cast("long"), lit("val"))
+          ceil(round(col("__split_n") * lit(valFraction), 9)).cast("long"), lit("val"))
           .otherwise(lit("train")))
       .drop("__split_rn", "__split_n")
   }

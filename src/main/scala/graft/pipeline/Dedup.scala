@@ -388,14 +388,11 @@ object Dedup {
     PipelineGuards.requireBatch(df, "semanticDupPairs")
     require(centroids.nonEmpty, "semanticDupPairs needs at least one centroid")
     import org.apache.spark.sql.GraftColumnBridge
-    val normed = centroids.map { c =>
-      val n = math.sqrt(c.map(x => x * x).sum)
-      if (n == 0) c else c.map(_ / n)
-    }
     val base = df.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
+    // raw centroids: NearestCentroids L2-normalizes internally
     val cluster = GraftColumnBridge.column(NearestCentroids(
-      GraftColumnBridge.expression(col("__v")), normed, 1))(0)
+      GraftColumnBridge.expression(col("__v")), centroids, 1))(0)
     val assigned = base.select(col("__id"), col("__v"), cluster.as("__cluster"))
     // skew guard as an unbounded window count: ONE exchange on the cluster
     // key and ONE assignment evaluation (the groupBy+join-back alternative

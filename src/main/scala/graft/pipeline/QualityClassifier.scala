@@ -32,10 +32,13 @@ final case class QualityModel(bias: Double, weights: Map[String, Double])
   */
 object QualityClassifier {
 
-  // Locale.ROOT, not the JVM default: the Column-side tokenizer
-  // (TextAnalysis.wsTokens) lowercases via Spark's locale-independent
-  // lower(); a Turkish-locale JVM ('I' -> dotless 'ı') would otherwise
-  // drift the JVM-side tokens from the vocab/merge tables trained on it.
+  // Locale.ROOT, not the JVM default, so JVM-side scoring is deterministic
+  // across hosts. Parity caveat: Spark's lower() is locale-independent only
+  // on the ASCII fast path — for NON-ASCII strings UTF8String delegates to
+  // default-locale String.toLowerCase, so on e.g. a Turkish-default JVM a
+  // non-ASCII corpus can tokenize differently in wsTokens-trained
+  // vocab/merge tables than here. Run non-ASCII pipelines with a ROOT-ish
+  // default locale (-Duser.language=en) or normalize text upstream.
   private[pipeline] def tokenize(text: String): Array[String] =
     if (text == null) Array.empty
     else text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).filter(_.nonEmpty)

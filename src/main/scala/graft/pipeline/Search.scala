@@ -26,16 +26,6 @@ object Search {
     */
   private def toks(text: Column): Column = TextAnalysis.wsTokens(text)
 
-  /** BM25 top-k documents per query (Robertson/Sparck Jones; the Lucene
-    * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf variant, so scores are always
-    * positive). Returns (queryIdCol, rank, idCol, score), rank 1..k by
-    * descending score with the doc id as the deterministic tie-break.
-    *
-    * Per-term contributions are rounded to 6 decimals and summed as
-    * DECIMAL(38,6): the sum is exact and order-independent, so scores — and
-    * therefore ranks — are bit-stable across partitionings, reruns, and
-    * engines.
-    */
   /** Distinct-term count at which the row-local literal filter hands off to
     * the explode + broadcast-semi-join path. Swept in PipeBench at 1M
     * ~50-token docs (SPARK_GRAFT_BM25_SWEEP=1; COVERAGE.md r7): literal
@@ -47,6 +37,16 @@ object Search {
     */
   val DefaultTermFilterThreshold = 256
 
+  /** BM25 top-k documents per query (Robertson/Sparck Jones; the Lucene
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf variant, so scores are always
+    * positive). Returns (queryIdCol, rank, idCol, score), rank 1..k by
+    * descending score with the doc id as the deterministic tie-break.
+    *
+    * Per-term contributions are rounded to 6 decimals and summed as
+    * DECIMAL(38,6): the sum is exact and order-independent, so scores — and
+    * therefore ranks — are bit-stable across partitionings, reruns, and
+    * engines.
+    */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, queryIdCol: String, queryTextCol: String,
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75,

@@ -1031,7 +1031,7 @@ object PipelineQueries {
              |        row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn,
              |        count(*) OVER (PARTITION BY lang) AS n
              |      FROM h)
-             |SELECT doc_id, CASE WHEN rn <= ceil(n * 0.2) THEN 'val' ELSE 'train' END AS split
+             |SELECT doc_id, CASE WHEN rn <= ceil(round(n * 0.2, 9)) THEN 'val' ELSE 'train' END AS split
              |FROM r ORDER BY doc_id""".stripMargin))
 
   /** SemDeDup gate: FIXED literal centroids (the 4-dim identity — already

@@ -144,6 +144,17 @@ class LmSpec extends SparkSpec {
     assert(exchanges <= 1, out.queryExecution.executedPlan.toString)
   }
 
+  test("stratifiedSplit quota is exact when n*frac is a whole number in decimal") {
+    // IEEE: 100 * 0.55 = 55.00000000000001 — naive ceil would take 56
+    val df = (1 to 100).map(i => (i.toLong, "g")).toDF("id", "grp")
+    val nVal = Curation.stratifiedSplit(df, Seq("grp"), col("id"), 0.55)
+      .where(col("split") === "val").count()
+    assert(nVal == 55L, nVal)
+    // and 0.07 * 100 -> 7, not 8
+    assert(Curation.stratifiedSplit(df, Seq("grp"), col("id"), 0.07)
+      .where(col("split") === "val").count() == 7L)
+  }
+
   test("stratifiedSplit edge fractions: 0 -> all train, 1 -> all val") {
     val df = (1 to 10).map(i => (i.toLong, "g")).toDF("id", "grp")
     assert(Curation.stratifiedSplit(df, Seq("grp"), col("id"), 0.0)

@@ -207,7 +207,11 @@ class PiiSpec extends SparkSpec {
     val orgPos = Seq(
       "she works at acme corp now",
       "he joined vertex technologies in march",
-      "the grant was funded by the knight foundation")
+      "the grant was funded by the knight foundation",
+      // 3+-token org names: the cue window anchors at the span START (the
+      // pre-fix suffix-anchored window silently capped names at two tokens)
+      "works at acme global data systems",
+      "employed by northern lights research group since june")
     val locPos = Seq(
       "we met in paris last summer",
       "flights from new york to berlin are cheap",
