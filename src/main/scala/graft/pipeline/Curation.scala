@@ -197,4 +197,36 @@ object Curation {
       .withColumn("is_contaminated", coalesce(col("__contaminated"), lit(false)))
       .drop("__doc_id", "__contaminated")
   }
+
+  /** Embedding-space eval decontamination: a document is contaminated if its
+    * embedding lies within cosine `threshold` of ANY eval-set embedding — the
+    * semantic complement of [[decontaminate]]'s n-gram rule (catches
+    * paraphrases and format-shifted copies that share no 8-gram with the
+    * benchmark). Returns the corpus with an `is_contaminated` boolean.
+    *
+    * Plan shape: the eval set is tiny by construction, so it broadcasts; the
+    * contaminated-id set comes from a broadcast nested-loop SEMI join — the
+    * corpus never shuffles, each partition streams once past the broadcast
+    * eval vectors through the codegen'd [[CosineSimilarity]] kernel, and the
+    * (small) id set broadcasts back onto the corpus for the flag. Cost is
+    * corpus_rows × eval_rows kernel calls with zero data movement — for eval
+    * sets past ~10^5 vectors, cluster the eval set first (assignClusters) and
+    * prefilter by centroid. NaN similarities (zero-norm vectors) never flag:
+    * Spark orders NaN above every value, so the predicate guards it.
+    */
+  def decontaminateSemantic(corpus: DataFrame, id: Column, vec: Column,
+                            evalDf: DataFrame, evalVec: Column,
+                            threshold: Double): DataFrame = {
+    val ev = evalDf.select(evalVec.cast("array<double>").as("__eval_vec"))
+    val sim = Similarity.cosine(col("__v"), col("__eval_vec"))
+    val contaminatedIds = corpus
+      .select(id.as("__doc_id"), vec.cast("array<double>").as("__v"))
+      .join(broadcast(ev), !isnan(sim) && sim >= lit(threshold), "left_semi")
+      .select("__doc_id").distinct()
+      .withColumn("__contaminated", lit(true))
+    corpus
+      .join(broadcast(contaminatedIds), id === col("__doc_id"), "left_outer")
+      .withColumn("is_contaminated", coalesce(col("__contaminated"), lit(false)))
+      .drop("__doc_id", "__contaminated")
+  }
 }

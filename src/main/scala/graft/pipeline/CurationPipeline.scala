@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import graft.rules.ChecksSerializer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative corpus-curation pipeline: the pipeline-side analog of the
+  * engine's metadata-driven check surface (reference pattern:
+  * /root/reference/src/databricks/labs/dqx/engine.py:236 applyChecksByMetadata
+  * — config in, one plan out). A curation run is declared as an ordered list
+  * of step dicts (YAML or programmatic), each dispatching to the library's
+  * existing kernels (TextAnalysis / Dedup / Curation / PiiChecks); the runner
+  * validates the config up front (unknown step or parameter fails fast with
+  * the catalog, mirroring the reference's validate_checks contract) and folds
+  * the steps into ONE DataFrame.
+  *
+  * Scale shape: every transform/filter step is row-local, so consecutive
+  * row-local steps fuse into a single whole-stage-codegen'd pass over the
+  * scan — a ten-step cleaning recipe costs one corpus read. Shuffles appear
+  * only where the STEP semantics need them (dedup_exact: one hash shuffle;
+  * dedup_lines: the line-hash aggregation plus an id-partitioned regroup;
+  * sample_quota: one group-key shuffle) and are exactly the shuffles the
+  * underlying kernel documents. Step order is the user's cost lever: putting
+  * row-local filters before corpus-global dedup shrinks the shuffled volume,
+  * and the runner preserves declaration order so that choice is explicit.
+  *
+  * With `observePrefix` set, each step appends a `CollectMetrics` node
+  * (`<prefix><i>_<step>` / `rows_out`) — per-step survivor counts arrive with
+  * the action through the standard observation listener, costing no extra
+  * pass, same mechanism as the engine's check metrics (Metrics.scala).
+  */
+object CurationPipeline {
+
+  /** step name -> allowed parameter keys (beyond "step" itself). */
+  val StepCatalog: Map[String, Set[String]] = Map(
+    "normalize" -> Set.empty,
+    "strip_markup" -> Set.empty,
+    "c4_clean" -> Set.empty,
+    "redact_pii" -> Set.empty,
+    "filter_length" -> Set("min_chars", "max_chars"),
+    "filter_quality" -> Set("min_tokens", "max_tokens", "max_punct_ratio", "min_stopword_ratio"),
+    "filter_repetition" -> Set("max_dup_word_frac", "max_top_word_frac",
+      "max_dup_2gram_frac", "max_dup_3gram_frac"),
+    "filter_c4" -> Set("min_sentences"),
+    "filter_language" -> Set("langs", "column"),
+    "filter_regex" -> Set("pattern", "mode"),
+    "dedup_exact" -> Set("key"),
+    "dedup_lines" -> Set("max_occurrences"),
+    "sample_hash" -> Set("fraction"),
+    "sample_quota" -> Set("group_cols", "quota"),
+    "sample_weights" -> Set("group_col", "weights", "default_weight"))
+
+  /** Parse a YAML (or JSON) step list and run it. */
+  def fromYaml(df: DataFrame, yaml: String, idCol: String = "doc_id",
+               textCol: String = "text", observePrefix: Option[String] = None): DataFrame =
+    apply(df, ChecksSerializer.parseYaml(yaml), idCol, textCol, observePrefix)
+
+  /** Validate then fold the steps, in declaration order, into one plan. */
+  def apply(df: DataFrame, steps: Seq[Map[String, Any]], idCol: String = "doc_id",
+            textCol: String = "text", observePrefix: Option[String] = None): DataFrame = {
+    steps.zipWithIndex.foreach { case (m, i) => validate(m, i) }
+    steps.zipWithIndex.foldLeft(df) { case (cur, (m, i)) =>
+      val name = m("step").toString
+      val out = applyStep(cur, name, m, idCol, textCol)
+      observePrefix match {
+        case Some(p) => out.observe(s"$p${i}_$name", count(lit(1)).as("rows_out"))
+        case None => out
+      }
+    }
+  }
+
+  private def validate(m: Map[String, Any], i: Int): Unit = {
+    val name = m.getOrElse("step",
+      throw new IllegalArgumentException(s"curation step $i: missing 'step' key")).toString
+    val allowed = StepCatalog.getOrElse(name, throw new IllegalArgumentException(
+      s"curation step $i: unknown step '$name'; known steps: ${StepCatalog.keys.toSeq.sorted.mkString(", ")}"))
+    val extra = m.keySet - "step" -- allowed
+    if (extra.nonEmpty) throw new IllegalArgumentException(
+      s"curation step $i ('$name'): unknown parameter(s) ${extra.toSeq.sorted.mkString(", ")}; " +
+        (if (allowed.isEmpty) "this step takes no parameters"
+         else s"allowed: ${allowed.toSeq.sorted.mkString(", ")}"))
+  }
+
+  private def applyStep(df: DataFrame, name: String, m: Map[String, Any],
+                        idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    name match {
+      case "normalize" => df.withColumn(textCol, TextAnalysis.normalizeText(text))
+      case "strip_markup" => df.withColumn(textCol, TextAnalysis.stripMarkup(text))
+      case "c4_clean" => df.withColumn(textCol, TextAnalysis.c4CleanedText(text))
+      case "redact_pii" => df.withColumn(textCol, graft.checks.PiiChecks.redactPii(text))
+      case "filter_length" =>
+        df.where(length(coalesce(text, lit(""))).between(
+          num(m, "min_chars").getOrElse(0.0).toLong,
+          num(m, "max_chars").getOrElse(Long.MaxValue.toDouble).toLong))
+      case "filter_quality" =>
+        df.where(TextAnalysis.qualityFilter(text,
+          minTokens = num(m, "min_tokens").getOrElse(5.0).toInt,
+          maxTokens = num(m, "max_tokens").getOrElse(100000.0).toInt,
+          maxPunctRatio = num(m, "max_punct_ratio").getOrElse(0.3),
+          minStopwordRatio = num(m, "min_stopword_ratio").getOrElse(0.0)))
+      case "filter_repetition" =>
+        df.where(TextAnalysis.repetitionFilter(text,
+          maxDupWordFrac = num(m, "max_dup_word_frac").getOrElse(0.63),
+          maxTopWordFrac = num(m, "max_top_word_frac").getOrElse(0.3),
+          maxDup2GramFrac = num(m, "max_dup_2gram_frac").getOrElse(0.2),
+          maxDup3GramFrac = num(m, "max_dup_3gram_frac").getOrElse(0.18)))
+      case "filter_c4" =>
+        df.where(TextAnalysis.c4Keep(text, num(m, "min_sentences").getOrElse(5.0).toInt))
+      case "filter_language" =>
+        val langs = strList(m, "langs").getOrElse(throw new IllegalArgumentException(
+          "filter_language: 'langs' is required"))
+        val langCol = str(m, "column").map(col).getOrElse(TextAnalysis.languageId(text))
+        df.where(langCol.isin(langs: _*))
+      case "filter_regex" =>
+        val pattern = str(m, "pattern").getOrElse(throw new IllegalArgumentException(
+          "filter_regex: 'pattern' is required"))
+        str(m, "mode").getOrElse("keep") match {
+          case "keep" => df.where(coalesce(text, lit("")).rlike(pattern))
+          case "drop" => df.where(!coalesce(text, lit("")).rlike(pattern))
+          case other => throw new IllegalArgumentException(
+            s"filter_regex: mode must be keep|drop, got '$other'")
+        }
+      case "dedup_exact" =>
+        val key = str(m, "key").getOrElse(textCol)
+        Dedup.dedupExact(df, Seq(col(key)), col(idCol))
+      case "dedup_lines" =>
+        // dedupLines projects to (id, cleaned text); regroup is partitioned by
+        // id, so the join-back to the carried columns reuses that partitioning
+        val cleaned = Dedup.dedupLines(df, idCol, textCol,
+          num(m, "max_occurrences").getOrElse(1.0).toLong)
+        df.drop(textCol).join(cleaned, Seq(idCol))
+      case "sample_hash" =>
+        Curation.hashSample(df, col(idCol), num(m, "fraction").getOrElse(
+          throw new IllegalArgumentException("sample_hash: 'fraction' is required")))
+      case "sample_quota" =>
+        Curation.quotaSample(df,
+          strList(m, "group_cols").getOrElse(throw new IllegalArgumentException(
+            "sample_quota: 'group_cols' is required")),
+          col(idCol),
+          num(m, "quota").getOrElse(throw new IllegalArgumentException(
+            "sample_quota: 'quota' is required")).toInt)
+      case "sample_weights" =>
+        Curation.sampleByWeights(df,
+          col(str(m, "group_col").getOrElse(throw new IllegalArgumentException(
+            "sample_weights: 'group_col' is required"))),
+          numMap(m, "weights"), col(idCol),
+          num(m, "default_weight").getOrElse(1.0))
+    }
+  }
+
+  // ------------------------------------------------------------ param access
+
+  private def str(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).map(_.toString)
+
+  private def num(m: Map[String, Any], k: String): Option[Double] = m.get(k).map {
+    case n: Number => n.doubleValue()
+    case s: String => s.toDouble
+    case other => throw new IllegalArgumentException(
+      s"parameter '$k': expected a number, got $other")
+  }
+
+  private def strList(m: Map[String, Any], k: String): Option[Seq[String]] = m.get(k).map {
+    case l: Seq[_] => l.map(_.toString)
+    case l: java.util.List[_] => { import scala.jdk.CollectionConverters._
+      l.asScala.map(_.toString).toSeq }
+    case s: String => Seq(s)
+    case other => throw new IllegalArgumentException(
+      s"parameter '$k': expected a list, got $other")
+  }
+
+  private def numMap(m: Map[String, Any], k: String): Map[String, Double] = m.get(k) match {
+    case Some(mm: Map[_, _]) =>
+      mm.map { case (kk, v) => String.valueOf(kk) -> (v match {
+        case n: Number => n.doubleValue()
+        case s: String => s.toDouble
+        case other => throw new IllegalArgumentException(
+          s"parameter '$k': expected numeric values, got $other")
+      })}
+    case Some(jm: java.util.Map[_, _]) => { import scala.jdk.CollectionConverters._
+      numMap(m.updated(k, jm.asScala.map { case (kk, v) => String.valueOf(kk) -> (v: Any) }.toMap), k) }
+    case Some(other) => throw new IllegalArgumentException(
+      s"parameter '$k': expected a map, got $other")
+    case None => throw new IllegalArgumentException(s"sample_weights: '$k' is required")
+  }
+}

@@ -429,6 +429,35 @@ object PipelineQueries {
              |SELECT doc_id, (doc_id IN (SELECT doc_id FROM cont)) AS is_contaminated
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Semantic decontamination gate: corpus = embeddings (4-dim slice) plus
+    // planted scaled copies of every eval vector (×1.5 — same direction, so
+    // cosine is 1 up to float ulps: a "paraphrase" no n-gram rule can see).
+    // Threshold 0.999 sits mid-gap: self/scaled matches are >= 1 - 2e-16,
+    // the nearest ambient max-sim-to-eval is 0.99790 (probed in DuckDB), so
+    // cross-engine float drift cannot flip a row.
+    "pipe_decontaminate_semantic" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 4).as("v4"))
+        val evalSet = emb.where(col("vec_id") % 25 === 0)
+        val planted = evalSet.select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("v4"), x => x * 1.5).as("v4"))
+        Curation.decontaminateSemantic(emb.unionByName(planted),
+          col("vec_id"), col("v4"), evalSet, col("v4"), threshold = 0.999)
+          .select(col("vec_id"), col("is_contaminated"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |corpus AS (SELECT vec_id, v FROM e
+             |           UNION ALL
+             |           SELECT vec_id + 100000, list_transform(v, x -> x * 1.5)
+             |           FROM e WHERE vec_id % 25 = 0),
+             |ev AS (SELECT v FROM e WHERE vec_id % 25 = 0),
+             |cont AS (SELECT DISTINCT c.vec_id FROM corpus c JOIN ev
+             |         ON list_cosine_similarity(c.v, ev.v) >= 0.999)
+             |SELECT vec_id, (vec_id IN (SELECT vec_id FROM cont)) AS is_contaminated
+             |FROM corpus ORDER BY vec_id""".stripMargin)),
+
     "pipe_curation_hash_sample" -> QueryDef(
       (s, dir) => Curation.hashSample(
         t(s, dir, "documents"), col("doc_id"), 0.25)
@@ -445,6 +474,39 @@ object PipelineQueries {
              |            (doc_id % 2147483648) * 2654435761 % 4294967296 AS hv FROM documents),
              |r AS (SELECT doc_id, row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn FROM h)
              |SELECT doc_id FROM r WHERE rn <= 200 ORDER BY doc_id""".stripMargin)),
+
+    // Declarative curation run: YAML config -> one plan. Every step's
+    // semantics is independently oracle-gated elsewhere; this gate pins the
+    // COMPOSITION (ordering, text threading through transforms, id survival
+    // through dedup + sampling) by replaying the whole recipe in SQL.
+    "pipe_curation_pipeline" -> QueryDef(
+      (s, dir) => {
+        val yaml =
+          """- step: normalize
+            |- step: filter_length
+            |  min_chars: 100
+            |- step: filter_regex
+            |  pattern: the
+            |  mode: keep
+            |- step: dedup_exact
+            |- step: sample_hash
+            |  fraction: 0.5
+            |""".stripMargin
+        CurationPipeline.fromYaml(t(s, dir, "documents"), yaml)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_norm_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH norm AS (
+             |  SELECT doc_id,
+             |         trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS text
+             |  FROM documents),
+             |f AS (SELECT doc_id, text FROM norm
+             |      WHERE length(text) >= 100 AND regexp_matches(text, 'the')),
+             |d AS (SELECT doc_id, text FROM f
+             |      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text))
+             |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_norm_chars FROM d
+             |WHERE (doc_id % 2147483648) * 2654435761 % 4294967296 < 2147483648
+             |ORDER BY doc_id""".stripMargin)),
 
     "pipe_embedding_stats" -> QueryDef(
       (s, dir) => Embeddings.groupStats(

@@ -1,0 +1,103 @@
+package graft
+
+import graft.pipeline.{Curation, CurationPipeline, Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog. It was a sunny day and the walk was long.", "en"),
+    (2L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG. IT WAS A SUNNY DAY AND THE WALK WAS LONG.", "en"),
+    (3L, "short", "en"),
+    (4L, "Ein kurzer Satz ohne das englische Wort.", "de"),
+    (5L, "A completely different document with the word in it, long enough to clear every single length filter here.", "en"),
+    (6L, null.asInstanceOf[String], "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("steps compose in declaration order and thread the text column") {
+    val yaml =
+      """- step: normalize
+        |- step: filter_length
+        |  min_chars: 40
+        |- step: filter_regex
+        |  pattern: the
+        |- step: dedup_exact
+        |""".stripMargin
+    val out = CurationPipeline.fromYaml(docs, yaml)
+    val rows = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    // 1 and 2 normalize to the same text -> keep-first keeps doc 1
+    assert(rows.keySet == Set(1L, 5L))
+    assert(rows(1L) == rows.getOrElse(1L, "").toLowerCase)
+    // other columns survive the pipeline
+    assert(out.columns.contains("lang"))
+  }
+
+  test("sampling steps dispatch to the deterministic kernels") {
+    val df = spark.range(0, 1000).toDF("doc_id").withColumn("text", lit("x"))
+      .withColumn("g", when(col("doc_id") % 2 === 0, "a").otherwise("b"))
+    val viaPipeline = CurationPipeline(df,
+      Seq(Map("step" -> "sample_hash", "fraction" -> 0.25)))
+      .select("doc_id").as[Long].collect().toSet
+    val direct = Curation.hashSample(df, col("doc_id"), 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaPipeline == direct)
+    val weighted = CurationPipeline(df, Seq(Map("step" -> "sample_weights",
+      "group_col" -> "g", "weights" -> Map("a" -> 1.0, "b" -> 0.0))))
+    assert(weighted.select("g").distinct().as[String].collect().toSeq == Seq("a"))
+    val quota = CurationPipeline(df, Seq(Map("step" -> "sample_quota",
+      "group_cols" -> Seq("g"), "quota" -> 7)))
+    assert(quota.groupBy("g").count().as[(String, Long)].collect().toMap
+      .values.forall(_ == 7L))
+  }
+
+  test("dedup_lines step preserves carried columns via the id join-back") {
+    val df = Seq(
+      (1L, "keep me\nBOILER\nunique one", "a"),
+      (2L, "BOILER\nanother unique", "b")
+    ).toDF("doc_id", "text", "src")
+    val out = CurationPipeline(df, Seq(Map("step" -> "dedup_lines")))
+    val m = out.select("doc_id", "text", "src").as[(Long, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == (("keep me\nunique one", "a")))
+    assert(m(2L) == (("another unique", "b")))
+  }
+
+  test("unknown step and unknown parameter fail fast with the catalog") {
+    val e1 = intercept[IllegalArgumentException] {
+      CurationPipeline(docs, Seq(Map("step" -> "no_such_step")))
+    }
+    assert(e1.getMessage.contains("unknown step") && e1.getMessage.contains("dedup_exact"))
+    val e2 = intercept[IllegalArgumentException] {
+      CurationPipeline(docs, Seq(Map("step" -> "filter_length", "min_char" -> 3)))
+    }
+    assert(e2.getMessage.contains("min_char") && e2.getMessage.contains("min_chars"))
+    val e3 = intercept[IllegalArgumentException] {
+      CurationPipeline(docs, Seq(Map("step" -> "filter_regex", "mode" -> "keep")))
+    }
+    assert(e3.getMessage.contains("pattern"))
+  }
+
+  test("row-local steps fuse into one scan and observe metrics per step") {
+    val named = CurationPipeline(docs, Seq(
+      Map("step" -> "normalize"),
+      Map("step" -> "filter_length", "min_chars" -> 40),
+      Map("step" -> "filter_regex", "pattern" -> "the")),
+      observePrefix = Some("cur_"))
+    // single stage: no exchange anywhere in the plan for row-local steps
+    val plan = named.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), plan)
+    named.collect()
+    val observed = named.queryExecution.observedMetrics
+      .map { case (k, row) => k -> row.getAs[Long]("rows_out") }
+    assert(observed.get("cur_0_normalize").contains(6L))
+    assert(observed.get("cur_1_filter_length").contains(4L))
+    assert(observed.get("cur_2_filter_regex").contains(3L))
+  }
+
+  test("language filter uses an existing column when told to") {
+    val out = CurationPipeline(docs, Seq(Map("step" -> "filter_language",
+      "langs" -> Seq("de"), "column" -> "lang")))
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(4L))
+  }
+}

@@ -191,4 +191,25 @@ class CurationSpec extends SparkSpec {
     assert(multi.count() == df.count())
     assert(multi.select("doc_id").distinct().count() == df.count())
   }
+
+  test("decontaminateSemantic flags near-eval embeddings, never NaN, never shuffles the corpus") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),   // exact eval member direction
+      (2L, Seq(2.0, 0.0, 0.0)),   // scaled copy -> cosine 1
+      (3L, Seq(0.0, 1.0, 0.0)),   // orthogonal -> clean
+      (4L, Seq(0.9, 0.1, 0.0)),   // close but below 0.999
+      (5L, Seq(0.0, 0.0, 0.0))    // zero norm -> NaN sim -> must stay clean
+    ).toDF("id", "v")
+    val eval = Seq(Tuple1(Seq(1.0, 0.0, 0.0))).toDF("ev")
+    val out = Curation.decontaminateSemantic(corpus, col("id"), col("v"),
+      eval, col("ev"), threshold = 0.999)
+    val flags = out.select("id", "is_contaminated").as[(Long, Boolean)].collect().toMap
+    assert(flags == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false, 5L -> false))
+    // the corpus side never shuffles: the eval probe is a broadcast
+    // nested-loop semi join and the flag comes back via a broadcast hash
+    // join (the only exchange in the plan is the tiny matched-id distinct)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
 }
