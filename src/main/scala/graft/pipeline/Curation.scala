@@ -229,4 +229,68 @@ object Curation {
       .withColumn("is_contaminated", coalesce(col("__contaminated"), lit(false)))
       .drop("__doc_id", "__contaminated")
   }
+
+  /** Epoch mixing with UPSAMPLING — the data-mixing step of a pretraining run
+    * (Wikipedia ×2.4, code ×1.1, web ×0.7 …): each row is emitted
+    * `floor(w)` times plus one more with probability `frac(w)`, where `w` is
+    * its group's mixing weight. The fractional draw uses the portable hash of
+    * `id` under a distinct salt, so it is reproducible across runs/engines and
+    * independent of [[hashSample]]/[[sampleByWeights]] decisions on the same
+    * ids. Adds an `epoch_copy` column (0-based copy index — downstream shard
+    * assignment should key on (id, epoch_copy) so copies spread apart).
+    * Weights in [0,1) degrade to exactly [[sampleByWeights]] semantics under
+    * the salted draw; weights ≥ 1 are what that operator cannot express.
+    *
+    * Scale shape: row-local CASE chain + generator, zero shuffle; output size
+    * is the weighted sum the caller configured, so there is no blow-up beyond
+    * the declared mix.
+    */
+  def epochMix(df: DataFrame, group: Column, weights: Map[String, Double],
+               id: Column, defaultWeight: Double = 1.0): DataFrame = {
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
+      "weights must be non-negative repeat factors")
+    def chain(f: Double => Long): Column = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(f(defaultWeight))) { case (acc, (k, w)) =>
+        when(group === lit(k), lit(f(w))).otherwise(acc)
+      }
+    val whole = chain(w => math.floor(w).toLong)
+    val cut = chain(w => ((w - math.floor(w)) * 4294967296.0).toLong)
+    val bonus = when(saltedHash(id, EpochMixSalt) < cut, lit(1L)).otherwise(lit(0L))
+    df.withColumn("__reps", (whole + bonus).cast("int"))
+      .select(col("*"), posexplode(array_repeat(lit(true), col("__reps"))))
+      .withColumn("epoch_copy", col("pos").cast("long"))
+      .drop("__reps", "pos", "col")
+  }
+
+  /** Salted portable hash: reduce `id` mod 2^31 BEFORE adding the prime salt
+    * so the sum can never overflow int64 under ANSI mode; replay in SQL as
+    * `portableHash(id % 2^31 + salt)`. */
+  def saltedHash(id: Column, salt: Long): Column =
+    portableHash(pmod(id.cast("long"), lit(2147483648L)) + lit(salt))
+
+  /** Salt for [[epochMix]]'s fractional draw (prime offset into the portable
+    * hash's input space). */
+  val EpochMixSalt: Long = 1000003L
+
+  /** Deterministic training-shard assignment: adds `shard` (portable hash of
+    * `id` mod `numShards`) and `shard_order` (an independent salted hash) —
+    * the export step that turns a curated corpus into N training files with a
+    * reproducible within-shard shuffle order. Pure column arithmetic, zero
+    * shuffle: the one data movement is the final
+    * `write.partitionBy("shard")` (or `repartition($"shard")`), which is the
+    * write itself, not this operator. Sorting each shard by `shard_order`
+    * gives the epoch-shuffle order without ever materializing a global sort:
+    * `sortWithinPartitions` after the repartition keeps it per-shard.
+    *
+    * Pass a composite `id` (e.g. `id * K + epoch_copy`) when the input went
+    * through [[epochMix]] so copies of a document scatter across shards.
+    */
+  def shardAssign(df: DataFrame, id: Column, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    df.withColumn("shard", pmod(portableHash(id), lit(numShards.toLong)))
+      .withColumn("shard_order", saltedHash(id, ShardOrderSalt))
+  }
+
+  /** Salt for [[shardAssign]]'s within-shard order hash. */
+  val ShardOrderSalt: Long = 7368787L
 }

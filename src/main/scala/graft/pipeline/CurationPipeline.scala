@@ -48,7 +48,9 @@ object CurationPipeline {
     "dedup_lines" -> Set("max_occurrences"),
     "sample_hash" -> Set("fraction"),
     "sample_quota" -> Set("group_cols", "quota"),
-    "sample_weights" -> Set("group_col", "weights", "default_weight"))
+    "sample_weights" -> Set("group_col", "weights", "default_weight"),
+    "epoch_mix" -> Set("group_col", "weights", "default_weight"),
+    "shard_assign" -> Set("num_shards"))
 
   /** Parse a YAML (or JSON) step list and run it. */
   def fromYaml(df: DataFrame, yaml: String, idCol: String = "doc_id",
@@ -146,6 +148,16 @@ object CurationPipeline {
             "sample_weights: 'group_col' is required"))),
           numMap(m, "weights"), col(idCol),
           num(m, "default_weight").getOrElse(1.0))
+      case "epoch_mix" =>
+        Curation.epochMix(df,
+          col(str(m, "group_col").getOrElse(throw new IllegalArgumentException(
+            "epoch_mix: 'group_col' is required"))),
+          numMap(m, "weights"), col(idCol),
+          num(m, "default_weight").getOrElse(1.0))
+      case "shard_assign" =>
+        Curation.shardAssign(df, col(idCol),
+          num(m, "num_shards").getOrElse(throw new IllegalArgumentException(
+            "shard_assign: 'num_shards' is required")).toInt)
     }
   }
 
@@ -182,6 +194,6 @@ object CurationPipeline {
       numMap(m.updated(k, jm.asScala.map { case (kk, v) => String.valueOf(kk) -> (v: Any) }.toMap), k) }
     case Some(other) => throw new IllegalArgumentException(
       s"parameter '$k': expected a map, got $other")
-    case None => throw new IllegalArgumentException(s"sample_weights: '$k' is required")
+    case None => throw new IllegalArgumentException(s"'$k' is required")
   }
 }

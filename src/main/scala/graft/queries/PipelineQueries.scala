@@ -508,6 +508,38 @@ object PipelineQueries {
              |WHERE (doc_id % 2147483648) * 2654435761 % 4294967296 < 2147483648
              |ORDER BY doc_id""".stripMargin)),
 
+    // Epoch mixing with upsampling: en ×2.5 (two copies + a hash-coin third),
+    // de ×0.5, everything else ×1. The fractional draw is the salted portable
+    // hash, replayed verbatim in SQL; copies materialize via unnest(range).
+    "pipe_epoch_mix" -> QueryDef(
+      (s, dir) => Curation.epochMix(
+        t(s, dir, "documents"), col("lang"),
+        Map("en" -> 2.5, "de" -> 0.5), col("doc_id"))
+        .select(col("doc_id"), col("epoch_copy"))
+        .orderBy("doc_id", "epoch_copy"),
+      Some("""WITH base AS (
+             |  SELECT doc_id,
+             |         (CASE WHEN lang = 'de' THEN 0 WHEN lang = 'en' THEN 2 ELSE 1 END
+             |          + CASE WHEN ((doc_id % 2147483648 + 1000003) % 2147483648) * 2654435761 % 4294967296
+             |                      < CASE WHEN lang IN ('de','en') THEN 2147483648 ELSE 0 END
+             |                 THEN 1 ELSE 0 END) AS reps
+             |  FROM documents)
+             |SELECT * FROM (
+             |  SELECT doc_id, unnest(range(reps)) AS epoch_copy FROM base)
+             |ORDER BY doc_id, epoch_copy""".stripMargin)),
+
+    // Deterministic shard assignment for training export: shard id + salted
+    // within-shard order hash, both pure column arithmetic.
+    "pipe_shard_assign" -> QueryDef(
+      (s, dir) => Curation.shardAssign(
+        t(s, dir, "documents"), col("doc_id"), 8)
+        .select(col("doc_id"), col("shard"), col("shard_order"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       (doc_id % 2147483648) * 2654435761 % 4294967296 % 8 AS shard,
+             |       ((doc_id % 2147483648 + 7368787) % 2147483648) * 2654435761 % 4294967296 AS shard_order
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "pipe_embedding_stats" -> QueryDef(
       (s, dir) => Embeddings.groupStats(
         t(s, dir, "embeddings"), "label", "embedding")

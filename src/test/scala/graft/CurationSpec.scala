@@ -192,6 +192,46 @@ class CurationSpec extends SparkSpec {
     assert(multi.select("doc_id").distinct().count() == df.count())
   }
 
+  test("epochMix repeats floor(w) times plus the salted fractional draw, zero shuffle") {
+    val df = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"), (5L, "en"))
+      .toDF("doc_id", "lang")
+    val out = Curation.epochMix(df, col("lang"),
+      Map("en" -> 2.5, "de" -> 0.0), col("doc_id"))
+    def salted(id: Long): Long =
+      ((id % 2147483648L + Curation.EpochMixSalt) % 2147483648L) * 2654435761L % 4294967296L
+    def expectedReps(id: Long, lang: String): Long = lang match {
+      case "en" => 2L + (if (salted(id) < 2147483648L) 1L else 0L)
+      case "de" => 0L
+      case _ => 1L
+    }
+    val got = out.select("doc_id", "epoch_copy").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    for ((id, lang) <- Seq(1L -> "en", 2L -> "en", 3L -> "de", 4L -> "fr", 5L -> "en")) {
+      val n = expectedReps(id, lang)
+      assert(got.getOrElse(id, Seq.empty) == (0L until n), s"doc $id")
+    }
+    // both expanded doc 1 (2 or 3 copies) and dropped doc 3 exercised
+    assert(got.contains(1L) && !got.contains(3L))
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("shardAssign: shard in range, salted order hash, deterministic, plan-local") {
+    val df = spark.range(0, 500).toDF("doc_id")
+    val out = Curation.shardAssign(df, col("doc_id"), 8)
+    val rows = out.select("doc_id", "shard", "shard_order").as[(Long, Long, Long)].collect()
+    assert(rows.length == 500)
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // every shard populated and the order hash spreads (no global collisions here)
+    assert(rows.map(_._2).distinct.length == 8)
+    assert(rows.map(_._3).distinct.length == 500)
+    val again = Curation.shardAssign(df, col("doc_id"), 8)
+      .select("doc_id", "shard", "shard_order").as[(Long, Long, Long)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("decontaminateSemantic flags near-eval embeddings, never NaN, never shuffles the corpus") {
     val corpus = Seq(
       (1L, Seq(1.0, 0.0, 0.0)),   // exact eval member direction
