@@ -511,6 +511,23 @@ object PipelineQueries {
     // Epoch mixing with upsampling: en ×2.5 (two copies + a hash-coin third),
     // de ×0.5, everything else ×1. The fractional draw is the salted portable
     // hash, replayed verbatim in SQL; copies materialize via unnest(range).
+    // Incremental cross-snapshot dedup: "yesterday's corpus" = every third
+    // doc; keep today's docs whose text is not already there. The bloom
+    // prefilter routes rows, the confirm anti-join decides — so the result is
+    // exactly anti-join semantics and fully SQL-replayable (NULL text never
+    // matches, hence survives, both engines).
+    "pipe_dedup_incremental" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.dedupAgainstReference(docs, col("text"),
+          docs.where(col("doc_id") % 3 === 0), col("text"))
+          .select(col("doc_id")).orderBy("doc_id")
+      },
+      Some("""SELECT d.doc_id FROM documents d
+             |ANTI JOIN (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0) r
+             |ON d.text = r.text
+             |ORDER BY d.doc_id""".stripMargin)),
+
     "pipe_epoch_mix" -> QueryDef(
       (s, dir) => Curation.epochMix(
         t(s, dir, "documents"), col("lang"),

@@ -341,4 +341,35 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) == "zeta eta theta iota")
     assert(out(3L) == "totally unrelated words in this document here")
   }
+
+  test("dedupAgainstReference: exact anti semantics, nulls survive, bloom routes not decides") {
+    val corpus = Seq(
+      (1L, "already crawled yesterday"),
+      (2L, "a brand new page"),
+      (3L, "also crawled before"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "another new one")
+    ).toDF("doc_id", "text")
+    val ref = Seq("already crawled yesterday", "also crawled before",
+      "never seen in corpus", null.asInstanceOf[String])
+      .toDF("old_text")
+    val out = Dedup.dedupAgainstReference(corpus, col("text"), ref, col("old_text"))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(2L, 4L, 5L))
+    // exact parity with the plain anti-join for ANY fpp (bloom only routes)
+    val exact = corpus.join(ref.select(col("old_text")).distinct(),
+      col("text") === col("old_text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    val highFpp = Dedup.dedupAgainstReference(corpus, col("text"), ref,
+      col("old_text"), fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(highFpp == exact)
+    // the keep branch is a row-local bloom filter (no join on that side):
+    // the probe expression is in the plan (analyzed — ConvertToLocalRelation
+    // folds filters over these in-memory fixtures before execution)
+    assert(out.queryExecution.analyzed.toString().toLowerCase
+      .contains("bloommightcontain"))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstReference(corpus, col("text"), ref, col("old_text"), fpp = 1.5)
+    }
+  }
 }
