@@ -191,18 +191,7 @@ object Dedup {
                             bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     PipelineGuards.requireBatch(df, "minHashDuplicatePairs")
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    // exact Jaccard is computed over the HASHED shingle sets (array<long>):
-    // set identity is preserved (64-bit collisions are negligible) and long
-    // intersection is far cheaper than string intersection
-    import org.apache.spark.sql.GraftColumnBridge
-    val sh = df.select(col(idCol).as("__id"),
-      GraftColumnBridge.column(HashedShingles(
-        GraftColumnBridge.expression(col(textCol)), shingleSize)).as("__hsh"))
-    // generator computes the 128-hash sketch ONCE per row and emits band rows
-    val banded = sh.select(col("__id"),
-      GraftColumnBridge.column(MinHashBandsExplode(
-        GraftColumnBridge.expression(col("__hsh")), numHashes, bands))
-        .as(Seq("__band", "__bandhash")))
+    val (sh, banded) = shingleBands(df, col(idCol), col(textCol), shingleSize, numHashes, bands)
     val l = banded.select(col("__id").as("id_a"), col("__band"), col("__bandhash"))
     val r = banded.select(col("__id").as("id_b"), col("__band"), col("__bandhash"))
     val candidateIds = l.join(r, Seq("__band", "__bandhash"))
@@ -222,6 +211,26 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.7): DataFrame =
     minHashDuplicatePairs(df, idCol, textCol, shingleSize = n,
       numHashes = 128, bands = 32, threshold = threshold)
+
+  /** Shared LSH scaffolding: (shingle frame `(__id, __hsh)`, band frame
+    * `(__id, __band, __bandhash)`). Exact Jaccard downstream is computed over
+    * the HASHED shingle sets (array<long>): set identity is preserved (64-bit
+    * collisions are negligible) and long intersection is far cheaper than
+    * string intersection. The generator computes the full sketch ONCE per row
+    * and emits band rows.
+    */
+  private def shingleBands(df: DataFrame, id: Column, text: Column,
+                           shingleSize: Int, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val sh = df.select(id.as("__id"),
+      GraftColumnBridge.column(HashedShingles(
+        GraftColumnBridge.expression(text), shingleSize)).as("__hsh"))
+    val banded = sh.select(col("__id"),
+      GraftColumnBridge.column(MinHashBandsExplode(
+        GraftColumnBridge.expression(col("__hsh")), numHashes, bands))
+        .as(Seq("__band", "__bandhash")))
+    (sh, banded)
+  }
 
   private def verifyJaccard(candidates: DataFrame, threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("__sh_a"), col("__sh_b")))
@@ -462,5 +471,54 @@ object Dedup {
       .join(refHashed.select(col("__ref_k")).distinct(),
         key === col("__ref_k"), "left_anti")
     df.where(!hit).unionByName(confirmed)
+  }
+
+  /** Cross-snapshot NEAR-duplicate pairs: `(id, ref_id, jaccard)` where a row
+    * of `df` is a MinHash near-duplicate (exact-verified word-shingle Jaccard
+    * >= threshold) of a reference-corpus row — "which of today's pages are
+    * near-rewrites of something already in yesterday's corpus".
+    *
+    * Same LSH machinery as [[minHashDuplicatePairs]], but candidates come
+    * EXCLUSIVELY from cross-side band-bucket collisions: today's docs never
+    * pair with each other and the reference never pairs with itself, so
+    * neither snapshot's internal O(n^2) pair space ever appears in the plan —
+    * the join cost is O(cross-bucket collisions) on (id, band, bandHash) keys;
+    * shingle arrays join back only per surviving candidate. NULL-text rows on
+    * either side emit no band rows ([[minHashDuplicatePairs]] NULL semantics)
+    * and are never flagged.
+    */
+  def nearDupPairsAgainstReference(df: DataFrame, idCol: String, textCol: String,
+                                   ref: DataFrame, refIdCol: String, refTextCol: String,
+                                   shingleSize: Int = 3, numHashes: Int = 64,
+                                   bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    PipelineGuards.requireBatch(df, "nearDupPairsAgainstReference")
+    PipelineGuards.requireBatch(ref, "nearDupPairsAgainstReference (reference side)")
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val (shL, bandedL) = shingleBands(df, col(idCol), col(textCol), shingleSize, numHashes, bands)
+    val (shR, bandedR) = shingleBands(ref, col(refIdCol), col(refTextCol), shingleSize, numHashes, bands)
+    val candidateIds = bandedL.select(col("__id").as("id_a"), col("__band"), col("__bandhash"))
+      .join(bandedR.select(col("__id").as("id_b"), col("__band"), col("__bandhash")),
+        Seq("__band", "__bandhash"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val candidates = candidateIds
+      .join(shL.select(col("__id").as("id_a"), col("__hsh").as("__sh_a")), Seq("id_a"))
+      .join(shR.select(col("__id").as("id_b"), col("__hsh").as("__sh_b")), Seq("id_b"))
+    verifyJaccard(candidates, threshold)
+      .select(col("id_a").as("id"), col("id_b").as("ref_id"), col("jaccard"))
+  }
+
+  /** Incremental crawl filter: keep only rows of `df` with NO near-duplicate
+    * in `ref` — new-or-substantially-changed pages survive; near-rewrites of
+    * already-ingested content drop. The drop set carries only ids
+    * (AQE-broadcastable when small); the corpus anti-joins against it.
+    */
+  def dropNearDupsAgainstReference(df: DataFrame, idCol: String, textCol: String,
+                                   ref: DataFrame, refIdCol: String, refTextCol: String,
+                                   shingleSize: Int = 3, numHashes: Int = 64,
+                                   bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val drop = nearDupPairsAgainstReference(df, idCol, textCol, ref, refIdCol, refTextCol,
+      shingleSize, numHashes, bands, threshold)
+      .select(col("id").as("__drop_id")).distinct()
+    df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
   }
 }

@@ -528,6 +528,76 @@ object PipelineQueries {
              |ON d.text = r.text
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // Cross-snapshot NEAR-dup: ref = truncated-to-80% rewrites of every 20th
+    // doc (ids +100000); flag today's docs whose shingle-set Jaccard vs some
+    // ref doc clears 0.8. Both engines verify with EXACT Jaccard over the
+    // same word-3-gram definition, so banding recall (1 - 5e-8 at j=0.8 with
+    // 128/32) is the only divergence channel and the planted overlap keeps
+    // true pairs far from it.
+    "pipe_neardup_incremental" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val toks = split(col("text"), " ")
+        val keepN = greatest((size(toks) * 9) / 10, lit(3))
+        val ref = docs.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(1), keepN)).as("text"))
+        Dedup.nearDupPairsAgainstReference(docs, "doc_id", "text",
+          ref, "doc_id", "text",
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+          .select("id", "ref_id").orderBy("id", "ref_id")
+      },
+      Some("""WITH ref AS (
+             |  SELECT doc_id + 100000 AS doc_id,
+             |         array_to_string(string_split(text,' ')[1:greatest((len(string_split(text,' '))*9)//10, 3)], ' ') AS text
+             |  FROM documents WHERE doc_id % 20 = 0),
+             |toks_l AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+             |toks_r AS (SELECT doc_id, string_split(text, ' ') AS t FROM ref WHERE text IS NOT NULL),
+             |sh_l AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+             |    ELSE [array_to_string(t, ' ')] END) AS s FROM toks_l),
+             |sh_r AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+             |    ELSE [array_to_string(t, ' ')] END) AS s FROM toks_r)
+             |SELECT a.doc_id AS id, b.doc_id AS ref_id
+             |FROM sh_l a JOIN sh_r b
+             |  ON len(list_intersect(a.s, b.s))::DOUBLE
+             |     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+             |ORDER BY 1, 2""".stripMargin)),
+
+    "pipe_neardup_incremental_drop" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val toks = split(col("text"), " ")
+        val keepN = greatest((size(toks) * 9) / 10, lit(3))
+        val ref = docs.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(1), keepN)).as("text"))
+        Dedup.dropNearDupsAgainstReference(docs, "doc_id", "text",
+          ref, "doc_id", "text",
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH ref AS (
+             |  SELECT doc_id + 100000 AS doc_id,
+             |         array_to_string(string_split(text,' ')[1:greatest((len(string_split(text,' '))*9)//10, 3)], ' ') AS text
+             |  FROM documents WHERE doc_id % 20 = 0),
+             |toks_l AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+             |toks_r AS (SELECT doc_id, string_split(text, ' ') AS t FROM ref WHERE text IS NOT NULL),
+             |sh_l AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+             |    ELSE [array_to_string(t, ' ')] END) AS s FROM toks_l),
+             |sh_r AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+             |    THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+             |    ELSE [array_to_string(t, ' ')] END) AS s FROM toks_r)
+             |SELECT d.doc_id FROM documents d
+             |ANTI JOIN (
+             |  SELECT DISTINCT a.doc_id FROM sh_l a JOIN sh_r b
+             |    ON len(list_intersect(a.s, b.s))::DOUBLE
+             |       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8) f
+             |ON d.doc_id = f.doc_id
+             |ORDER BY 1""".stripMargin)),
+
     "pipe_epoch_mix" -> QueryDef(
       (s, dir) => Curation.epochMix(
         t(s, dir, "documents"), col("lang"),

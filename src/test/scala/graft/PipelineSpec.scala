@@ -342,6 +342,38 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == "totally unrelated words in this document here")
   }
 
+  test("nearDupPairsAgainstReference: cross-side pairs only, null-safe, drop keeps novel docs") {
+    val today = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // 2 and 3 are near-dups of EACH OTHER but of nothing in ref: an
+      // in-corpus LSH would pair them; the cross-snapshot op must not
+      (2L, "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (3L, "lambda mu nu xi omicron pi rho sigma tau phi"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "a completely unrelated fresh document about something else")
+    ).toDF("doc_id", "text")
+    val ref = Seq(
+      // 80%-truncated rewrite of doc 1 (8 of 10 tokens -> jaccard 6/8 = 0.75
+      // at 3-shingles... use 9 tokens: 7/8 = 0.875 >= 0.8)
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (901L, "reference only content never seen today at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairsAgainstReference(today, "doc_id", "text",
+      ref, "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32,
+      threshold = 0.8)
+    val got = pairs.select("id", "ref_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 900L)))
+    // jaccard is the exact shingle-set value: doc1 has 8 3-shingles, the
+    // truncated ref doc has 7, all shared -> 7/8
+    val j = pairs.select("jaccard").as[Double].collect()
+    assert(j.length == 1 && math.abs(j(0) - 0.875) < 1e-12)
+    val kept = Dedup.dropNearDupsAgainstReference(today, "doc_id", "text",
+      ref, "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32,
+      threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L, 5L))
+  }
+
   test("dedupAgainstReference: exact anti semantics, nulls survive, bloom routes not decides") {
     val corpus = Seq(
       (1L, "already crawled yesterday"),
