@@ -461,15 +461,38 @@ object Dedup {
                             fpp: Double = 0.01,
                             expectedRefItems: Option[Long] = None): DataFrame = {
     PipelineGuards.requireBatch(df, "dedupAgainstReference")
-    PipelineGuards.requireBatch(ref, "dedupAgainstReference (reference side)")
+    dedupAgainstReference(df, key,
+      buildReferenceFilter(ref, refKey, fpp, expectedRefItems))
+  }
+
+  /** Prebuilt reference-corpus membership filter: the bloom (built in ONE
+    * pass over the reference) plus the distinct ref-keys frame the exact
+    * confirm join runs against. Build once, reuse across many corpora or
+    * micro-batches — the reference is never re-scanned for the bloom
+    * (see [[graft.streaming.StreamingRecipes.dedupAgainstReferencePerBatch]]).
+    */
+  final case class ReferenceFilter private[pipeline] (
+      bloom: org.apache.spark.util.sketch.BloomFilter, refKeys: DataFrame)
+
+  /** One-time construction of a [[ReferenceFilter]]. `expectedRefItems` sizes
+    * the bloom; when absent, one `ref.count()` action runs first (a narrow
+    * scan — pass the estimate at 100 TB).
+    */
+  def buildReferenceFilter(ref: DataFrame, refKey: Column, fpp: Double = 0.01,
+                           expectedRefItems: Option[Long] = None): ReferenceFilter = {
+    PipelineGuards.requireBatch(ref, "buildReferenceFilter (reference side)")
     require(fpp > 0 && fpp < 1, "fpp must be in (0,1)")
     val refHashed = ref.select(xxhash64(refKey).as("__ref_h"), refKey.as("__ref_k"))
     val n = expectedRefItems.getOrElse(refHashed.count()) max 1L
     val bloom = refHashed.stat.bloomFilter(col("__ref_h"), n, fpp)
-    val hit = BloomMightContain(xxhash64(key), bloom)
+    ReferenceFilter(bloom, refHashed.select(col("__ref_k")).distinct())
+  }
+
+  /** [[dedupAgainstReference]] against a prebuilt [[ReferenceFilter]]. */
+  def dedupAgainstReference(df: DataFrame, key: Column, filter: ReferenceFilter): DataFrame = {
+    val hit = BloomMightContain(xxhash64(key), filter.bloom)
     val confirmed = df.where(hit)
-      .join(refHashed.select(col("__ref_k")).distinct(),
-        key === col("__ref_k"), "left_anti")
+      .join(filter.refKeys, key === col("__ref_k"), "left_anti")
     df.where(!hit).unionByName(confirmed)
   }
 

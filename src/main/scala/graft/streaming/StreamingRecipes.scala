@@ -22,9 +22,12 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *    must be deduped over the stream's lifetime; state is per-key and can be
   *    TTL'd.
   *
-  * Anything needing corpus-global JOINS (MinHash bands, decontamination
-  * n-gram joins) has no streaming form — land the stream to a table and run
-  * the batch operator on schedule.
+  * Anything needing corpus-global JOINS among the STREAM's own rows (MinHash
+  * bands, decontamination n-gram joins) has no streaming form — land the
+  * stream to a table and run the batch operator on schedule. Joins against a
+  * STATIC reference corpus, by contrast, stream fine:
+  * [[dedupAgainstReferencePerBatch]] builds the reference bloom once and
+  * reuses it for every micro-batch.
   */
 object StreamingRecipes {
 
@@ -37,4 +40,25 @@ object StreamingRecipes {
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(Dedup.dedupExact(batch, keyCols.map(col), col(orderCol)), batchId)
     }
+
+  /** Continuous-ingest dedup against a static prior corpus: each micro-batch
+    * keeps only rows whose `keyCol` is NOT already in `ref` (exact anti-join
+    * semantics). The expensive part — the one-pass bloom build over the
+    * reference — happens ONCE, here, at recipe-construction time; per batch
+    * the cost is a row-local bloom probe plus the exact confirm join over the
+    * (tiny) bloom-positive slice. The filter does NOT learn the stream's own
+    * rows (batches never dedup against each other — compose with
+    * [[StreamChecks.firstSeenRows]] for cross-batch keep-first within the
+    * stream itself).
+    */
+  def dedupAgainstReferencePerBatch(stream: DataFrame, keyCol: String,
+                                    ref: DataFrame, refKey: String,
+                                    fpp: Double = 0.01,
+                                    expectedRefItems: Option[Long] = None)
+                                   (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val filter = Dedup.buildReferenceFilter(ref, col(refKey), fpp, expectedRefItems)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(Dedup.dedupAgainstReference(batch, col(keyCol), filter), batchId)
+    }
+  }
 }

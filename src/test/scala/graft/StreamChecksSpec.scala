@@ -72,6 +72,27 @@ class StreamChecksSpec extends SparkSpec {
       Seq((0L, 1L, "aa"), (0L, 3L, "bb"), (1L, 4L, "aa")))
   }
 
+  test("foreachBatch recipe: dedup against a static reference corpus, bloom built once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ref = Seq("known page one", "known page two").toDF("old_text")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.StreamingRecipes
+      .dedupAgainstReferencePerBatch(stream, "text", ref, "old_text") { (batch, id) =>
+        seen ++= batch.collect().map(r => (id, r.getLong(0)))
+      }.start()
+    in.addData((1L, "known page one"), (2L, "fresh page"))
+    q.processAllAvailable()
+    // the filter is the STATIC reference only: a row that passed in batch 0
+    // passes again in batch 1 (no cross-batch learning), known refs drop
+    in.addData((3L, "fresh page"), (4L, "known page two"))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.sortBy(identity).toSeq == Seq((0L, 2L), (1L, 3L)))
+  }
+
   test("cross-batch keep-first dedup via firstSeenRows state") {
     import StreamChecks.KeyedRow
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
