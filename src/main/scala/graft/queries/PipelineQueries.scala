@@ -961,7 +961,87 @@ object PipelineQueries {
     streamingNearDupQuery :+ lmBigramsQuery :+ lmPerplexityQuery :+
     stripMarkupQuery :+ stratifiedSplitQuery :+ semanticDedupQuery :+
     semanticDedupRemoveQuery :+ charEntropyQuery :+ readabilityQuery :+
-    tfIdfKeywordsQuery :+ embeddingClustersQuery
+    tfIdfKeywordsQuery :+ embeddingClustersQuery :+
+    dsirTrainQuery :+ dsirScoreQuery :+ dsirResampleQuery
+
+  /** TRAIN-path gate for DSIR importance resampling: exact-integer feature
+    * counts (no float channel at all) — the DuckDB side re-derives the raw
+    * bigram head (count DESC, feature tie-break), the OOV remainder, and the
+    * target counts over the same closed vocabulary.
+    */
+  private def dsirTrainQuery: (String, QueryDef) =
+    "pipe_dsir_train" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val m = Dsir.train(docs.where(col("doc_id") % 10 === 0), docs,
+          col("text"), features = 20, k = 1.0)
+        import s.implicits._
+        (m.rawCounts.toSeq.map { case (f, rc) =>
+          (f, m.targetCounts.getOrElse(f, 0L), rc)
+        } :+ ((Dsir.Oov, m.targetOov, m.rawOov)))
+          .sortBy(_._1).toDF("f", "t_cnt", "r_cnt")
+      },
+      Some("""WITH d AS (SELECT doc_id, list_filter(string_split(lower(coalesce(text,'')),' '), t -> t <> '') AS w FROM documents),
+             |pr AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS f
+             |       FROM d WHERE len(w) >= 2),
+             |rawc AS (SELECT f, count(*) AS c FROM pr GROUP BY 1),
+             |head AS (SELECT f, c FROM rawc ORDER BY c DESC, f LIMIT 20),
+             |tc AS (SELECT CASE WHEN f IN (SELECT f FROM head) THEN f ELSE '<oov>' END AS f, count(*) AS c
+             |       FROM pr WHERE doc_id % 10 = 0 GROUP BY 1)
+             |SELECT h.f AS f, CAST(coalesce(tc.c, 0) AS BIGINT) AS t_cnt, CAST(h.c AS BIGINT) AS r_cnt
+             |FROM head h LEFT JOIN tc ON h.f = tc.f
+             |UNION ALL
+             |SELECT '<oov>' AS f,
+             |       CAST(coalesce((SELECT c FROM tc WHERE f = '<oov>'), 0) AS BIGINT) AS t_cnt,
+             |       CAST((SELECT sum(c) FROM rawc) - (SELECT sum(c) FROM head) AS BIGINT) AS r_cnt
+             |ORDER BY 1""".stripMargin))
+
+  /** SCORING-path gate: a FIXED literal model (vocab {'the table','table
+    * fast'}, OOV 8/950, totals 40/1000, k=1 → denominators 43/1003) so the
+    * oracle's CASE chains replay the kernel exactly; list_sum's sequential
+    * order matches the left-to-right accumulation; 4 dp rounding gives
+    * ln cross-engine last-ulp headroom.
+    */
+  private def dsirFixedModel: DsirModel = DsirModel(1.0,
+    targetCounts = Map("the table" -> 30L, "table fast" -> 2L),
+    rawCounts = Map("the table" -> 10L, "table fast" -> 40L),
+    targetTotal = 40L, rawTotal = 1000L, targetOov = 8L, rawOov = 950L)
+
+  private lazy val dsirScoreSql =
+    """d AS (SELECT doc_id, list_filter(string_split(lower(coalesce(text,'')),' '), t -> t <> '') AS w FROM documents),
+      |p AS (SELECT doc_id, len(w) AS n, CASE WHEN len(w) >= 2 THEN list_sum(list_transform(range(1, len(w)), i ->
+      |  ln(((CASE w[i] || ' ' || w[i+1] WHEN 'the table' THEN 30 WHEN 'table fast' THEN 2 ELSE 8 END) + 1.0) / 43.0)
+      |- ln(((CASE w[i] || ' ' || w[i+1] WHEN 'the table' THEN 10 WHEN 'table fast' THEN 40 ELSE 950 END) + 1.0) / 1003.0)))
+      |  ELSE NULL END AS s FROM d)""".stripMargin
+
+  private def dsirScoreQuery: (String, QueryDef) =
+    "pipe_dsir_score" -> QueryDef(
+      (s, dir) => Dsir.score(t(s, dir, "documents"), col("text"), dsirFixedModel)
+        .select(col("doc_id"), round(col("dsir_log_importance"), 4).as("dsir_log_importance"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $dsirScoreSql
+              |SELECT doc_id, round(s / (n - 1), 4) AS dsir_log_importance
+              |FROM p ORDER BY doc_id""".stripMargin))
+
+  /** SELECTION-path gate: Gumbel-max resampling under the same fixed model.
+    * The noise is the portable hash replayed verbatim in SQL; the threshold
+    * sits mid-gap of the fixture's perturbed-score distribution so ln/exp
+    * last-ulp drift cannot flip a row.
+    */
+  private def dsirResampleQuery: (String, QueryDef) =
+    "pipe_dsir_resample" -> QueryDef(
+      (s, dir) => {
+        val scored = Dsir.score(t(s, dir, "documents"), col("text"), dsirFixedModel)
+        Dsir.resample(scored, col("doc_id"), col("dsir_log_importance"),
+          threshold = -0.189277106161, temperature = 1.0)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""WITH $dsirScoreSql
+              |SELECT doc_id FROM p
+              |WHERE s / (n - 1)
+              |      - ln(-ln((((doc_id % 2147483648) * 2654435761) % 4294967296 + 0.5) / 4294967296.0))
+              |      >= -0.189277106161
+              |ORDER BY doc_id""".stripMargin))
 
   /** Oracle gate for the cross-batch streaming near-dup pipeline (VERDICT r6
     * "Next #4" — the one pipeline op that had no CORRECTNESS row). A real
