@@ -142,6 +142,18 @@ object GraftExtensions {
         graft.pipeline.LmPerplexity(a(0),
           graft.pipeline.LmModelJson.parse(String.valueOf(a(1).eval())))
       }),
+    ("graft_dsir_score",
+      info("graft_dsir_score",
+        """graft_dsir_score(text, model_json) - DSIR mean log importance ratio """ +
+          """of the text's word bigrams (null below 2 tokens); model_json is a literal like """ +
+          """'{"k": 1.0, "target_counts": {"the table": 30}, "raw_counts": {"the table": 10}, """ +
+          """"target_total": 40, "raw_total": 1000, "target_oov": 8, "raw_oov": 950}'"""),
+      args => {
+        val a = arity("graft_dsir_score", 2, args)
+        require(a(1).foldable, "graft_dsir_score: model_json must be a literal")
+        graft.pipeline.DsirScore(a(0),
+          graft.pipeline.DsirModelJson.parse(String.valueOf(a(1).eval())))
+      }),
     ("graft_strip_markup",
       info("graft_strip_markup",
         "graft_strip_markup(html) - visible text: script/style/comment blocks and tags " +

@@ -46,6 +46,8 @@ object CurationPipeline {
     "filter_regex" -> Set("pattern", "mode"),
     "dedup_exact" -> Set("key"),
     "dedup_lines" -> Set("max_occurrences"),
+    "filter_perplexity" -> Set("model_json", "max_perplexity"),
+    "dsir_resample" -> Set("model_json", "threshold", "temperature"),
     "sample_hash" -> Set("fraction"),
     "sample_quota" -> Set("group_cols", "quota"),
     "sample_weights" -> Set("group_col", "weights", "default_weight"),
@@ -132,6 +134,19 @@ object CurationPipeline {
         val cleaned = Dedup.dedupLines(df, idCol, textCol,
           num(m, "max_occurrences").getOrElse(1.0).toLong)
         df.drop(textCol).join(cleaned, Seq(idCol))
+      case "filter_perplexity" =>
+        val model = LmModelJson.parse(str(m, "model_json").getOrElse(
+          throw new IllegalArgumentException("filter_perplexity: 'model_json' is required")))
+        NgramLm.filterByPerplexity(df, text, model,
+          num(m, "max_perplexity").getOrElse(throw new IllegalArgumentException(
+            "filter_perplexity: 'max_perplexity' is required")))
+      case "dsir_resample" =>
+        val model = DsirModelJson.parse(str(m, "model_json").getOrElse(
+          throw new IllegalArgumentException("dsir_resample: 'model_json' is required")))
+        Dsir.resample(df, col(idCol), Dsir.logImportanceColumn(text, model),
+          num(m, "threshold").getOrElse(throw new IllegalArgumentException(
+            "dsir_resample: 'threshold' is required")),
+          num(m, "temperature").getOrElse(1.0))
       case "sample_hash" =>
         Curation.hashSample(df, col(idCol), num(m, "fraction").getOrElse(
           throw new IllegalArgumentException("sample_hash: 'fraction' is required")))

@@ -136,6 +136,36 @@ object Dsir {
   }
 }
 
+/** JSON (de)serialization for [[DsirModel]] — the SQL surface
+  * (`graft_dsir_score(text, model_json)`) and the declarative pipeline's
+  * `dsir_resample` step both need the model as a string. json4s ships with
+  * Spark.
+  */
+object DsirModelJson {
+  def parse(json: String): DsirModel = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    DsirModel(
+      (j \ "k").extract[Double],
+      (j \ "target_counts").extract[Map[String, Long]],
+      (j \ "raw_counts").extract[Map[String, Long]],
+      (j \ "target_total").extract[Long],
+      (j \ "raw_total").extract[Long],
+      (j \ "target_oov").extract[Long],
+      (j \ "raw_oov").extract[Long])
+  }
+
+  def render(model: DsirModel): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("k" -> model.k) ~ ("target_counts" -> model.targetCounts) ~
+          ("raw_counts" -> model.rawCounts) ~
+          ("target_total" -> model.targetTotal) ~ ("raw_total" -> model.rawTotal) ~
+          ("target_oov" -> model.targetOov) ~ ("raw_oov" -> model.rawOov)))
+  }
+}
+
 /** Static kernel for [[DsirScore]]: per-bigram log ratios summed
   * LEFT-TO-RIGHT (the same sequential order as DuckDB's list_sum, preserving
   * oracle parity), then divided by the bigram count.

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 class DsirSpec extends SparkSpec {
   import spark.implicits._
 
+  GraftExtensions.register(spark)
+
   // raw: bigrams "a b"x2, "b a"x1, "c d"x1 (total 4); features=2 keeps
   // "a b"(2) then the count-1 tie breaks ascending -> "b a"; rawOov=1.
   // target "a b c": "a b" in vocab (1), "b c" -> OOV (1); total 2.
@@ -65,6 +67,45 @@ class DsirSpec extends SparkSpec {
     assert(nullScore.count() == 0) // no evidence, no draw
     intercept[IllegalArgumentException] {
       Dsir.resample(scored, col("id"), col("dsir_log_importance"), 0.0, temperature = 0.0)
+    }
+  }
+
+  test("model JSON round-trip and SQL surface parity") {
+    val m = tinyModel
+    assert(DsirModelJson.parse(DsirModelJson.render(m)) == m)
+    Seq((1L, "a b"), (2L, "x y"), (3L, "a")).toDF("id", "text")
+      .createOrReplaceTempView("dsirv")
+    val js = DsirModelJson.render(m)
+    val rows = spark.sql(
+      s"""SELECT id, graft_dsir_score(text, '$js') AS s FROM dsirv ORDER BY id""").collect()
+    assert(math.abs(rows(0).getDouble(1) - (math.log(2.0 / 5) - math.log(3.0 / 7))) < 1e-12)
+    assert(math.abs(rows(1).getDouble(1) - (math.log(2.0 / 5) - math.log(2.0 / 7))) < 1e-12)
+    assert(rows(2).isNullAt(1))
+  }
+
+  test("curation-pipeline steps: filter_perplexity and dsir_resample dispatch") {
+    val m = tinyModel
+    val docs = Seq.tabulate(100)(i => (i.toLong, if (i % 5 == 0) "a b" else "x y"))
+      .toDF("doc_id", "text")
+    val direct = Dsir.resample(Dsir.score(docs, col("text"), m),
+      col("doc_id"), col("dsir_log_importance"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val piped = CurationPipeline(docs, Seq(Map(
+      "step" -> "dsir_resample", "model_json" -> DsirModelJson.render(m),
+      "threshold" -> 0.5)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(piped == direct && piped.nonEmpty)
+    val lm = LmModel(0.5, Map("a" -> 10L, "b" -> 5L, LmModel.Unk -> 5L),
+      Map(LmModel.key("a", "b") -> 4L))
+    val expect = NgramLm.filterByPerplexity(docs, col("text"), lm, 10.0)
+      .select("doc_id").as[Long].collect().toSet
+    val lmPiped = CurationPipeline(docs, Seq(Map(
+      "step" -> "filter_perplexity", "model_json" -> LmModelJson.render(lm),
+      "max_perplexity" -> 10.0)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(lmPiped == expect)
+    intercept[IllegalArgumentException] {
+      CurationPipeline(docs, Seq(Map("step" -> "dsir_resample", "threshold" -> 0.5)))
     }
   }
 
