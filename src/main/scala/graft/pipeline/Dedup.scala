@@ -485,7 +485,10 @@ object Dedup {
     val refHashed = ref.select(xxhash64(refKey).as("__ref_h"), refKey.as("__ref_k"))
     val n = expectedRefItems.getOrElse(refHashed.count()) max 1L
     val bloom = refHashed.stat.bloomFilter(col("__ref_h"), n, fpp)
-    ReferenceFilter(bloom, refHashed.select(col("__ref_k")).distinct())
+    // persisted: the confirm join must NOT re-scan + re-distinct the full
+    // reference on every use — a streaming recipe probes this frame once per
+    // micro-batch. Callers done with the filter: filter.refKeys.unpersist()
+    ReferenceFilter(bloom, refHashed.select(col("__ref_k")).distinct().persist())
   }
 
   /** [[dedupAgainstReference]] against a prebuilt [[ReferenceFilter]]. */

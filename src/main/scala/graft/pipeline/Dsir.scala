@@ -132,6 +132,15 @@ object Dsir {
   def resample(df: DataFrame, id: Column, score: Column,
                threshold: Double, temperature: Double = 1.0): DataFrame = {
     require(temperature > 0, "temperature must be positive")
+    // fail fast on non-integral ids: portableHash casts to long, and a NULL
+    // hash would silently drop EVERY row (NULL keep predicate), not error
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    df.select(id).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+      case other => throw new IllegalArgumentException(
+        s"Dsir.resample: id must be an integral column (got ${other.sql}); " +
+          "hash wide/string ids to a long first (e.g. xxhash64)")
+    }
     df.where(score / lit(temperature) + gumbelNoise(id) >= lit(threshold))
   }
 }

@@ -30,6 +30,47 @@ object PipelineQueries {
       |         array_to_string(string_split(text,' ')[1:greatest((len(string_split(text,' '))*8)//10, 3)], ' ') AS text
       |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin
 
+  /** "Yesterday's" snapshot for the incremental near-dup gates: 90%-truncated
+    * rewrites of every 20th doc (ids +100000). NULL-text rows are excluded so
+    * both engines agree on the ref set (Spark's concat_ws would otherwise
+    * degrade NULL to "" while the SQL side drops the row).
+    */
+  private def truncatedRef(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val keepN = greatest((size(toks) * 9) / 10, lit(3))
+    docs.where(col("text").isNotNull && col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), keepN)).as("text"))
+  }
+
+  private val truncatedRefSql =
+    """ref AS (
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         array_to_string(string_split(text,' ')[1:greatest((len(string_split(text,' '))*9)//10, 3)], ' ') AS text
+      |  FROM documents WHERE text IS NOT NULL AND doc_id % 20 = 0)""".stripMargin
+
+  /** Word-3-gram shingle-set CTE over `src` — MUST stay in lock-step with
+    * [[Dedup.shingles]] / HashedShingles (same tokenize, same short-text
+    * fallback); both near-dup gates share this single copy.
+    */
+  private def shingleCte(name: String, src: String): String =
+    s"""$name AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |    THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+       |    ELSE [array_to_string(t, ' ')] END) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src WHERE text IS NOT NULL))""".stripMargin
+
+  /** Shared WITH-prologue: exact cross-snapshot Jaccard >= 0.8 pairs (id from
+    * today's documents, ref_id from [[truncatedRefSql]]).
+    */
+  private val nearDupCrossPairsSql =
+    s"""WITH $truncatedRefSql,
+       |${shingleCte("sh_l", "documents")},
+       |${shingleCte("sh_r", "ref")},
+       |xp AS (SELECT a.doc_id AS id, b.doc_id AS ref_id
+       |  FROM sh_l a JOIN sh_r b
+       |    ON len(list_intersect(a.s, b.s))::DOUBLE
+       |       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8)""".stripMargin
+
   /** documents + exact copies of every 10th-plus-1 doc. */
   private def plantedExactDups(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -508,9 +549,6 @@ object PipelineQueries {
              |WHERE (doc_id % 2147483648) * 2654435761 % 4294967296 < 2147483648
              |ORDER BY doc_id""".stripMargin)),
 
-    // Epoch mixing with upsampling: en ×2.5 (two copies + a hash-coin third),
-    // de ×0.5, everything else ×1. The fractional draw is the salted portable
-    // hash, replayed verbatim in SQL; copies materialize via unnest(range).
     // Incremental cross-snapshot dedup: "yesterday's corpus" = every third
     // doc; keep today's docs whose text is not already there. The bloom
     // prefilter routes rows, the confirm anti-join decides — so the result is
@@ -528,76 +566,39 @@ object PipelineQueries {
              |ON d.text = r.text
              |ORDER BY d.doc_id""".stripMargin)),
 
-    // Cross-snapshot NEAR-dup: ref = truncated-to-80% rewrites of every 20th
-    // doc (ids +100000); flag today's docs whose shingle-set Jaccard vs some
-    // ref doc clears 0.8. Both engines verify with EXACT Jaccard over the
-    // same word-3-gram definition, so banding recall (1 - 5e-8 at j=0.8 with
-    // 128/32) is the only divergence channel and the planted overlap keeps
-    // true pairs far from it.
+    // Cross-snapshot NEAR-dup: ref = truncated-to-90% rewrites of every 20th
+    // doc (ids +100000, built by [[truncatedRef]]); flag today's docs whose
+    // shingle-set Jaccard vs some ref doc clears 0.8. Both engines verify
+    // with EXACT Jaccard over the same word-3-gram definition, so banding
+    // recall (1 - 5e-8 at j=0.8 with 128/32) is the only divergence channel
+    // and the planted overlap keeps true pairs far from it.
     "pipe_neardup_incremental" -> QueryDef(
       (s, dir) => {
         val docs = t(s, dir, "documents").select("doc_id", "text")
-        val toks = split(col("text"), " ")
-        val keepN = greatest((size(toks) * 9) / 10, lit(3))
-        val ref = docs.where(col("doc_id") % 20 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"),
-            concat_ws(" ", slice(toks, lit(1), keepN)).as("text"))
         Dedup.nearDupPairsAgainstReference(docs, "doc_id", "text",
-          ref, "doc_id", "text",
+          truncatedRef(docs), "doc_id", "text",
           shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
           .select("id", "ref_id").orderBy("id", "ref_id")
       },
-      Some("""WITH ref AS (
-             |  SELECT doc_id + 100000 AS doc_id,
-             |         array_to_string(string_split(text,' ')[1:greatest((len(string_split(text,' '))*9)//10, 3)], ' ') AS text
-             |  FROM documents WHERE doc_id % 20 = 0),
-             |toks_l AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
-             |toks_r AS (SELECT doc_id, string_split(text, ' ') AS t FROM ref WHERE text IS NOT NULL),
-             |sh_l AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-             |    THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
-             |    ELSE [array_to_string(t, ' ')] END) AS s FROM toks_l),
-             |sh_r AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-             |    THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
-             |    ELSE [array_to_string(t, ' ')] END) AS s FROM toks_r)
-             |SELECT a.doc_id AS id, b.doc_id AS ref_id
-             |FROM sh_l a JOIN sh_r b
-             |  ON len(list_intersect(a.s, b.s))::DOUBLE
-             |     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
-             |ORDER BY 1, 2""".stripMargin)),
+      Some(s"""$nearDupCrossPairsSql
+              |SELECT id, ref_id FROM xp ORDER BY 1, 2""".stripMargin)),
 
     "pipe_neardup_incremental_drop" -> QueryDef(
       (s, dir) => {
         val docs = t(s, dir, "documents").select("doc_id", "text")
-        val toks = split(col("text"), " ")
-        val keepN = greatest((size(toks) * 9) / 10, lit(3))
-        val ref = docs.where(col("doc_id") % 20 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"),
-            concat_ws(" ", slice(toks, lit(1), keepN)).as("text"))
         Dedup.dropNearDupsAgainstReference(docs, "doc_id", "text",
-          ref, "doc_id", "text",
+          truncatedRef(docs), "doc_id", "text",
           shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
           .select("doc_id").orderBy("doc_id")
       },
-      Some("""WITH ref AS (
-             |  SELECT doc_id + 100000 AS doc_id,
-             |         array_to_string(string_split(text,' ')[1:greatest((len(string_split(text,' '))*9)//10, 3)], ' ') AS text
-             |  FROM documents WHERE doc_id % 20 = 0),
-             |toks_l AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
-             |toks_r AS (SELECT doc_id, string_split(text, ' ') AS t FROM ref WHERE text IS NOT NULL),
-             |sh_l AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-             |    THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
-             |    ELSE [array_to_string(t, ' ')] END) AS s FROM toks_l),
-             |sh_r AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-             |    THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
-             |    ELSE [array_to_string(t, ' ')] END) AS s FROM toks_r)
-             |SELECT d.doc_id FROM documents d
-             |ANTI JOIN (
-             |  SELECT DISTINCT a.doc_id FROM sh_l a JOIN sh_r b
-             |    ON len(list_intersect(a.s, b.s))::DOUBLE
-             |       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8) f
-             |ON d.doc_id = f.doc_id
-             |ORDER BY 1""".stripMargin)),
+      Some(s"""$nearDupCrossPairsSql
+              |SELECT d.doc_id FROM documents d
+              |ANTI JOIN (SELECT DISTINCT id FROM xp) f ON d.doc_id = f.id
+              |ORDER BY 1""".stripMargin)),
 
+    // Epoch mixing with upsampling: en ×2.5 (two copies + a hash-coin third),
+    // de ×0.5, everything else ×1. The fractional draw is the salted portable
+    // hash, replayed verbatim in SQL; copies materialize via unnest(range).
     "pipe_epoch_mix" -> QueryDef(
       (s, dir) => Curation.epochMix(
         t(s, dir, "documents"), col("lang"),

@@ -114,6 +114,33 @@ object PipeBench {
         Curation.stratifiedSplit(docs.withColumn("grp", col("doc_id") % 20),
           Seq("grp"), col("doc_id"), 0.1)
           .where(col("split") === "val").count()),
+      // cross-snapshot incremental dedup: "yesterday" = every 3rd doc (~333k
+      // ref keys); ~1/3 of today bloom-hits and takes the confirm anti-join,
+      // the rest is a row-local probe
+      "dedup_incremental" -> timed("dedup_incremental")(
+        Dedup.dedupAgainstReference(docs, col("text"),
+          docs.where(col("doc_id") % 3 === 0), col("text")).count()),
+      // cross-snapshot near-dup: ref = 90%-truncated rewrites of every 20th
+      // doc (~50k); candidates only from cross-side band collisions
+      "neardup_incremental" -> {
+        System.err.println("[pipebench] neardup_incremental")
+        val toks = split(col("text"), " ")
+        val ref = docs.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + nDocs).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(1), greatest((size(toks) * 9) / 10, lit(3)))).as("text"))
+        time(Dedup.nearDupPairsAgainstReference(docs, "doc_id", "text",
+          ref, "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16,
+          threshold = 0.8).count())
+      },
+      "dsir_train_4k" -> timed("dsir_train_4k")(
+        Dsir.train(evalSet, docs, col("text"), features = 4096)),
+      "dsir_score_resample" -> timed("dsir_score_resample") {
+        val m = DsirModel(1.0, Map("w1 w2" -> 30L), Map("w1 w2" -> 10L),
+          40L, 1000L, 8L, 950L)
+        val scored = Dsir.score(docs, col("text"), m)
+        Dsir.resample(scored, col("doc_id"), col("dsir_log_importance"), 0.0).count()
+        ()
+      },
       // SemDeDup probed at 250k docs: the within-cluster exact step is
       // inherently sum(|cluster|^2), so the centroid count must scale with
       // the corpus — 2048 centroids over 250k docs keeps clusters ~122 docs

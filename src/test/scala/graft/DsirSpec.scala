@@ -68,6 +68,10 @@ class DsirSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dsir.resample(scored, col("id"), col("dsir_log_importance"), 0.0, temperature = 0.0)
     }
+    // string ids would hash to NULL and silently drop every row — fail fast
+    intercept[IllegalArgumentException] {
+      Dsir.resample(Seq(("u-1", 0.5)).toDF("sid", "sc"), col("sid"), col("sc"), 0.0)
+    }
   }
 
   test("model JSON round-trip and SQL surface parity") {
