@@ -520,8 +520,50 @@ object Dedup {
     PipelineGuards.requireBatch(df, "nearDupPairsAgainstReference")
     PipelineGuards.requireBatch(ref, "nearDupPairsAgainstReference (reference side)")
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val (shL, bandedL) = shingleBands(df, col(idCol), col(textCol), shingleSize, numHashes, bands)
     val (shR, bandedR) = shingleBands(ref, col(refIdCol), col(refTextCol), shingleSize, numHashes, bands)
+    crossPairs(df, idCol, textCol, shR, bandedR, shingleSize, numHashes, bands, threshold)
+  }
+
+  /** Prebuilt LSH index over a reference corpus for REPEATED cross-snapshot
+    * near-dup probes: the band rows (candidate generation) and hashed shingle
+    * sets (exact verification) are computed in one pass and persisted, so
+    * each probe — a daily crawl, a micro-batch — pays only its own side's
+    * sketching plus the cross join. Callers done with the index:
+    * `index.shingles.unpersist(); index.bandRows.unpersist()`.
+    */
+  final case class NearDupIndex private[pipeline] (
+      shingles: DataFrame, bandRows: DataFrame,
+      shingleSize: Int, numHashes: Int, bands: Int)
+
+  /** One-time construction of a [[NearDupIndex]]. */
+  def buildNearDupIndex(ref: DataFrame, refIdCol: String, refTextCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16): NearDupIndex = {
+    PipelineGuards.requireBatch(ref, "buildNearDupIndex (reference side)")
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val (sh, banded) = shingleBands(ref, col(refIdCol), col(refTextCol), shingleSize, numHashes, bands)
+    NearDupIndex(sh.persist(), banded.persist(), shingleSize, numHashes, bands)
+  }
+
+  /** [[nearDupPairsAgainstReference]] against a prebuilt [[NearDupIndex]]. */
+  def nearDupPairsAgainstIndex(df: DataFrame, idCol: String, textCol: String,
+                               index: NearDupIndex, threshold: Double = 0.8): DataFrame =
+    crossPairs(df, idCol, textCol, index.shingles, index.bandRows,
+      index.shingleSize, index.numHashes, index.bands, threshold)
+
+  /** [[dropNearDupsAgainstReference]] against a prebuilt [[NearDupIndex]]. */
+  def dropNearDupsAgainstIndex(df: DataFrame, idCol: String, textCol: String,
+                               index: NearDupIndex, threshold: Double = 0.8): DataFrame = {
+    val drop = nearDupPairsAgainstIndex(df, idCol, textCol, index, threshold)
+      .select(col("id").as("__drop_id")).distinct()
+    df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  private def crossPairs(df: DataFrame, idCol: String, textCol: String,
+                         shR: DataFrame, bandedR: DataFrame,
+                         shingleSize: Int, numHashes: Int, bands: Int,
+                         threshold: Double): DataFrame = {
+    val (shL, bandedL) = shingleBands(df, col(idCol), col(textCol), shingleSize, numHashes, bands)
     val candidateIds = bandedL.select(col("__id").as("id_a"), col("__band"), col("__bandhash"))
       .join(bandedR.select(col("__id").as("id_b"), col("__band"), col("__bandhash")),
         Seq("__band", "__bandhash"))

@@ -61,4 +61,23 @@ object StreamingRecipes {
       sink(Dedup.dedupAgainstReference(batch, col(keyCol), filter), batchId)
     }
   }
+
+  /** NEAR-dup analog of [[dedupAgainstReferencePerBatch]]: each micro-batch
+    * keeps only rows that are not MinHash near-duplicates (exact-verified
+    * Jaccard >= threshold) of the static reference corpus. The reference's
+    * LSH index — band rows + shingle sets — is built and persisted ONCE at
+    * recipe-construction time; per batch the cost is the batch's own
+    * sketching plus the cross-bucket candidate join. As with the exact
+    * recipe, the index does not learn the stream's own rows.
+    */
+  def dropNearDupsAgainstReferencePerBatch(stream: DataFrame, idCol: String, textCol: String,
+                                           ref: DataFrame, refIdCol: String, refTextCol: String,
+                                           shingleSize: Int = 3, numHashes: Int = 64,
+                                           bands: Int = 16, threshold: Double = 0.8)
+                                          (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val index = Dedup.buildNearDupIndex(ref, refIdCol, refTextCol, shingleSize, numHashes, bands)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(Dedup.dropNearDupsAgainstIndex(batch, idCol, textCol, index, threshold), batchId)
+    }
+  }
 }

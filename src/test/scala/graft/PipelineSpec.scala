@@ -374,6 +374,33 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L, 5L))
   }
 
+  test("NearDupIndex: prebuilt-index probes equal the direct path") {
+    val today = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "a completely unrelated fresh document about something else")
+    ).toDF("doc_id", "text")
+    val ref = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (901L, "reference only content never seen today at all")
+    ).toDF("doc_id", "text")
+    val index = Dedup.buildNearDupIndex(ref, "doc_id", "text",
+      shingleSize = 3, numHashes = 128, bands = 32)
+    try {
+      val direct = Dedup.nearDupPairsAgainstReference(today, "doc_id", "text",
+        ref, "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32)
+        .select("id", "ref_id").as[(Long, Long)].collect().toSet
+      val viaIndex = Dedup.nearDupPairsAgainstIndex(today, "doc_id", "text", index)
+        .select("id", "ref_id").as[(Long, Long)].collect().toSet
+      assert(viaIndex == direct && viaIndex == Set((1L, 900L)))
+      // a second probe reuses the same persisted index frames
+      val kept = Dedup.dropNearDupsAgainstIndex(today, "doc_id", "text", index)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(2L))
+    } finally {
+      index.shingles.unpersist(); index.bandRows.unpersist(); ()
+    }
+  }
+
   test("dedupAgainstReference: exact anti semantics, nulls survive, bloom routes not decides") {
     val corpus = Seq(
       (1L, "already crawled yesterday"),

@@ -93,6 +93,31 @@ class StreamChecksSpec extends SparkSpec {
     assert(seen.sortBy(identity).toSeq == Seq((0L, 2L), (1L, 3L)))
   }
 
+  test("foreachBatch recipe: near-dup drop against a static reference index") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ref = Seq((900L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.StreamingRecipes
+      .dropNearDupsAgainstReferencePerBatch(stream, "doc_id", "text",
+        ref, "doc_id", "text", numHashes = 128, bands = 32) { (batch, id) =>
+        seen ++= batch.collect().map(r => (id, r.getLong(0)))
+      }.start()
+    // doc 1 is a 10-token superset of the 9-token ref doc (jaccard 7/8) ->
+    // dropped; doc 2 is novel -> kept
+    in.addData(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "a completely unrelated fresh document about something else"))
+    q.processAllAvailable()
+    in.addData((3L, "another novel page"), (4L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.sortBy(identity).toSeq == Seq((0L, 2L), (1L, 3L)))
+  }
+
   test("cross-batch keep-first dedup via firstSeenRows state") {
     import StreamChecks.KeyedRow
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
