@@ -47,7 +47,9 @@ object CurationPipeline {
     "dedup_exact" -> Set("key"),
     "dedup_lines" -> Set("max_occurrences"),
     "filter_perplexity" -> Set("model_json", "max_perplexity"),
+    "filter_quality_score" -> Set("model_json", "min_score"),
     "dsir_resample" -> Set("model_json", "threshold", "temperature"),
+    "dedup_against_reference" -> Set("ref_path", "ref_key", "key", "fpp"),
     "sample_hash" -> Set("fraction"),
     "sample_quota" -> Set("group_cols", "quota"),
     "sample_weights" -> Set("group_col", "weights", "default_weight"),
@@ -140,6 +142,22 @@ object CurationPipeline {
         NgramLm.filterByPerplexity(df, text, model,
           num(m, "max_perplexity").getOrElse(throw new IllegalArgumentException(
             "filter_perplexity: 'max_perplexity' is required")))
+      case "filter_quality_score" =>
+        val model = QualityModelJson.parse(str(m, "model_json").getOrElse(
+          throw new IllegalArgumentException("filter_quality_score: 'model_json' is required")))
+        QualityClassifier.filterByQuality(df, text, model,
+          num(m, "min_score").getOrElse(throw new IllegalArgumentException(
+            "filter_quality_score: 'min_score' is required")))
+      case "dedup_against_reference" =>
+        // declarative incremental dedup: the reference snapshot is a parquet
+        // path (the natural YAML form of "yesterday's corpus")
+        val refPath = str(m, "ref_path").getOrElse(throw new IllegalArgumentException(
+          "dedup_against_reference: 'ref_path' is required"))
+        val refKey = str(m, "ref_key").orElse(str(m, "key")).getOrElse(textCol)
+        val key = str(m, "key").getOrElse(textCol)
+        Dedup.dedupAgainstReference(df, col(key),
+          df.sparkSession.read.parquet(refPath), col(refKey),
+          num(m, "fpp").getOrElse(0.01))
       case "dsir_resample" =>
         val model = DsirModelJson.parse(str(m, "model_json").getOrElse(
           throw new IllegalArgumentException("dsir_resample: 'model_json' is required")))
