@@ -295,6 +295,29 @@ object Dedup {
     df.join(losers, df(idCol).cast("long") === col("__dq_loser_id"), "left_anti")
   }
 
+  /** Cluster dedup with a QUALITY keep rule: each near-dup component keeps
+    * its best-scoring member (`quality` max, ties → lowest id) instead of
+    * [[dedupByClusters]]' lowest-id member — the standard curation policy of
+    * keeping the longest / highest-quality variant of a duplicated page.
+    *
+    * Shape: one groupBy(cluster) argmax via a struct-ordered `max` (partial
+    * aggregation — no per-cluster window sort, no skew from a synthetic
+    * "unclustered" partition); docs in no pair never enter the aggregate and
+    * are kept by the anti-join unchanged.
+    */
+  def dedupByClustersKeepBest(df: DataFrame, idCol: String, quality: Column,
+                              clusters: DataFrame): DataFrame = {
+    val id = df(idCol).cast("long")
+    val clustered = df.join(clusters, id === clusters("id"), "inner")
+    // lexicographic struct max = (quality desc, id asc) argmax
+    val winners = clustered.groupBy(col("cluster"))
+      .agg(max(struct(quality.as("q"), (-id).as("negid"), id.as("kid"))).as("__w"))
+      .select(col("__w.kid").as("__keep_id"))
+    val unclustered = df.join(clusters, id === clusters("id"), "left_anti")
+    unclustered.unionByName(
+      df.join(winners, id === col("__keep_id"), "left_semi"))
+  }
+
   // ------------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash over the token array (single-pass custom expression). */

@@ -30,6 +30,29 @@ object PipelineQueries {
       |         array_to_string(string_split(text,' ')[1:greatest((len(string_split(text,' '))*8)//10, 3)], ' ') AS text
       |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin
 
+  /** Shared WITH-RECURSIVE prologue for the cluster gates: transitive closure
+    * over the exact-Jaccard >= 0.8 pair set of the planted corpus; `cl` maps
+    * every paired doc to its component's min reachable id (quadratic closure
+    * is fine at oracle scale).
+    */
+  private val nearDupClustersSql =
+    s"""WITH RECURSIVE $plantedNearDupsSql,
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |         THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+       |         ELSE [array_to_string(t, ' ')] END) AS s FROM toks),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+       |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION SELECT id_b AS a, id_a AS b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM (SELECT a, b FROM sym UNION SELECT DISTINCT a, a AS b FROM sym)
+       |  UNION
+       |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+       |cl AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a)""".stripMargin
+
   /** "Yesterday's" snapshot for the incremental near-dup gates: 90%-truncated
     * rewrites of every 20th doc (ids +100000). NULL-text rows are excluded so
     * both engines agree on the ref set (Spark's concat_ws would otherwise
@@ -174,23 +197,32 @@ object PipelineQueries {
         Dedup.duplicateClusters(pairs).orderBy("id")
       },
       // transitive closure over the same exact-Jaccard pair set; cluster =
-      // min reachable id (quadratic closure is fine at oracle scale)
-      Some(s"""WITH RECURSIVE $plantedNearDupsSql,
-              |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
-              |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-              |         THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
-              |         ELSE [array_to_string(t, ' ')] END) AS s FROM toks),
-              |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-              |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
-              |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
-              |        UNION SELECT id_b AS a, id_a AS b FROM pairs),
-              |reach(a, b) AS (
-              |  SELECT a, b FROM (SELECT a, b FROM sym UNION SELECT DISTINCT a, a AS b FROM sym)
-              |  UNION
-              |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a)
-              |SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a ORDER BY 1""".stripMargin)),
+      // min reachable id ([[nearDupClustersSql]], shared with keep_best)
+      Some(s"""$nearDupClustersSql
+              |SELECT id, cluster FROM cl ORDER BY 1""".stripMargin)),
+
+    // quality keep rule over the SAME clusters: each component keeps its
+    // longest-text member (ties -> lowest doc_id); docs in no pair survive
+    // untouched. Exercises the struct-ordered argmax path end-to-end.
+    "pipe_dedup_clusters_keep_best" -> QueryDef(
+      (s, dir) => {
+        val input = plantedNearDups(s, dir)
+        val pairs = Dedup.minHashDuplicatePairs(input, "doc_id", "text",
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.8)
+        Dedup.dedupByClustersKeepBest(input, "doc_id", length(col("text")),
+          Dedup.duplicateClusters(pairs))
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""$nearDupClustersSql,
+              |win AS (SELECT doc_id FROM (
+              |  SELECT p.doc_id,
+              |         row_number() OVER (PARTITION BY cl.cluster
+              |                            ORDER BY length(p.text) DESC, p.doc_id) AS rn
+              |  FROM cl JOIN planted p ON p.doc_id = cl.id) WHERE rn = 1)
+              |SELECT doc_id FROM planted WHERE doc_id NOT IN (SELECT id FROM cl)
+              |UNION ALL
+              |SELECT doc_id FROM win
+              |ORDER BY 1""".stripMargin)),
 
     "pipe_dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => Dedup.ngramJaccardPairs(plantedNearDups(s, dir), "doc_id", "text",

@@ -374,6 +374,22 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L, 5L))
   }
 
+  test("dedupByClustersKeepBest keeps the highest-quality member per component") {
+    val docs = Seq(
+      (1L, "a", 5.0), (2L, "b", 9.0), (3L, "c", 9.0), // component {1,2,3}
+      (4L, "solo", 1.0) // in no pair: survives regardless of score
+    ).toDF("doc_id", "text", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+    val out = Dedup.dedupByClustersKeepBest(docs, "doc_id", col("q"), clusters)
+      .select("doc_id").as[Long].collect().toSet
+    // 2 and 3 tie on quality -> lowest id 2 wins; min-id policy would keep 1
+    assert(out == Set(2L, 4L))
+    val minId = Dedup.dedupByClusters(docs, "doc_id", clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 4L))
+  }
+
   test("NearDupIndex: prebuilt-index probes equal the direct path") {
     val today = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
