@@ -49,7 +49,7 @@ object CurationPipeline {
     "filter_perplexity" -> Set("model_json", "max_perplexity"),
     "filter_quality_score" -> Set("model_json", "min_score"),
     "dsir_resample" -> Set("model_json", "threshold", "temperature"),
-    "dedup_against_reference" -> Set("ref_path", "ref_key", "key", "fpp"),
+    "dedup_against_reference" -> Set("ref_path", "ref_key", "key", "fpp", "expected_ref_items"),
     "sample_hash" -> Set("fraction"),
     "sample_quota" -> Set("group_cols", "quota"),
     "sample_weights" -> Set("group_col", "weights", "default_weight"),
@@ -150,14 +150,19 @@ object CurationPipeline {
             "filter_quality_score: 'min_score' is required")))
       case "dedup_against_reference" =>
         // declarative incremental dedup: the reference snapshot is a parquet
-        // path (the natural YAML form of "yesterday's corpus")
+        // path (the natural YAML form of "yesterday's corpus"). NOTE: unlike
+        // every other step this one runs Spark jobs at PIPELINE-CONSTRUCTION
+        // time (the bloom must exist before the plan can be built); pass
+        // expected_ref_items to skip the sizing ref.count() scan at scale.
+        // The one-shot dedup path persists nothing (leak-free per apply()).
         val refPath = str(m, "ref_path").getOrElse(throw new IllegalArgumentException(
           "dedup_against_reference: 'ref_path' is required"))
         val refKey = str(m, "ref_key").orElse(str(m, "key")).getOrElse(textCol)
         val key = str(m, "key").getOrElse(textCol)
         Dedup.dedupAgainstReference(df, col(key),
           df.sparkSession.read.parquet(refPath), col(refKey),
-          num(m, "fpp").getOrElse(0.01))
+          num(m, "fpp").getOrElse(0.01),
+          num(m, "expected_ref_items").map(_.toLong))
       case "dsir_resample" =>
         val model = DsirModelJson.parse(str(m, "model_json").getOrElse(
           throw new IllegalArgumentException("dsir_resample: 'model_json' is required")))

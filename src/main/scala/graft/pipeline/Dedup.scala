@@ -309,13 +309,16 @@ object Dedup {
                               clusters: DataFrame): DataFrame = {
     val id = df(idCol).cast("long")
     val clustered = df.join(clusters, id === clusters("id"), "inner")
-    // lexicographic struct max = (quality desc, id asc) argmax
-    val winners = clustered.groupBy(col("cluster"))
-      .agg(max(struct(quality.as("q"), (-id).as("negid"), id.as("kid"))).as("__w"))
-      .select(col("__w.kid").as("__keep_id"))
+    // lexicographic struct MIN of (-quality, id) = (quality desc, id asc)
+    // argmax; quality negates as double (no Long.MinValue overflow), and the
+    // cluster/keep-id references are qualified so a df that already carries
+    // a `cluster` column (e.g. from Embeddings.assignClusters) still works
+    val winners = clustered.groupBy(clusters("cluster"))
+      .agg(min(struct((-quality.cast("double")).as("nq"), id.as("kid"))).as("__w"))
+      .select(col("__w.kid").as("__graft_keep_id"))
     val unclustered = df.join(clusters, id === clusters("id"), "left_anti")
     unclustered.unionByName(
-      df.join(winners, id === col("__keep_id"), "left_semi"))
+      df.join(winners, id === winners("__graft_keep_id"), "left_semi"))
   }
 
   // ------------------------------------------------------------------ SimHash
@@ -484,8 +487,10 @@ object Dedup {
                             fpp: Double = 0.01,
                             expectedRefItems: Option[Long] = None): DataFrame = {
     PipelineGuards.requireBatch(df, "dedupAgainstReference")
+    // one-shot: no persist (nothing to unpersist later); the confirm join
+    // rescans the ref once, which a single call would pay for caching anyway
     dedupAgainstReference(df, key,
-      buildReferenceFilter(ref, refKey, fpp, expectedRefItems))
+      buildReferenceFilter(ref, refKey, fpp, expectedRefItems, persistKeys = false))
   }
 
   /** Prebuilt reference-corpus membership filter: the bloom (built in ONE
@@ -502,16 +507,19 @@ object Dedup {
     * scan — pass the estimate at 100 TB).
     */
   def buildReferenceFilter(ref: DataFrame, refKey: Column, fpp: Double = 0.01,
-                           expectedRefItems: Option[Long] = None): ReferenceFilter = {
+                           expectedRefItems: Option[Long] = None,
+                           persistKeys: Boolean = true): ReferenceFilter = {
     PipelineGuards.requireBatch(ref, "buildReferenceFilter (reference side)")
     require(fpp > 0 && fpp < 1, "fpp must be in (0,1)")
     val refHashed = ref.select(xxhash64(refKey).as("__ref_h"), refKey.as("__ref_k"))
     val n = expectedRefItems.getOrElse(refHashed.count()) max 1L
     val bloom = refHashed.stat.bloomFilter(col("__ref_h"), n, fpp)
-    // persisted: the confirm join must NOT re-scan + re-distinct the full
-    // reference on every use — a streaming recipe probes this frame once per
-    // micro-batch. Callers done with the filter: filter.refKeys.unpersist()
-    ReferenceFilter(bloom, refHashed.select(col("__ref_k")).distinct().persist())
+    // persistKeys (default): REPEATED probes must not re-scan + re-distinct
+    // the full reference on every use — a streaming recipe probes this frame
+    // once per micro-batch. Callers done with a persisted filter:
+    // filter.refKeys.unpersist(). One-shot paths pass false (leak-free).
+    val keys = refHashed.select(col("__ref_k")).distinct()
+    ReferenceFilter(bloom, if (persistKeys) keys.persist() else keys)
   }
 
   /** [[dedupAgainstReference]] against a prebuilt [[ReferenceFilter]]. */
@@ -539,13 +547,10 @@ object Dedup {
   def nearDupPairsAgainstReference(df: DataFrame, idCol: String, textCol: String,
                                    ref: DataFrame, refIdCol: String, refTextCol: String,
                                    shingleSize: Int = 3, numHashes: Int = 64,
-                                   bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    PipelineGuards.requireBatch(df, "nearDupPairsAgainstReference")
-    PipelineGuards.requireBatch(ref, "nearDupPairsAgainstReference (reference side)")
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val (shR, bandedR) = shingleBands(ref, col(refIdCol), col(refTextCol), shingleSize, numHashes, bands)
-    crossPairs(df, idCol, textCol, shR, bandedR, shingleSize, numHashes, bands, threshold)
-  }
+                                   bands: Int = 16, threshold: Double = 0.8): DataFrame =
+    nearDupPairsAgainstIndex(df, idCol, textCol,
+      buildNearDupIndex(ref, refIdCol, refTextCol, shingleSize, numHashes, bands,
+        persist = false), threshold)
 
   /** Prebuilt LSH index over a reference corpus for REPEATED cross-snapshot
     * near-dup probes: the band rows (candidate generation) and hashed shingle
@@ -561,24 +566,33 @@ object Dedup {
   /** One-time construction of a [[NearDupIndex]]. */
   def buildNearDupIndex(ref: DataFrame, refIdCol: String, refTextCol: String,
                         shingleSize: Int = 3, numHashes: Int = 64,
-                        bands: Int = 16): NearDupIndex = {
+                        bands: Int = 16, persist: Boolean = true): NearDupIndex = {
     PipelineGuards.requireBatch(ref, "buildNearDupIndex (reference side)")
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val (sh, banded) = shingleBands(ref, col(refIdCol), col(refTextCol), shingleSize, numHashes, bands)
-    NearDupIndex(sh.persist(), banded.persist(), shingleSize, numHashes, bands)
+    if (persist) NearDupIndex(sh.persist(), banded.persist(), shingleSize, numHashes, bands)
+    else NearDupIndex(sh, banded, shingleSize, numHashes, bands)
   }
 
   /** [[nearDupPairsAgainstReference]] against a prebuilt [[NearDupIndex]]. */
   def nearDupPairsAgainstIndex(df: DataFrame, idCol: String, textCol: String,
-                               index: NearDupIndex, threshold: Double = 0.8): DataFrame =
+                               index: NearDupIndex, threshold: Double = 0.8): DataFrame = {
+    PipelineGuards.requireBatch(df, "nearDupPairsAgainstIndex")
     crossPairs(df, idCol, textCol, index.shingles, index.bandRows,
       index.shingleSize, index.numHashes, index.bands, threshold)
+  }
 
   /** [[dropNearDupsAgainstReference]] against a prebuilt [[NearDupIndex]]. */
   def dropNearDupsAgainstIndex(df: DataFrame, idCol: String, textCol: String,
-                               index: NearDupIndex, threshold: Double = 0.8): DataFrame = {
-    val drop = nearDupPairsAgainstIndex(df, idCol, textCol, index, threshold)
-      .select(col("id").as("__drop_id")).distinct()
+                               index: NearDupIndex, threshold: Double = 0.8): DataFrame =
+    dropByFlaggedIds(df, idCol,
+      nearDupPairsAgainstIndex(df, idCol, textCol, index, threshold))
+
+  /** Anti-join `df` against the `id` column of a flagged-pair frame. The drop
+    * set carries only ids (AQE-broadcastable when small).
+    */
+  private def dropByFlaggedIds(df: DataFrame, idCol: String, flagged: DataFrame): DataFrame = {
+    val drop = flagged.select(col("id").as("__drop_id")).distinct()
     df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
   }
 
@@ -606,10 +620,8 @@ object Dedup {
   def dropNearDupsAgainstReference(df: DataFrame, idCol: String, textCol: String,
                                    ref: DataFrame, refIdCol: String, refTextCol: String,
                                    shingleSize: Int = 3, numHashes: Int = 64,
-                                   bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    val drop = nearDupPairsAgainstReference(df, idCol, textCol, ref, refIdCol, refTextCol,
-      shingleSize, numHashes, bands, threshold)
-      .select(col("id").as("__drop_id")).distinct()
-    df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
-  }
+                                   bands: Int = 16, threshold: Double = 0.8): DataFrame =
+    dropByFlaggedIds(df, idCol,
+      nearDupPairsAgainstReference(df, idCol, textCol, ref, refIdCol, refTextCol,
+        shingleSize, numHashes, bands, threshold))
 }

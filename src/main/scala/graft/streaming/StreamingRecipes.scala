@@ -55,12 +55,22 @@ object StreamingRecipes {
                                     ref: DataFrame, refKey: String,
                                     fpp: Double = 0.01,
                                     expectedRefItems: Option[Long] = None)
-                                   (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val filter = Dedup.buildReferenceFilter(ref, col(refKey), fpp, expectedRefItems)
+                                   (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    dedupAgainstReferencePerBatch(stream, keyCol,
+      Dedup.buildReferenceFilter(ref, col(refKey), fpp, expectedRefItems))(sink)
+
+  /** Same recipe with a CALLER-OWNED [[Dedup.ReferenceFilter]] — build it
+    * once, run the stream, and `filter.refKeys.unpersist()` after the query
+    * stops. (The convenience overload above builds the filter internally;
+    * its cached ref-keys frame then lives for the application lifetime,
+    * which is the right trade only when the stream does too.)
+    */
+  def dedupAgainstReferencePerBatch(stream: DataFrame, keyCol: String,
+                                    filter: Dedup.ReferenceFilter)
+                                   (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(Dedup.dedupAgainstReference(batch, col(keyCol), filter), batchId)
     }
-  }
 
   /** NEAR-dup analog of [[dedupAgainstReferencePerBatch]]: each micro-batch
     * keeps only rows that are not MinHash near-duplicates (exact-verified
@@ -74,10 +84,20 @@ object StreamingRecipes {
                                            ref: DataFrame, refIdCol: String, refTextCol: String,
                                            shingleSize: Int = 3, numHashes: Int = 64,
                                            bands: Int = 16, threshold: Double = 0.8)
-                                          (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val index = Dedup.buildNearDupIndex(ref, refIdCol, refTextCol, shingleSize, numHashes, bands)
+                                          (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    dropNearDupsAgainstReferencePerBatch(stream, idCol, textCol,
+      Dedup.buildNearDupIndex(ref, refIdCol, refTextCol, shingleSize, numHashes, bands),
+      threshold)(sink)
+
+  /** Same recipe with a CALLER-OWNED [[Dedup.NearDupIndex]] — build once, run
+    * the stream, and unpersist `index.shingles` / `index.bandRows` after the
+    * query stops. (The convenience overload's internally built index stays
+    * cached for the application lifetime.)
+    */
+  def dropNearDupsAgainstReferencePerBatch(stream: DataFrame, idCol: String, textCol: String,
+                                           index: Dedup.NearDupIndex, threshold: Double)
+                                          (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(Dedup.dropNearDupsAgainstIndex(batch, idCol, textCol, index, threshold), batchId)
     }
-  }
 }

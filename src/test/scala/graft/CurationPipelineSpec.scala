@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Curation, CurationPipeline, Dedup, TextAnalysis}
+import graft.pipeline.{Curation, CurationPipeline, Dedup, QualityClassifier, QualityModel, QualityModelJson, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class CurationPipelineSpec extends SparkSpec {
@@ -100,4 +100,35 @@ class CurationPipelineSpec extends SparkSpec {
       "langs" -> Seq("de"), "column" -> "lang")))
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(4L))
   }
+  test("curation-pipeline steps: filter_quality_score and dedup_against_reference dispatch") {
+    val docs2 = Seq((1L, "good words"), (2L, "bad stuff"), (3L, "good things"))
+      .toDF("doc_id", "text")
+    val qm = QualityModel(0.0, Map("good" -> 5.0, "bad" -> -5.0))
+    val direct = QualityClassifier.filterByQuality(docs2, col("text"), qm, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val piped = CurationPipeline(docs2, Seq(Map(
+      "step" -> "filter_quality_score",
+      "model_json" -> QualityModelJson.render(qm), "min_score" -> 0.5)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(piped == direct && piped == Set(1L, 3L))
+
+    val refRoot = java.nio.file.Files.createTempDirectory("graft_ref")
+    try {
+      val refDir = refRoot.toString + "/ref"
+      Seq("good words").toDF("text").write.mode("overwrite").parquet(refDir)
+      val kept = CurationPipeline(docs2, Seq(Map(
+        "step" -> "dedup_against_reference", "ref_path" -> refDir)))
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(2L, 3L))
+      intercept[IllegalArgumentException] {
+        CurationPipeline(docs2, Seq(Map("step" -> "dedup_against_reference")))
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(refRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      ()
+    }
+  }
+
 }

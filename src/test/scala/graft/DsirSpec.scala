@@ -113,29 +113,6 @@ class DsirSpec extends SparkSpec {
     }
   }
 
-  test("curation-pipeline steps: filter_quality_score and dedup_against_reference dispatch") {
-    val docs = Seq((1L, "good words"), (2L, "bad stuff"), (3L, "good things"))
-      .toDF("doc_id", "text")
-    val qm = QualityModel(0.0, Map("good" -> 5.0, "bad" -> -5.0))
-    val direct = QualityClassifier.filterByQuality(docs, col("text"), qm, 0.5)
-      .select("doc_id").as[Long].collect().toSet
-    val piped = CurationPipeline(docs, Seq(Map(
-      "step" -> "filter_quality_score",
-      "model_json" -> QualityModelJson.render(qm), "min_score" -> 0.5)))
-      .select("doc_id").as[Long].collect().toSet
-    assert(piped == direct && piped == Set(1L, 3L))
-
-    val refDir = java.nio.file.Files.createTempDirectory("graft_ref").toString
-    Seq("good words").toDF("text").write.mode("overwrite").parquet(refDir)
-    val kept = CurationPipeline(docs, Seq(Map(
-      "step" -> "dedup_against_reference", "ref_path" -> refDir)))
-      .select("doc_id").as[Long].collect().toSet
-    assert(kept == Set(2L, 3L))
-    intercept[IllegalArgumentException] {
-      CurationPipeline(docs, Seq(Map("step" -> "dedup_against_reference")))
-    }
-  }
-
   test("train guards: empty raw corpus, bad params") {
     val empty = Seq.empty[(Long, String)].toDF("id", "text")
     val t = Seq((1L, "a b")).toDF("id", "text")
