@@ -335,6 +335,110 @@ object TextAnalysis {
     GraftColumnBridge.column(CharEntropy(GraftColumnBridge.expression(text)))
   }
 
+  /** Number of whitespace tokens (case-folded, Locale.ROOT) that appear in
+    * `words` — occurrences, not distinct hits. The blocklist ships as a
+    * codegen reference object ([[Blocklist]]), so a large word list neither
+    * bloats the generated code nor de-codegens the projection (the
+    * `size(filter(...))` HOF alternative is CodegenFallback). Row-local.
+    */
+  def blocklistCount(text: Column, words: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(BlocklistCount(
+      GraftColumnBridge.expression(text), Blocklist.of(words)))
+  }
+
+  /** Blocklist signals: occurrence count and token-share of blocklisted
+    * words (the C4 "bad words" page-filter inputs). Token convention matches
+    * [[wsTokens]]/the classifier tokenizer (whitespace split, case-folded).
+    */
+  def blocklistSignals(text: Column, words: Seq[String]): Column = {
+    val n = blocklistCount(text, words)
+    struct(
+      n.as("n_blocked"),
+      (n.cast("double") / greatest(size(wsTokens(text)), lit(1))).as("blocked_ratio"))
+  }
+
+  /** Keep rows whose blocklisted-token share is at most `maxRatio`
+    * (C4 drops any page containing one — the default). Null text keeps
+    * (no tokens, no blocked tokens).
+    */
+  def blocklistFilter(text: Column, words: Seq[String], maxRatio: Double = 0.0): Column =
+    blocklistSignals(coalesce(text, lit("")), words).getField("blocked_ratio") <= maxRatio
+
+  /** The Gopher "required word" set (Rae et al. 2021, Appendix A1): a page
+    * must contain at least 2 of these to count as natural English prose.
+    */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher document-quality signals (Rae et al. 2021, Appendix A1) that
+    * [[qualitysignals]] does not already carry: symbol-to-word ratio (`#` and
+    * ellipsis), bullet-line and ellipsis-ending-line fractions, the fraction
+    * of words containing at least one alphabetic character, and the
+    * required-word presence count. Every count is a whole-text `regexp` or
+    * array intersection — row-local, no higher-order functions, fully
+    * whole-stage-codegen'd, a free rider on the scan at any scale.
+    *
+    * Words are whitespace runs (`\S+`), lines are `\n`-separated — the same
+    * conventions as the rest of this module. Ratios are raw doubles; gate
+    * queries round them. (The duplicate-n-gram half of Gopher's table is
+    * [[repetitionSignals]]; word-count and mean-word-length bounds fold into
+    * [[gopherFilter]] below.)
+    */
+  def gopherSignals(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val nWords = size(regexp_extract_all(t, lit("\\S+"), lit(0)))
+    // a \S+ run with >= 1 letter matches this exactly once (greedy within the
+    // run, can't cross whitespace), so this counts words-with-a-letter
+    val nAlphaWords = size(regexp_extract_all(t, lit("\\S*\\p{L}\\S*"), lit(0)))
+    val nSymbols = size(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0)))
+    val nLines = size(split(t, "\n"))
+    val nBulletLines =
+      size(regexp_extract_all(t, lit("(?m)^[ \t]*[-*•‣▪][ \t]"), lit(0)))
+    val nEllipsisLines =
+      size(regexp_extract_all(t, lit("(?m)(?:\\.\\.\\.|…)[ \t]*$"), lit(0)))
+    val nRequired = size(array_intersect(
+      array_distinct(split(lower(t), "\\s+")),
+      array(GopherRequiredWords.map(lit): _*)))
+    val meanWordLen =
+      length(regexp_replace(t, "\\s+", "")).cast("double") / greatest(nWords, lit(1))
+    struct(
+      nWords.as("n_words"),
+      nAlphaWords.as("n_alpha_words"),
+      (nAlphaWords.cast("double") / greatest(nWords, lit(1))).as("alpha_word_frac"),
+      meanWordLen.as("mean_word_len"),
+      (nSymbols.cast("double") / greatest(nWords, lit(1))).as("symbol_word_ratio"),
+      nLines.as("n_lines"),
+      (nBulletLines.cast("double") / greatest(nLines, lit(1))).as("bullet_line_frac"),
+      (nEllipsisLines.cast("double") / greatest(nLines, lit(1))).as("ellipsis_line_frac"),
+      nRequired.as("n_required_words"))
+  }
+
+  /** The full published Gopher keep/drop rule (Rae et al. 2021 Appendix A1
+    * thresholds as defaults): word-count and mean-word-length bounds,
+    * symbol-to-word ratio, bullet/ellipsis line fractions, alpha-word
+    * fraction, and the required-word minimum. AND this with
+    * [[repetitionFilter]] for the complete Gopher table (the duplicate-n-gram
+    * rules live there). Row-local boolean — usable as a filter predicate or a
+    * [[graft.rules.DQRowRule]] check column.
+    */
+  def gopherFilter(text: Column, minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                   maxSymbolWordRatio: Double = 0.1,
+                   maxBulletLineFrac: Double = 0.9,
+                   maxEllipsisLineFrac: Double = 0.3,
+                   minAlphaWordFrac: Double = 0.8,
+                   minRequiredWords: Int = 2): Column = {
+    val s = gopherSignals(text)
+    s.getField("n_words").between(minWords, maxWords) &&
+      s.getField("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+      s.getField("symbol_word_ratio") <= maxSymbolWordRatio &&
+      s.getField("bullet_line_frac") <= maxBulletLineFrac &&
+      s.getField("ellipsis_line_frac") <= maxEllipsisLineFrac &&
+      s.getField("alpha_word_frac") >= minAlphaWordFrac &&
+      s.getField("n_required_words") >= minRequiredWords
+  }
+
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "but", "if", "of", "to", "in", "on", "at", "by", "for",
     "with", "about", "as", "is", "are", "was", "were", "be", "been", "being", "it", "its",
@@ -350,6 +454,64 @@ object TextAnalysis {
     "it" -> Seq("il", "la", "le", "e", "è", "un", "una", "di", "che", "per", "con", "non", "sono", "della", "nel"),
     "pt" -> Seq("o", "a", "os", "as", "e", "é", "um", "uma", "de", "em", "que", "por", "para", "com", "não"),
     "nl" -> Seq("de", "het", "een", "en", "is", "van", "op", "dat", "met", "voor", "niet", "zijn", "aan", "bij", "ook"))
+}
+
+/** A blocklist as a codegen reference object. Words are stored case-folded
+  * (Locale.ROOT) so matching is case-insensitive regardless of how the
+  * caller spelled the list. (Top-level class: it rides into generated code.)
+  */
+final case class Blocklist(words: Set[String])
+
+object Blocklist {
+  def of(words: Seq[String]): Blocklist =
+    Blocklist(words.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+}
+
+/** Static kernel for [[BlocklistCount]]: tokens via the shared classifier
+  * tokenizer (whitespace split, Locale.ROOT case-fold), occurrences counted.
+  */
+object BlocklistOps {
+  def count(list: Blocklist, u: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val toks = QualityClassifier.tokenize(u.toString)
+    var n = 0
+    var i = 0
+    while (i < toks.length) {
+      if (list.words.contains(toks(i))) n += 1
+      i += 1
+    }
+    n
+  }
+}
+
+/** Occurrence count of blocklisted tokens — see
+  * [[TextAnalysis.blocklistCount]].
+  */
+case class BlocklistCount(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    list: Blocklist)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"blocklist_count requires a STRING argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    BlocklistOps.count(list, v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("blocklist", list, classOf[Blocklist].getName)
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.BlocklistOps.count($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): BlocklistCount = copy(child = c)
 }
 
 /** Static kernel for [[CharEntropy]]: code-point counts via a sorted map,

@@ -170,5 +170,58 @@ object UrlAnalysis {
       .drop("__graft_reg_domain")
   }
 
+  /** Tracking query parameters [[canonicalUrl]] strips: the ad-click and
+    * campaign attribution keys (any `utm_*`, Google/Facebook/Microsoft click
+    * ids, Mailchimp, Instagram share ids). Alternation compiled into ONE
+    * regexp_replace — stays RE2-subset (no lookaround) and codegen'd.
+    */
+  val TrackingParamPattern: String =
+    "utm_[^=&]*|gclid|fbclid|msclkid|dclid|twclid|mc_cid|mc_eid|igshid|yclid"
+
+  /** Canonical form of a URL for exact URL-level dedup (the first dedup pass
+    * of a web crawl — cheaper than any content hash because it prunes
+    * re-crawls before the fetch/text pipeline runs):
+    *
+    *  - scheme and host lowercased, one leading `www.` stripped
+    *  - default ports dropped (`:80` for http, `:443` for https); others kept
+    *  - fragment dropped
+    *  - tracking params ([[TrackingParamPattern]]) removed; survivors sorted
+    *    byte-wise so param order never splits a dup group
+    *  - path trailing slashes trimmed; empty path becomes `/`
+    *
+    * Strings that don't parse as scheme://host URLs pass through unchanged
+    * (they form their own dedup keys — a canonicalizer must never merge
+    * unrelated junk into one group). Pure regexp/split/array_sort chain:
+    * row-local, no HOFs, fully codegen'd.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val sch = scheme(url)
+    val h = regexp_replace(host(url), "^www\\.", "")
+    val p = port(url)
+    val portPart = when(
+      p.isNull || (sch === "http" && p === 80) || (sch === "https" && p === 443),
+      lit("")).otherwise(concat(lit(":"), p.cast("string")))
+    val rawPath = regexp_replace(coalesce(path(url), lit("")), "/+$", "")
+    val pathPart = when(rawPath === "", lit("/")).otherwise(rawPath)
+    // drop tracking params (leading or &-joined), then resplit/sort the rest
+    val qStripped = regexp_replace(coalesce(query(url), lit("")),
+      s"(?:^|&)(?:$TrackingParamPattern)=[^&]*", "")
+    val params = array_sort(array_remove(split(qStripped, "&+"), ""))
+    val queryPart = when(size(params) > 0,
+      concat(lit("?"), concat_ws("&", params))).otherwise(lit(""))
+    when(host(url).isNull, url)
+      .otherwise(concat(sch, lit("://"), h, portPart, pathPart, queryPart))
+  }
+
+  /** Keep one row per canonical URL (first by `orderCol` — deterministic).
+    * ONE hash shuffle on the canonical key; the standard crawl-level dedup
+    * before any content-based pass.
+    */
+  def dedupByCanonicalUrl(df: DataFrame, urlCol: String, orderCol: Column): DataFrame =
+    Dedup.dedupExact(
+      df.withColumn("__graft_canon_url", canonicalUrl(col(urlCol))),
+      Seq(col("__graft_canon_url")), orderCol)
+      .drop("__graft_canon_url")
+
   private def nullIfEmpty(c: Column): Column = when(c === "", lit(null).cast("string")).otherwise(c)
 }

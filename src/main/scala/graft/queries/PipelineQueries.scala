@@ -825,6 +825,105 @@ object PipelineQueries {
              |    AND doc_id % 7 <> 0 AND doc_id % 5 <> 0 AS keep
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-complete quality signals over in-plan-built multi-line text:
+    // k=doc_id%4+2 clean prose lines plus planted bullet / ellipsis / symbol
+    // lines gated by doc_id arithmetic. Every count is recomputed closed-form
+    // in DuckDB from the composition arithmetic (per-line char totals read off
+    // the literal line constants, never hand-counted); ratios rounded to 4 dp
+    // on both sides (fraction denominators probed: no half-boundary or
+    // threshold-equality cases exist in the planted value set).
+    "pipe_text_gopher" -> QueryDef(
+      (s, dir) => {
+        val d = col("doc_id")
+        val empty = array().cast("array<string>")
+        val parts = concat(
+          array_repeat(lit("the fox and dog run with that energy of nine"),
+            (d % 4 + 2).cast("int")),
+          when(d % 3 === 0, array(lit("- item one"))).otherwise(empty),
+          when(d % 5 === 0, array(lit("to be continued..."))).otherwise(empty),
+          when(d % 2 === 0, array(lit("# # tag"))).otherwise(empty))
+        val df = t(s, dir, "documents").select(d, array_join(parts, "\n").as("text"))
+        val sig = TextAnalysis.gopherSignals(col("text"))
+        df.select(d,
+          sig.getField("n_words").as("n_words"),
+          sig.getField("n_alpha_words").as("n_alpha_words"),
+          round(sig.getField("alpha_word_frac"), 4).as("alpha_word_frac"),
+          round(sig.getField("mean_word_len"), 4).as("mean_word_len"),
+          round(sig.getField("symbol_word_ratio"), 4).as("symbol_word_ratio"),
+          sig.getField("n_lines").as("n_lines"),
+          round(sig.getField("bullet_line_frac"), 4).as("bullet_line_frac"),
+          round(sig.getField("ellipsis_line_frac"), 4).as("ellipsis_line_frac"),
+          sig.getField("n_required_words").as("n_required_words"),
+          TextAnalysis.gopherFilter(col("text"), minWords = 30).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, doc_id % 4 + 2 AS k,
+             |         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS b,
+             |         CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS e,
+             |         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS h
+             |  FROM documents),
+             |c AS (
+             |  SELECT length(replace('the fox and dog run with that energy of nine',' ','')) AS gc,
+             |         length(replace('- item one',' ','')) AS bc,
+             |         length(replace('to be continued...',' ','')) AS ec,
+             |         length(replace('# # tag',' ','')) AS hc),
+             |m AS (
+             |  SELECT doc_id,
+             |         10*k + 3*b + 3*e + 3*h AS n_words,
+             |         10*k + 2*b + 3*e + 1*h AS n_alpha,
+             |         e + 2*h AS n_symbols,
+             |         k + b + e + h AS n_lines,
+             |         b AS n_bullet, e AS n_ell,
+             |         5 + 2*e AS n_required,
+             |         gc*k + bc*b + ec*e + hc*h AS n_chars
+             |  FROM p, c)
+             |SELECT doc_id,
+             |  CAST(n_words AS INT) AS n_words,
+             |  CAST(n_alpha AS INT) AS n_alpha_words,
+             |  round(n_alpha * 1.0 / n_words, 4) AS alpha_word_frac,
+             |  round(n_chars * 1.0 / n_words, 4) AS mean_word_len,
+             |  round(n_symbols * 1.0 / n_words, 4) AS symbol_word_ratio,
+             |  CAST(n_lines AS INT) AS n_lines,
+             |  round(n_bullet * 1.0 / n_lines, 4) AS bullet_line_frac,
+             |  round(n_ell * 1.0 / n_lines, 4) AS ellipsis_line_frac,
+             |  CAST(n_required AS INT) AS n_required_words,
+             |  (n_words BETWEEN 30 AND 100000)
+             |    AND (n_chars * 1.0 / n_words BETWEEN 3.0 AND 10.0)
+             |    AND n_symbols * 1.0 / n_words <= 0.1
+             |    AND n_bullet * 1.0 / n_lines <= 0.9
+             |    AND n_ell * 1.0 / n_lines <= 0.3
+             |    AND n_alpha * 1.0 / n_words >= 0.8
+             |    AND n_required >= 2 AS keep
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Blocklist token signals over in-plan-built text: doc_id%3 planted
+    // 'badword' copies + doc_id%5 uppercase 'SPAM' copies (pinning the
+    // case-insensitive match) after a 3-token clean prefix. Counts and the
+    // keep decision recomputed closed-form in DuckDB; ratio denominators
+    // 3..10 have no half-boundary or threshold-equality cases.
+    "pipe_text_blocklist" -> QueryDef(
+      (s, dir) => {
+        val d = col("doc_id")
+        val text = concat_ws(" ",
+          lit("good words here"),
+          array_join(array_repeat(lit("badword"), (d % 3).cast("int")), " "),
+          array_join(array_repeat(lit("SPAM"), (d % 5).cast("int")), " "))
+        val df = t(s, dir, "documents").select(d, text.as("text"))
+        val list = Seq("badword", "spam")
+        val sig = TextAnalysis.blocklistSignals(col("text"), list)
+        df.select(d,
+          sig.getField("n_blocked").as("n_blocked"),
+          round(sig.getField("blocked_ratio"), 4).as("blocked_ratio"),
+          TextAnalysis.blocklistFilter(col("text"), list, maxRatio = 0.1).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(doc_id % 3 + doc_id % 5 AS INT) AS n_blocked,
+             |  round((doc_id % 3 + doc_id % 5) * 1.0 / (3 + doc_id % 3 + doc_id % 5), 4) AS blocked_ratio,
+             |  (doc_id % 3 + doc_id % 5) * 1.0 / (3 + doc_id % 3 + doc_id % 5) <= 0.1 AS keep
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // URL signals over in-plan-built URLs (every field derives from doc_id
     // arithmetic, so DuckDB recomputes expectations without parsing URLs):
     // scheme/host variants, a multi-label public suffix (co.uk), www
@@ -858,6 +957,55 @@ object PipelineQueries {
         "SELECT url_registered_domain AS registered_domain,\n" +
         "       count(*) AS n_docs\n" +
         "FROM u GROUP BY 1 ORDER BY registered_domain")),
+
+    // URL canonicalization: six in-plan variants per doc_id%6 covering www
+    // stripping, case folding, default-port drop (http:80 / https:443),
+    // non-default port kept, trailing-slash trim, empty path -> '/',
+    // fragment drop, tracking-param removal, param sorting, and non-URL
+    // passthrough. Expected canonicals are closed-form literals in DuckDB.
+    "pipe_url_canonical" -> QueryDef(
+      (s, dir) => {
+        val d = col("doc_id")
+        val variants = array(
+          lit("http://www.Example.com:80/path/?utm_source=x&b=2&a=1#frag"),
+          lit("https://Example.com:443/path"),
+          lit("https://example.com:8443/a/b/"),
+          lit("http://sub.example.co.uk"),
+          lit("not a url at all"),
+          lit("http://example.com/?fbclid=abc"))
+        t(s, dir, "documents")
+          .select(d, element_at(variants, (d % 6 + 1).cast("int")).as("url"))
+          .select(d, UrlAnalysis.canonicalUrl(col("url")).as("canonical_url"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE CAST(doc_id % 6 AS INT)
+             |    WHEN 0 THEN 'http://example.com/path?a=1&b=2'
+             |    WHEN 1 THEN 'https://example.com/path'
+             |    WHEN 2 THEN 'https://example.com:8443/a/b'
+             |    WHEN 3 THEN 'http://sub.example.co.uk/'
+             |    WHEN 4 THEN 'not a url at all'
+             |    WHEN 5 THEN 'http://example.com/'
+             |  END AS canonical_url
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Canonical-URL dedup: doc_id pairs (2g, 2g+1) spell the same page two
+    // ways (www + trailing slash vs :80, no slash); keep-first-by-doc_id must
+    // surface exactly min(doc_id) per pair — the oracle recomputes the group
+    // key from the id arithmetic, never from URL parsing.
+    "pipe_url_dedup" -> QueryDef(
+      (s, dir) => {
+        val d = col("doc_id")
+        val g = (d / 2).cast("long").cast("string") // floor for non-negative ids
+        val url = when(d % 2 === 0,
+          concat(lit("http://www.site"), g, lit(".com/p/")))
+          .otherwise(concat(lit("http://site"), g, lit(".com:80/p")))
+        val df = t(s, dir, "documents").select(d, url.as("url"))
+        UrlAnalysis.dedupByCanonicalUrl(df, "url", col("doc_id"))
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""SELECT min(doc_id) AS doc_id FROM documents
+             |GROUP BY doc_id // 2 ORDER BY doc_id""".stripMargin)),
 
     // Exact-substring span dedup (Lee et al. 2022 semantics): every 7th doc
     // gets the same 10-word boilerplate suffix planted, so its three fully-

@@ -1,0 +1,110 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+/** Gopher-complete quality rules (gopherSignals/gopherFilter) and the
+  * blocklist token signals: closed-form counts, threshold behavior, edge
+  * cases, and codegen.
+  */
+class TextQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sig(text: String): org.apache.spark.sql.Row =
+    Seq(Option(text)).toDF("t")
+      .select(TextAnalysis.gopherSignals(col("t")).as("s"))
+      .select("s.*").head()
+
+  test("gopherSignals: closed-form counts on a hand-built page") {
+    // 3 lines: prose / bullet / ellipsis-ended with symbols
+    val text = "the cat and dog sat\n- item one\nto be continued... #tag …"
+    val r = sig(text)
+    // words: 5 + 3 + 5 = 13
+    assert(r.getAs[Int]("n_words") == 13)
+    // alpha words: 5 + 2 (item, one) + 4 (to be continued... #tag; "…" has no letter) = 11
+    assert(r.getAs[Int]("n_alpha_words") == 11)
+    // symbols: "..." + "#" + "…" = 3
+    assert(math.abs(r.getAs[Double]("symbol_word_ratio") - 3.0 / 13) < 1e-12)
+    assert(r.getAs[Int]("n_lines") == 3)
+    assert(math.abs(r.getAs[Double]("bullet_line_frac") - 1.0 / 3) < 1e-12)
+    // the "…" sits at end of line 3 -> ellipsis-ended; "..." is mid-line
+    assert(math.abs(r.getAs[Double]("ellipsis_line_frac") - 1.0 / 3) < 1e-12)
+    // required words present: the, and, to, be -> 4
+    assert(r.getAs[Int]("n_required_words") == 4)
+    val nonSpace = text.replaceAll("\\s+", "").length
+    assert(math.abs(r.getAs[Double]("mean_word_len") - nonSpace / 13.0) < 1e-12)
+  }
+
+  test("gopherSignals: empty, null, and no-letter docs") {
+    val e = sig("")
+    assert(e.getAs[Int]("n_words") == 0)
+    assert(e.getAs[Double]("alpha_word_frac") == 0.0)
+    val n = sig(null)
+    assert(n.getAs[Int]("n_words") == 0) // null coalesces to empty
+    val d = sig("123 456 ###")
+    assert(d.getAs[Int]("n_words") == 3)
+    assert(d.getAs[Int]("n_alpha_words") == 0)
+  }
+
+  test("gopherFilter: clean prose passes, each violation trips its rule") {
+    val prose = Array.fill(10)("the quick brown dogs jump with that energy").mkString(" ")
+    def keep(t: String, minWords: Int = 50): Boolean =
+      Seq(t).toDF("t").select(TextAnalysis.gopherFilter(col("t"), minWords = minWords)).head().getBoolean(0)
+    assert(keep(prose)) // 80 words, all alpha, required words present
+    assert(!keep("the cat and dog")) // too few words
+    // symbol-heavy: > 10% of words are # / ellipsis hits
+    assert(!keep(prose + " " + Array.fill(10)("#").mkString(" ")))
+    // bullet-heavy page: every line is a bullet -> frac 1.0 > 0.9
+    val bullets = Array.fill(12)("- the thing and that have with of to be").mkString("\n")
+    assert(!keep(bullets, minWords = 5))
+    // required words absent
+    assert(!keep(Array.fill(60)("wordy").mkString(" "), minWords = 5))
+  }
+
+  test("blocklistCount: occurrences, case-insensitive, null semantics") {
+    val list = Seq("Bad", "spam")
+    val df = Seq(
+      (1L, "bad BAD good spam"), // 3 hits (occurrences, both cases)
+      (2L, "clean text only"),
+      (3L, null)).toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.blocklistCount(col("t"), list).as("n"))
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) == 3)
+    assert(out(1).getInt(1) == 0)
+    assert(out(2).isNullAt(1)) // null-intolerant like built-ins
+    // filter: null text keeps, any hit drops at maxRatio 0
+    val kept = df.where(TextAnalysis.blocklistFilter(col("t"), list))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("blocklistSignals ratio over the shared whitespace tokenizer") {
+    val r = Seq("a spam b spam").toDF("t")
+      .select(TextAnalysis.blocklistSignals(col("t"), Seq("spam")).as("s"))
+      .select("s.*").head()
+    assert(r.getAs[Int]("n_blocked") == 2)
+    assert(math.abs(r.getAs[Double]("blocked_ratio") - 0.5) < 1e-12)
+  }
+
+  test("blocklistCount stays inside whole-stage codegen") {
+    val df = spark.range(3)
+      .select(concat(lit("spam word "), col("id")).as("t"))
+      .select(TextAnalysis.blocklistCount(col("t"), Seq("spam")).as("n"))
+    val spans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(df.head().getInt(0) == 1)
+  }
+
+  test("gopherSignals stays inside whole-stage codegen") {
+    val df = spark.range(4)
+      .select(concat(lit("the doc "), col("id")).as("t"))
+      .select(TextAnalysis.gopherSignals(col("t")).as("s"))
+    val spans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(df.select("s.n_words").head().getInt(0) == 3)
+  }
+}

@@ -98,6 +98,40 @@ class UrlAnalysisSpec extends SparkSpec {
     assert(capped.columns.toSeq == Seq("id", "url"))
   }
 
+  test("canonicalUrl: each normalization rule, closed-form") {
+    def canon(u: String): String =
+      Seq(u).toDF("url").select(UrlAnalysis.canonicalUrl(col("url"))).head().getString(0)
+    // www + default port + trailing slash + fragment + tracking params + sort
+    assert(canon("http://www.Example.com:80/path/?utm_source=x&b=2&a=1#frag")
+      == "http://example.com/path?a=1&b=2")
+    assert(canon("https://Example.com:443/path") == "https://example.com/path")
+    // non-default port and inner www label kept
+    assert(canon("https://a.www.example.com:8443/b/") == "https://a.www.example.com:8443/b")
+    // empty path -> '/', all params tracking -> no '?'
+    assert(canon("http://example.com?utm_a=1&utm_b=2") == "http://example.com/")
+    // a valueless param survives (the tracking pattern requires '=')
+    assert(canon("http://example.com/x?flag&z=1") == "http://example.com/x?flag&z=1")
+    // non-URL strings pass through unchanged (never merged into one group)
+    assert(canon("plain text") == "plain text")
+    // http default port only dropped for http (":80" on https is non-default)
+    assert(canon("https://example.com:80/x") == "https://example.com:80/x")
+  }
+
+  test("dedupByCanonicalUrl keeps first by order column, one row per page") {
+    val df = Seq(
+      (1L, "http://www.a.com/p/"),
+      (2L, "http://a.com:80/p"),
+      (3L, "https://b.org/q?utm_c=1"),
+      (4L, "https://b.org/q"),
+      (5L, "junk")).toDF("id", "url")
+    val kept = UrlAnalysis.dedupByCanonicalUrl(df, "url", col("id"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L))
+    // helper column must not leak
+    assert(UrlAnalysis.dedupByCanonicalUrl(df, "url", col("id")).columns.toSeq
+      == Seq("id", "url"))
+  }
+
   test("url signal projection stays inside whole-stage codegen") {
     // a range source (not a local relation, which ConvertToLocalRelation
     // would fold eagerly) so the projection's codegen span is observable
