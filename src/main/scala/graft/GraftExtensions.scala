@@ -131,6 +131,26 @@ object GraftExtensions {
         graft.pipeline.BpeCount(a(0),
           graft.pipeline.BpeModelJson.parse(String.valueOf(a(1).eval())))
       }),
+    ("graft_unigram_encode",
+      info("graft_unigram_encode",
+        """graft_unigram_encode(text, model_json) - unigram-LM (SentencePiece) tokens """ +
+          """(array<string>): Viterbi best segmentation per whitespace-lowercased word; """ +
+          """model_json is a literal like '{"unk": -20.0, "pieces": {"ab": -1.0}}'"""),
+      args => {
+        val a = arity("graft_unigram_encode", 2, args)
+        require(a(1).foldable, "graft_unigram_encode: model_json must be a literal")
+        graft.pipeline.UnigramEncode(a(0),
+          graft.pipeline.UnigramModelJson.parse(String.valueOf(a(1).eval())))
+      }),
+    ("graft_unigram_count",
+      info("graft_unigram_count",
+        "graft_unigram_count(text, model_json) - unigram-LM token count without materializing the tokens"),
+      args => {
+        val a = arity("graft_unigram_count", 2, args)
+        require(a(1).foldable, "graft_unigram_count: model_json must be a literal")
+        graft.pipeline.UnigramCount(a(0),
+          graft.pipeline.UnigramModelJson.parse(String.valueOf(a(1).eval())))
+      }),
     ("graft_lm_perplexity",
       info("graft_lm_perplexity",
         """graft_lm_perplexity(text, model_json) - add-k bigram LM perplexity """ +

@@ -146,7 +146,7 @@ object PipelineQueries {
        |SELECT doc_id, $chain AS redacted FROM p ORDER BY doc_id""".stripMargin
   }
 
-  val all: Seq[(String, QueryDef)] = Seq(
+  val all: Seq[(String, QueryDef)] = (Seq(
 
     "pipe_dedup_exact" -> QueryDef(
       (s, dir) => {
@@ -1143,7 +1143,7 @@ object PipelineQueries {
     stripMarkupQuery :+ stratifiedSplitQuery :+ semanticDedupQuery :+
     semanticDedupRemoveQuery :+ charEntropyQuery :+ readabilityQuery :+
     tfIdfKeywordsQuery :+ embeddingClustersQuery :+
-    dsirTrainQuery :+ dsirScoreQuery :+ dsirResampleQuery
+    dsirTrainQuery :+ dsirScoreQuery :+ dsirResampleQuery) ++ unigramQueries
 
   /** TRAIN-path gate for DSIR importance resampling: exact-integer feature
     * counts (no float channel at all) — the DuckDB side re-derives the raw
@@ -1368,6 +1368,57 @@ object PipelineQueries {
              |SELECT doc_id, coalesce(array_to_string(toks, ' '), '') AS bpe_tokens,
              |  CAST(coalesce(list_sum(lens), 0) AS INT) AS n_bpe
              |FROM e ORDER BY doc_id""".stripMargin))
+
+  /** Fixed literal unigram model for the gate queries. The piece set makes
+    * Viterbi's GLOBAL optimum observably different from greedy longest-match
+    * ('abcd': ab+cd at -2.2 beats the greedy prefix abc+d at -5.5) and pins
+    * the tie-break ('xy' = x+y = -3.0 resolves to the longer piece).
+    */
+  private lazy val unigramGateModel = UnigramModel(Map(
+    "ab" -> -1.0, "cd" -> -1.2, "abc" -> -2.5, "d" -> -3.0,
+    "a" -> -4.0, "b" -> -4.0, "c" -> -4.0,
+    "xy" -> -3.0, "x" -> -1.5, "y" -> -1.5), -20.0)
+
+  /** Unigram (SentencePiece) Viterbi encode over five planted word shapes:
+    * global-optimum-beats-greedy, whole-piece word, OOV single-char unk
+    * fallback, all-singles decomposition, and the exact-tie longer-piece
+    * rule. Expected token streams are closed-form literals in DuckDB —
+    * no algorithm replay, so a shared bug cannot hide.
+    */
+  private def unigramQueries: Seq[(String, QueryDef)] = Seq(
+    "pipe_unigram_encode" -> QueryDef(
+      (s, dir) => {
+        val d = col("doc_id")
+        val variants = array(lit("abcd"), lit("abc"), lit("abq"), lit("dcba"), lit("xy"))
+        t(s, dir, "documents")
+          .select(d, concat(lit("abcd "), element_at(variants, (d % 5 + 1).cast("int"))).as("text"))
+          .select(d,
+            concat_ws(" ", Unigram.encodeColumn(col("text"), unigramGateModel)).as("toks"),
+            Unigram.countColumn(col("text"), unigramGateModel).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'ab cd ' || CASE CAST(doc_id % 5 AS INT)
+             |    WHEN 0 THEN 'ab cd' WHEN 1 THEN 'abc' WHEN 2 THEN 'ab q'
+             |    WHEN 3 THEN 'd c b a' WHEN 4 THEN 'xy' END AS toks,
+             |  CAST(2 + CASE CAST(doc_id % 5 AS INT)
+             |    WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2
+             |    WHEN 3 THEN 4 WHEN 4 THEN 1 END AS INT) AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "pipe_unigram_count" -> QueryDef(
+      (s, dir) => {
+        val d = col("doc_id")
+        val text = array_join(
+          array_repeat(lit("abcd abc abq dcba xy"), (d % 3 + 1).cast("int")), " ")
+        t(s, dir, "documents").select(d, text.as("text"))
+          .select(d,
+            Unigram.countColumn(col("text"), unigramGateModel).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      // 2+1+2+4+1 = 10 tokens per base repetition
+      Some("""SELECT doc_id, CAST((doc_id % 3 + 1) * 10 AS INT) AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)))
 
   /** TRAIN-path gate for the bigram LM: vocabSize=20 forces 11 of the
     * corpus's 31 distinct words through the `<unk>` mapping, and all 441

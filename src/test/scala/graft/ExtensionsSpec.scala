@@ -60,6 +60,23 @@ class ExtensionsSpec extends SparkSpec {
       graft.pipeline.QualityModelJson.render(m)) == m)
   }
 
+  test("unigram functions evaluate from plain SQL") {
+    Seq((1L, "abcd abq")).toDF("id", "text").createOrReplaceTempView("unv")
+    val model =
+      """{"unk": -20.0, "pieces": {"ab": -1.0, "cd": -1.2, "abc": -2.5, "d": -3.0}}"""
+    val row = spark.sql(
+      s"""SELECT graft_unigram_encode(text, '$model') AS toks,
+         |  graft_unigram_count(text, '$model') AS n FROM unv""".stripMargin).head()
+    // Viterbi: abcd -> ab+cd (beats greedy abc+d); abq -> ab + unk q
+    assert(row.getSeq[String](0) == Seq("ab", "cd", "ab", "q"))
+    assert(row.getInt(1) == 4)
+    // non-literal model and non-string text fail at analysis, not runtime
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_unigram_count(text, text) FROM unv").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("bpe and ner functions evaluate from plain SQL") {
     Seq((1L, "abc xabd plain"), (2L, "Dear James Smith, hello"), (3L, "nothing here"))
       .toDF("id", "text").createOrReplaceTempView("bnv")
