@@ -151,6 +151,17 @@ object GraftExtensions {
         graft.pipeline.UnigramCount(a(0),
           graft.pipeline.UnigramModelJson.parse(String.valueOf(a(1).eval())))
       }),
+    ("graft_langid",
+      info("graft_langid",
+        """graft_langid(text, model_json) - predicted language code under a trained """ +
+          """char-n-gram NB model; model_json is a literal like """ +
+          """'{"n": 3, "docs": {"en": 100}, "grams": {"en": {"the": 40}}}'"""),
+      args => {
+        val a = arity("graft_langid", 2, args)
+        require(a(1).foldable, "graft_langid: model_json must be a literal")
+        graft.pipeline.LangIdPredict(a(0),
+          graft.pipeline.LangIdModelJson.parse(String.valueOf(a(1).eval())))
+      }),
     ("graft_lm_perplexity",
       info("graft_lm_perplexity",
         """graft_lm_perplexity(text, model_json) - add-k bigram LM perplexity """ +

@@ -42,7 +42,13 @@ object CurationPipeline {
     "filter_repetition" -> Set("max_dup_word_frac", "max_top_word_frac",
       "max_dup_2gram_frac", "max_dup_3gram_frac"),
     "filter_c4" -> Set("min_sentences"),
+    "filter_gopher" -> Set("min_words", "max_words", "min_mean_word_len",
+      "max_mean_word_len", "max_symbol_word_ratio", "max_bullet_line_frac",
+      "max_ellipsis_line_frac", "min_alpha_word_frac", "min_required_words"),
+    "filter_blocklist" -> Set("words", "max_ratio"),
+    "dedup_url" -> Set("url_col"),
     "filter_language" -> Set("langs", "column"),
+    "filter_language_model" -> Set("langs", "model_json"),
     "filter_regex" -> Set("pattern", "mode"),
     "dedup_exact" -> Set("key"),
     "dedup_lines" -> Set("max_occurrences"),
@@ -113,11 +119,37 @@ object CurationPipeline {
           maxDup3GramFrac = num(m, "max_dup_3gram_frac").getOrElse(0.18)))
       case "filter_c4" =>
         df.where(TextAnalysis.c4Keep(text, num(m, "min_sentences").getOrElse(5.0).toInt))
+      case "filter_gopher" =>
+        df.where(TextAnalysis.gopherFilter(text,
+          minWords = num(m, "min_words").getOrElse(50.0).toInt,
+          maxWords = num(m, "max_words").getOrElse(100000.0).toInt,
+          minMeanWordLen = num(m, "min_mean_word_len").getOrElse(3.0),
+          maxMeanWordLen = num(m, "max_mean_word_len").getOrElse(10.0),
+          maxSymbolWordRatio = num(m, "max_symbol_word_ratio").getOrElse(0.1),
+          maxBulletLineFrac = num(m, "max_bullet_line_frac").getOrElse(0.9),
+          maxEllipsisLineFrac = num(m, "max_ellipsis_line_frac").getOrElse(0.3),
+          minAlphaWordFrac = num(m, "min_alpha_word_frac").getOrElse(0.8),
+          minRequiredWords = num(m, "min_required_words").getOrElse(2.0).toInt))
+      case "filter_blocklist" =>
+        val words = strList(m, "words").getOrElse(throw new IllegalArgumentException(
+          "filter_blocklist: 'words' is required"))
+        df.where(TextAnalysis.blocklistFilter(text, words,
+          num(m, "max_ratio").getOrElse(0.0)))
+      case "dedup_url" =>
+        val urlCol = str(m, "url_col").getOrElse(throw new IllegalArgumentException(
+          "dedup_url: 'url_col' is required"))
+        UrlAnalysis.dedupByCanonicalUrl(df, urlCol, col(idCol))
       case "filter_language" =>
         val langs = strList(m, "langs").getOrElse(throw new IllegalArgumentException(
           "filter_language: 'langs' is required"))
         val langCol = str(m, "column").map(col).getOrElse(TextAnalysis.languageId(text))
         df.where(langCol.isin(langs: _*))
+      case "filter_language_model" =>
+        val langs = strList(m, "langs").getOrElse(throw new IllegalArgumentException(
+          "filter_language_model: 'langs' is required"))
+        val model = LangIdModelJson.parse(str(m, "model_json").getOrElse(
+          throw new IllegalArgumentException("filter_language_model: 'model_json' is required")))
+        LangId.filterByLanguage(df, text, model, langs)
       case "filter_regex" =>
         val pattern = str(m, "pattern").getOrElse(throw new IllegalArgumentException(
           "filter_regex: 'pattern' is required"))

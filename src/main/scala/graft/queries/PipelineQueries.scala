@@ -1143,7 +1143,8 @@ object PipelineQueries {
     stripMarkupQuery :+ stratifiedSplitQuery :+ semanticDedupQuery :+
     semanticDedupRemoveQuery :+ charEntropyQuery :+ readabilityQuery :+
     tfIdfKeywordsQuery :+ embeddingClustersQuery :+
-    dsirTrainQuery :+ dsirScoreQuery :+ dsirResampleQuery) ++ unigramQueries
+    dsirTrainQuery :+ dsirScoreQuery :+ dsirResampleQuery) ++
+    unigramQueries ++ langIdQueries
 
   /** TRAIN-path gate for DSIR importance resampling: exact-integer feature
     * counts (no float channel at all) — the DuckDB side re-derives the raw
@@ -1418,6 +1419,66 @@ object PipelineQueries {
       },
       // 2+1+2+4+1 = 10 tokens per base repetition
       Some("""SELECT doc_id, CAST((doc_id % 3 + 1) * 10 AS INT) AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)))
+
+  /** TRAIN- and SCORING-path gates for the char-n-gram NB language
+    * classifier. Train: two planted label/text shapes; vocabPerLang=2
+    * exercises the deterministic (count desc, gram) cap boundary (en keeps
+    * aaa/aab, drops abc; de keeps bad/bba, drops bbb) and the priors read
+    * off the same aggregated frame as the grams. The oracle recomputes every
+    * count from the label arithmetic. Predict: a FIXED literal model; the
+    * oracle rewrites the NB arithmetic term-for-term in the kernel's
+    * accumulation order (prior first, grams in text order, each logprob as
+    * ln(c+1)-ln(denom)); 4 dp rounding absorbs last-ulp libm drift.
+    */
+  private def langIdQueries: Seq[(String, QueryDef)] = Seq(
+    "pipe_langid_train" -> QueryDef(
+      (s, dir) => {
+        val d = col("doc_id")
+        val df = t(s, dir, "documents").select(d,
+          when(d % 2 === 0, lit("aaabc")).otherwise(lit("bbbad")).as("text"),
+          when(d % 2 === 0, lit("en")).otherwise(lit("de")).as("lang"))
+        val m = LangId.train(df, col("text"), col("lang"), n = 3, vocabPerLang = 2)
+        import s.implicits._
+        val rows = m.docCounts.toSeq.map { case (l, c) => (l, "<docs>", c) } ++
+          m.gramCounts.toSeq.flatMap { case (l, gs) =>
+            gs.toSeq.map { case (g, c) => (l, g, c) } }
+        rows.sortBy(x => (x._1, x._2)).toDF("lang", "gram", "cnt")
+      },
+      Some("""WITH c AS (SELECT
+             |    count(*) FILTER (WHERE doc_id % 2 = 0) AS n_en,
+             |    count(*) FILTER (WHERE doc_id % 2 = 1) AS n_de
+             |  FROM documents)
+             |SELECT * FROM (
+             |  SELECT 'en' AS lang, '<docs>' AS gram, n_en AS cnt FROM c
+             |  UNION ALL SELECT 'de', '<docs>', n_de FROM c
+             |  UNION ALL SELECT 'en', 'aaa', n_en FROM c
+             |  UNION ALL SELECT 'en', 'aab', n_en FROM c
+             |  UNION ALL SELECT 'de', 'bad', n_de FROM c
+             |  UNION ALL SELECT 'de', 'bba', n_de FROM c)
+             |ORDER BY lang, gram""".stripMargin)),
+
+    "pipe_langid_predict" -> QueryDef(
+      (s, dir) => {
+        val m = LangIdModel(3, Map("en" -> 50L, "de" -> 50L),
+          Map("en" -> Map("aaa" -> 10L, "aab" -> 5L), "de" -> Map("bbb" -> 10L)))
+        val d = col("doc_id")
+        val variants = array(lit("aaab"), lit("bbbb"), lit("x"))
+        t(s, dir, "documents")
+          .select(d, element_at(variants, (d % 3 + 1).cast("int")).as("text"))
+          .select(d,
+            LangId.predictColumn(col("text"), m).as("lang"),
+            round(LangId.scoreColumn(col("text"), m, "en"), 4).as("en_score"))
+          .orderBy("doc_id")
+      },
+      // 'x' has no 3-grams: equal priors tie -> first sorted label ('de')
+      Some("""SELECT doc_id,
+             |  CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'de' END AS lang,
+             |  round(CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN ln(0.5) + (ln(11.0) - ln(18.0)) + (ln(6.0) - ln(18.0))
+             |    WHEN 1 THEN ln(0.5) + (0 - ln(18.0)) + (0 - ln(18.0))
+             |    ELSE ln(0.5) END, 4) AS en_score
              |FROM documents ORDER BY doc_id""".stripMargin)))
 
   /** TRAIN-path gate for the bigram LM: vocabSize=20 forces 11 of the

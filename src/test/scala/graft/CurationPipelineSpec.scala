@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Curation, CurationPipeline, Dedup, QualityClassifier, QualityModel, QualityModelJson, TextAnalysis}
+import graft.pipeline.{Curation, CurationPipeline, Dedup, LangIdModel, LangIdModelJson, QualityClassifier, QualityModel, QualityModelJson, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class CurationPipelineSpec extends SparkSpec {
@@ -100,6 +100,45 @@ class CurationPipelineSpec extends SparkSpec {
       "langs" -> Seq("de"), "column" -> "lang")))
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(4L))
   }
+  test("curation-pipeline steps: filter_gopher, filter_blocklist, dedup_url dispatch") {
+    val prose = Array.fill(10)("the quick brown dogs jump with that energy").mkString(" ")
+    val docs = Seq(
+      (1L, prose, "http://www.a.com/p/"),
+      (2L, "too short", "http://a.com:80/p"),
+      (3L, prose + " spam", "https://b.org/q")).toDF("doc_id", "text", "url")
+
+    val gopherKept = CurationPipeline(docs, Seq(Map("step" -> "filter_gopher")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(gopherKept == Set(1L, 3L)) // doc 2 under the 50-word minimum
+
+    val blockKept = CurationPipeline(docs,
+      Seq(Map("step" -> "filter_blocklist", "words" -> Seq("spam"))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(blockKept == Set(1L, 2L))
+
+    // model-backed language filter step
+    val lm = LangIdModel(3, Map("en" -> 50L, "de" -> 50L),
+      Map("en" -> Map("the" -> 10L), "de" -> Map("der" -> 10L)))
+    val langDocs = Seq((1L, "the the the"), (2L, "der der der")).toDF("doc_id", "text")
+    val enOnly = CurationPipeline(langDocs, Seq(Map(
+      "step" -> "filter_language_model",
+      "langs" -> Seq("en"), "model_json" -> LangIdModelJson.render(lm))))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(enOnly == Seq(1L))
+
+    // docs 1 and 2 canonicalize to the same page; keep-first by doc_id
+    val urlKept = CurationPipeline(docs,
+      Seq(Map("step" -> "dedup_url", "url_col" -> "url")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(urlKept == Set(1L, 3L))
+    intercept[IllegalArgumentException] {
+      CurationPipeline(docs, Seq(Map("step" -> "dedup_url")))
+    }
+    intercept[IllegalArgumentException] {
+      CurationPipeline(docs, Seq(Map("step" -> "filter_gopher", "bogus" -> 1)))
+    }
+  }
+
   test("curation-pipeline steps: filter_quality_score and dedup_against_reference dispatch") {
     val docs2 = Seq((1L, "good words"), (2L, "bad stuff"), (3L, "good things"))
       .toDF("doc_id", "text")

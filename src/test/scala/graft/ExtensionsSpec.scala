@@ -75,6 +75,12 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT graft_unigram_count(text, text) FROM unv").collect()
     }
     assert(e.getMessage.contains("literal"))
+    // langid from SQL with a literal count model
+    val lm = """{"n": 3, "docs": {"en": 50, "de": 50},
+                |"grams": {"en": {"aaa": 10}, "de": {"bbb": 10}}}""".stripMargin
+    val langs = spark.sql(
+      s"SELECT graft_langid('aaab', '$lm'), graft_langid('bbbb', '$lm')").head()
+    assert(langs.getString(0) == "en" && langs.getString(1) == "de")
   }
 
   test("bpe and ner functions evaluate from plain SQL") {
