@@ -141,6 +141,41 @@ object PipeBench {
         Dsir.resample(scored, col("doc_id"), col("dsir_log_importance"), 0.0).count()
         ()
       },
+      "gopher_filter" -> timed("gopher_filter")(
+        docs.where(TextAnalysis.gopherFilter(col("text"), minWords = 10)).count()),
+      "blocklist_filter" -> timed("blocklist_filter")(
+        docs.where(TextAnalysis.blocklistFilter(col("text"),
+          Seq("w1", "w2", "w3", "w4"), maxRatio = 0.01)).count()),
+      "url_canonical_dedup" -> {
+        System.err.println("[pipebench] url_canonical_dedup")
+        // ~10 raw URLs per page (www/port/tracking variants via doc_id % 10)
+        val urls = docs.select(col("doc_id"),
+          concat(lit("http://"),
+            when(col("doc_id") % 2 === 0, "www.").otherwise(""),
+            lit("site"), (col("doc_id") / 10).cast("long").cast("string"),
+            lit(".com/p"),
+            when(col("doc_id") % 3 === 0, "/?utm_source=x&a=1").otherwise("")).as("url"))
+        time(UrlAnalysis.dedupByCanonicalUrl(urls, "url", col("doc_id")).count())
+      },
+      "unigram_train_4k" -> timed("unigram_train_4k")(
+        Unigram.train(docs, col("text"), vocabSize = 4096, maxPieceLen = 6)),
+      "unigram_count" -> {
+        System.err.println("[pipebench] unigram_count")
+        val m = Unigram.train(docs, col("text"), vocabSize = 4096, maxPieceLen = 6)
+        time(docs.agg(sum(Unigram.countColumn(col("text"), m))).collect())
+      },
+      "langid_train" -> timed("langid_train")(
+        LangId.train(docs.withColumn("lang",
+          when(col("doc_id") % 2 === 0, "en").otherwise("de")),
+          col("text"), col("lang"), n = 3, vocabPerLang = 4096)),
+      "langid_predict" -> {
+        System.err.println("[pipebench] langid_predict")
+        val m = LangId.train(docs.limit(10000).withColumn("lang",
+          when(col("doc_id") % 2 === 0, "en").otherwise("de")),
+          col("text"), col("lang"), n = 3, vocabPerLang = 4096)
+        time(docs.select(LangId.predictColumn(col("text"), m).as("l"))
+          .groupBy("l").count().collect())
+      },
       // SemDeDup probed at 250k docs: the within-cluster exact step is
       // inherently sum(|cluster|^2), so the centroid count must scale with
       // the corpus — 2048 centroids over 250k docs keeps clusters ~122 docs

@@ -61,6 +61,27 @@ class TextQualitySpec extends SparkSpec {
     assert(!keep(Array.fill(60)("wordy").mkString(" "), minWords = 5))
   }
 
+  test("gopherSignals kernel edges: astral letters, dot runs, trailing newline") {
+    // astral letter (non-BMP, surrogate pair): one word, one alpha word,
+    // TWO non-space chars by code-point count (parity with length())
+    val astral = sig("𝐀a") // 𝐀a
+    assert(astral.getAs[Int]("n_words") == 1)
+    assert(astral.getAs[Int]("n_alpha_words") == 1)
+    assert(math.abs(astral.getAs[Double]("mean_word_len") - 2.0) < 1e-12)
+    // '....' = one leftmost '...' match; '......' = two
+    assert(math.abs(sig("....").getAs[Double]("symbol_word_ratio") - 1.0) < 1e-12)
+    assert(math.abs(sig("......").getAs[Double]("symbol_word_ratio") - 2.0) < 1e-12)
+    // trailing newline yields a final empty line (split parity)
+    assert(sig("a\n").getAs[Int]("n_lines") == 2)
+    // '...' ending mid-doc line counts; '…' alone on a line counts
+    val e = sig("stop here...\n…")
+    assert(math.abs(e.getAs[Double]("ellipsis_line_frac") - 1.0) < 1e-12)
+    // bullet char at end of line (no following space) is NOT a bullet line
+    assert(math.abs(sig("-\n- x").getAs[Double]("bullet_line_frac") - 0.5) < 1e-12)
+    // required words are matched ASCII case-insensitively as whole tokens
+    assert(sig("THE With thatch").getAs[Int]("n_required_words") == 2)
+  }
+
   test("blocklistCount: occurrences, case-insensitive, null semantics") {
     val list = Seq("Bad", "spam")
     val df = Seq(
