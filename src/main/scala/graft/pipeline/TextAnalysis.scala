@@ -250,6 +250,61 @@ object TextAnalysis {
         count_distinct(col("__text")).as("n_distinct_texts"))
   }
 
+  /** MERGEABLE corpus-stats sketch — the incremental/cross-snapshot form of
+    * [[corpusStats]]. One output row per call: exact additive counters
+    * (docs, tokens, chars, empties) plus an Apache DataSketches HLL sketch
+    * of the distinct texts (`hll_sketch_agg`, Spark built-in). Store one row
+    * per snapshot/shard/day; [[mergeCorpusSketches]] collapses ANY window of
+    * rows back into the same schema and [[corpusSketchStats]] renders the
+    * readable stats (distinct-text estimate, dup rate).
+    *
+    * Why it matters at 100 TB: [[corpusStats]]' `count_distinct(text)` is a
+    * full text-keyed shuffle of the corpus, re-paid per report. Here
+    * yesterday's corpus is ONE ROW — the daily report unions k sketch rows
+    * (HLL register-wise max: associative, order-insensitive; the union path may
+    * promote the sketch target type, so estimates can differ from a
+    * single-pass sketch by far less than the configured error),
+    * and the only corpus-sized work is the day's own one-pass scan.
+    * Estimates carry DataSketches' standard ~1.6%/sqrt(2^lgK) error.
+    */
+  def corpusStatsSketch(df: DataFrame, text: Column, lgK: Int = 14): DataFrame = {
+    PipelineGuards.requireBatch(df, "corpusStatsSketch")
+    val toks = wsTokens(text)
+    df.select(size(toks).as("__nt"),
+        (text.isNull || length(text) === 0).as("__empty"),
+        text.as("__text"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__nt").as("total_tokens"),
+        sum(length(coalesce(col("__text"), lit("")))).as("total_chars"),
+        sum(when(col("__empty"), 1L).otherwise(0L)).as("n_empty"),
+        hll_sketch_agg(col("__text"), lit(lgK)).as("text_sketch"))
+  }
+
+  /** Union any number of [[corpusStatsSketch]] rows into one row of the same
+    * schema: counters add, sketches union register-wise. Associative and
+    * order-insensitive, so daily rows roll up into weekly/monthly rows that
+    * keep merging.
+    */
+  def mergeCorpusSketches(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      sum("n_docs").as("n_docs"),
+      sum("total_tokens").as("total_tokens"),
+      sum("total_chars").as("total_chars"),
+      sum("n_empty").as("n_empty"),
+      hll_union_agg(col("text_sketch"), true).as("text_sketch"))
+
+  /** Render a sketch row (from [[corpusStatsSketch]] or
+    * [[mergeCorpusSketches]]) into readable stats; `dup_rate_est` is the
+    * exact-duplicate share implied by the distinct-text estimate.
+    */
+  def corpusSketchStats(sketchRow: DataFrame): DataFrame =
+    sketchRow.select(
+      col("n_docs"), col("total_tokens"), col("total_chars"), col("n_empty"),
+      hll_sketch_estimate(col("text_sketch")).cast("double").as("distinct_texts_est"),
+      round(lit(1.0) - hll_sketch_estimate(col("text_sketch")).cast("double") /
+        greatest(col("n_docs"), lit(1L)).cast("double"), 6).as("dup_rate_est"))
+
   /** 64-bit content fingerprint over normalized text (lowercase, collapsed
     * whitespace, punctuation stripped) — the exact-dedup key.
     */

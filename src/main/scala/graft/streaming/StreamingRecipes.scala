@@ -100,4 +100,26 @@ object StreamingRecipes {
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(Dedup.dropNearDupsAgainstIndex(batch, idCol, textCol, index, threshold), batchId)
     }
+
+  /** Cross-batch CANONICAL-URL dedup ids for a continuous crawl: each row is
+    * keyed by [[graft.pipeline.UrlAnalysis.canonicalUrl]] (row-local, rides
+    * the stream's scan) and only the FIRST id ever seen per canonical page
+    * survives, across all micro-batches, via
+    * [[StreamChecks.firstSeenRows]]' per-key state. Returns the surviving
+    * (canonical_url, id) stream — semi-join it back to the full rows
+    * downstream, or TTL the state for a bounded working set (after expiry a
+    * re-crawled page is emitted again). Non-URL rows pass through keyed by
+    * their own raw string (never merged).
+    */
+  def dedupByCanonicalUrlCrossBatch(stream: DataFrame, urlCol: String, idCol: String,
+                                    stateTtlMs: Option[Long] = None)
+      : org.apache.spark.sql.Dataset[StreamChecks.KeyedRow] = {
+    import stream.sparkSession.implicits._
+    val keyed = stream.select(
+      graft.pipeline.UrlAnalysis.canonicalUrl(col(urlCol)).as("key"),
+      col(idCol).cast("long").as("rowId"))
+      .where(col("key").isNotNull && col("rowId").isNotNull)
+      .as[StreamChecks.KeyedRow]
+    StreamChecks.firstSeenRows(keyed, stateTtlMs)
+  }
 }

@@ -134,6 +134,26 @@ class StreamChecksSpec extends SparkSpec {
     assert(kept.map(r => (r.key, r.rowId)).toSeq == Seq(("a", 1L), ("b", 3L), ("c", 5L)))
   }
 
+  test("cross-batch canonical-URL dedup keeps the first id per page") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("id", "url")
+    val q = graft.streaming.StreamingRecipes
+      .dedupByCanonicalUrlCrossBatch(stream, "url", "id")
+      .writeStream.format("memory").queryName("url_first_seen")
+      .outputMode("append").start()
+    in.addData((1L, "http://www.a.com/p/"), (2L, "http://a.com:80/p"))
+    q.processAllAvailable()
+    // second batch: same page spelled a third way + a genuinely new page
+    in.addData((3L, "http://a.com/p?utm_source=x"), (4L, "https://b.org/q"))
+    q.processAllAvailable()
+    val kept = spark.table("url_first_seen").as[StreamChecks.KeyedRow]
+      .collect().sortBy(_.rowId)
+    q.stop()
+    assert(kept.map(_.rowId).toSeq == Seq(1L, 4L))
+    assert(kept.head.key == "http://a.com/p")
+  }
+
   test("corpus-global pipeline ops are gated batch-only under readStream") {
     import graft.pipeline.{Curation, Dedup, TextAnalysis}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

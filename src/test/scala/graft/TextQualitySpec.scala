@@ -118,6 +118,44 @@ class TextQualitySpec extends SparkSpec {
     assert(df.head().getInt(0) == 1)
   }
 
+  test("corpus sketch: split-merge equals whole-corpus sketch, estimate accurate") {
+    val docs = spark.range(0, 5000)
+      .select(col("id").as("doc_id"),
+        concat(lit("doc "), (col("id") % 3000).cast("string")).as("text"))
+    val whole = TextAnalysis.corpusSketchStats(
+      TextAnalysis.corpusStatsSketch(docs, col("text"))).head()
+    // split into two snapshots, sketch each, merge — the incremental path
+    val a = TextAnalysis.corpusStatsSketch(docs.where(col("doc_id") < 2000), col("text"))
+    val b = TextAnalysis.corpusStatsSketch(docs.where(col("doc_id") >= 2000), col("text"))
+    val merged = TextAnalysis.corpusSketchStats(
+      TextAnalysis.mergeCorpusSketches(a.unionByName(b))).head()
+    // HLL union is register-wise max, but the union path may promote the
+    // sketch target type (HLL_4 -> HLL_8), so estimates agree only to well
+    // within the configured error, not bit-for-bit
+    val wholeEst = whole.getAs[Double]("distinct_texts_est")
+    assert(math.abs(merged.getAs[Double]("distinct_texts_est") - wholeEst)
+      / wholeEst < 0.01)
+    assert(merged.getAs[Long]("n_docs") == 5000L)
+    assert(merged.getAs[Long]("n_empty") == 0L)
+    // DataSketches HLL at lgK=14: ~1.6% standard error on 3000 distincts
+    val est = merged.getAs[Double]("distinct_texts_est")
+    assert(math.abs(est - 3000.0) / 3000.0 < 0.05, est)
+    val dup = merged.getAs[Double]("dup_rate_est")
+    assert(math.abs(dup - 0.4) < 0.05, dup) // 2000/5000 dups
+    // counters stay exact under the split
+    assert(merged.getAs[Long]("total_tokens")
+      == whole.getAs[Long]("total_tokens"))
+  }
+
+  test("corpus sketch ops are gated batch-only under readStream") {
+    val stream = spark.readStream.format("rate").load()
+      .selectExpr("CAST(value AS STRING) AS text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.corpusStatsSketch(stream, col("text"))
+    }
+    assert(e.getMessage.contains("batch-only"))
+  }
+
   test("gopherSignals stays inside whole-stage codegen") {
     val df = spark.range(4)
       .select(concat(lit("the doc "), col("id")).as("t"))
