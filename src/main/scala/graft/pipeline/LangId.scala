@@ -23,14 +23,20 @@ final case class LangIdModel(n: Int, docCounts: Map[String, Long],
   @transient lazy val langs: IndexedSeq[String] = docCounts.keys.toIndexedSeq.sorted
 
   /** Per-language add-1-smoothing state: (log prior, gram -> logprob,
-    * OOV logprob). Computed once per JVM from the counts.
+    * OOV logprob). Computed once per JVM from the counts. The smoothing
+    * denominator uses the SHARED vocabulary size (distinct grams across all
+    * languages), not the per-language table size — standard multinomial-NB
+    * add-1 over a common event space. (Per-language V would hand a language
+    * with doc counts but NO gram table an OOV logprob of ln(1/1) = 0, making
+    * it dominate every prediction.)
     */
   @transient lazy val scorers: IndexedSeq[(String, Double, Map[String, Double], Double)] = {
     val totalDocs = langs.iterator.map(docCounts).sum.toDouble
+    val sharedV = gramCounts.valuesIterator.flatMap(_.keysIterator).toSet.size
     langs.map { l =>
       val grams = gramCounts.getOrElse(l, Map.empty)
       val total = grams.valuesIterator.sum.toDouble
-      val denom = math.log(total + grams.size + 1.0)
+      val denom = math.log(total + sharedV + 1.0)
       val lp = grams.map { case (g, c) => g -> (math.log(c + 1.0) - denom) }
       (l, math.log(docCounts(l) / totalDocs), lp, -denom) // ln(1/(C+V+1)) = -denom
     }
@@ -82,16 +88,22 @@ object LangId {
       .where(col("__l").isNotNull)
       .groupBy("__l", "__g").agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy("__l").orderBy(col("__c").desc, col("__g"))
+    // the collect is HARD-bounded: at most (vocab+2) rows survive per label,
+    // and the limit caps the total at maxLangs labels' worth + 1 — a
+    // label-explosion bug (e.g. the text column passed as the label) fails
+    // fast below instead of OOMing the driver here
+    val collectCap = maxLangs * (vocabPerLang + 2) + 1
     val rows = counts
       .withColumn("__rn", row_number().over(w))
       .where(col("__g") === DocMarker || col("__rn") <= vocabPerLang + 1)
       .select("__l", "__g", "__c")
+      .limit(collectCap)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     require(rows.nonEmpty, "LangId.train needs at least one labeled row")
 
     val docCounts = rows.collect { case (l, DocMarker, c) => l -> c }.toMap
-    require(docCounts.size <= maxLangs,
-      s"LangId.train saw ${docCounts.size} labels (maxLangs=$maxLangs); " +
+    require(rows.length < collectCap && docCounts.size <= maxLangs,
+      s"LangId.train saw more than $maxLangs distinct labels (maxLangs=$maxLangs); " +
         "a label column this wide is usually a bug, raise maxLangs to override")
     // the marker may occupy a window slot; re-apply the cap exactly per lang
     val gramCounts = rows.filter(_._2 != DocMarker)
@@ -149,11 +161,28 @@ object LangIdModelJson {
   * Column-side `lower()` (Locale.ROOT).
   */
 object LangIdOps {
+  /** Grams slide over CODE POINTS (parity with the Column side's
+    * `substr`/`length`, which count code points, never splitting a surrogate
+    * pair) and case-fold via UTF8String.toLowerCase — the exact fold
+    * `lower()` applies at train time, so trained and scored grams agree on
+    * every input, astral or not.
+    */
   private def gramsOf(model: LangIdModel, u: UTF8String): Array[String] = {
-    val s = u.toString.toLowerCase(java.util.Locale.ROOT)
+    val s = u.toLowerCase.toString
     val n = model.n
-    if (s.length < n) Array.empty
-    else Array.tabulate(s.length - n + 1)(i => s.substring(i, i + n))
+    val cpCount = s.codePointCount(0, s.length)
+    if (cpCount < n) return Array.empty
+    // char offsets of each code point start (+ end sentinel)
+    val starts = new Array[Int](cpCount + 1)
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      starts(k) = i
+      i += Character.charCount(s.codePointAt(i))
+      k += 1
+    }
+    starts(cpCount) = s.length
+    Array.tabulate(cpCount - n + 1)(j => s.substring(starts(j), starts(j + n)))
   }
 
   def scoreByIdx(model: LangIdModel, idx: Int, u: UTF8String): Double =

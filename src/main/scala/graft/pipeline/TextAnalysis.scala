@@ -278,7 +278,12 @@ object TextAnalysis {
         sum("__nt").as("total_tokens"),
         sum(length(coalesce(col("__text"), lit("")))).as("total_chars"),
         sum(when(col("__empty"), 1L).otherwise(0L)).as("n_empty"),
-        hll_sketch_agg(col("__text"), lit(lgK)).as("text_sketch"))
+        // fixed-prefix injection: DataSketches' update is a NO-OP on the
+        // empty string, which would silently exclude empty docs from the
+        // distinct estimate (corpusStats' count_distinct counts ''). The
+        // prefix keeps every value non-empty and distinct-preserving;
+        // null stays null (count_distinct skips nulls too).
+        hll_sketch_agg(concat(lit("\u0001"), col("__text")), lit(lgK)).as("text_sketch"))
   }
 
   /** Union any number of [[corpusStatsSketch]] rows into one row of the same
@@ -390,27 +395,30 @@ object TextAnalysis {
     GraftColumnBridge.column(CharEntropy(GraftColumnBridge.expression(text)))
   }
 
-  /** Number of whitespace tokens (case-folded, Locale.ROOT) that appear in
-    * `words` — occurrences, not distinct hits. The blocklist ships as a
+  /** Number of whitespace-delimited tokens (case-folded, Locale.ROOT) that
+    * appear in `words` — occurrences, not distinct hits. Tokens split on the
+    * FULL `\\s` set (newlines/tabs included — a badword on its own line must
+    * still match, Gopher-kernel word convention). The blocklist ships as a
     * codegen reference object ([[Blocklist]]), so a large word list neither
     * bloats the generated code nor de-codegens the projection (the
     * `size(filter(...))` HOF alternative is CodegenFallback). Row-local.
     */
-  def blocklistCount(text: Column, words: Seq[String]): Column = {
-    import org.apache.spark.sql.GraftColumnBridge
-    GraftColumnBridge.column(BlocklistCount(
-      GraftColumnBridge.expression(text), Blocklist.of(words)))
-  }
+  def blocklistCount(text: Column, words: Seq[String]): Column =
+    blocklistSignals(text, words).getField("n_blocked")
 
   /** Blocklist signals: occurrence count and token-share of blocklisted
-    * words (the C4 "bad words" page-filter inputs). Token convention matches
-    * [[wsTokens]]/the classifier tokenizer (whitespace split, case-folded).
+    * words (the C4 "bad words" page-filter inputs). BOTH fields come from
+    * one [[BlocklistCounts]] kernel scan — no second tokenize pass, no HOF
+    * in the denominator.
     */
   def blocklistSignals(text: Column, words: Seq[String]): Column = {
-    val n = blocklistCount(text, words)
+    import org.apache.spark.sql.GraftColumnBridge
+    val c = GraftColumnBridge.column(BlocklistCounts(
+      GraftColumnBridge.expression(text), Blocklist.of(words)))
     struct(
-      n.as("n_blocked"),
-      (n.cast("double") / greatest(size(wsTokens(text)), lit(1))).as("blocked_ratio"))
+      c.getField("n_blocked").as("n_blocked"),
+      (c.getField("n_blocked").cast("double") /
+        greatest(c.getField("n_tokens"), lit(1))).as("blocked_ratio"))
   }
 
   /** Keep rows whose blocklisted-token share is at most `maxRatio`
@@ -462,14 +470,16 @@ object TextAnalysis {
                    maxEllipsisLineFrac: Double = 0.3,
                    minAlphaWordFrac: Double = 0.8,
                    minRequiredWords: Int = 2): Column = {
-    val s = gopherSignals(text)
-    s.getField("n_words").between(minWords, maxWords) &&
-      s.getField("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
-      s.getField("symbol_word_ratio") <= maxSymbolWordRatio &&
-      s.getField("bullet_line_frac") <= maxBulletLineFrac &&
-      s.getField("ellipsis_line_frac") <= maxEllipsisLineFrac &&
-      s.getField("alpha_word_frac") >= minAlphaWordFrac &&
-      s.getField("n_required_words") >= minRequiredWords
+    // ONE boolean kernel, not a 7-conjunct And over getFields: FilterExec
+    // splits conjuncts and codegens each independently (no cross-conjunct
+    // subexpression elimination), which would re-run the counting scan per
+    // rule — up to 7 text scans per row
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(GopherKeep(
+      GraftColumnBridge.expression(coalesce(text, lit(""))),
+      GopherThresholds(minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+        maxSymbolWordRatio, maxBulletLineFrac, maxEllipsisLineFrac,
+        minAlphaWordFrac, minRequiredWords)))
   }
 
   val EnglishStopwords: Seq[String] = Seq(
@@ -610,6 +620,21 @@ object GopherOps {
       nEllipsis / lDen,
       java.lang.Integer.bitCount(requiredMask))
   }
+
+  /** One-scan keep decision: the counting kernel once, then the threshold
+    * comparisons on its fields (identical arithmetic to the struct path).
+    */
+  def keep(t: GopherThresholds, u: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val r = counts(u)
+    val nWords = r.getInt(0)
+    nWords >= t.minWords && nWords <= t.maxWords &&
+      r.getDouble(3) >= t.minMeanWordLen && r.getDouble(3) <= t.maxMeanWordLen &&
+      r.getDouble(4) <= t.maxSymbolWordRatio &&
+      r.getDouble(6) <= t.maxBulletLineFrac &&
+      r.getDouble(7) <= t.maxEllipsisLineFrac &&
+      r.getDouble(2) >= t.minAlphaWordFrac &&
+      r.getInt(8) >= t.minRequiredWords
+  }
 }
 
 /** All Gopher signals as one struct from one scan — see
@@ -652,62 +677,137 @@ object GopherCounts {
     StructField("n_required_words", IntegerType, nullable = false)))
 }
 
-/** A blocklist as a codegen reference object. Words are stored case-folded
-  * (Locale.ROOT) so matching is case-insensitive regardless of how the
-  * caller spelled the list. (Top-level class: it rides into generated code.)
+/** Threshold bundle for [[GopherKeep]] — a codegen reference object so the
+  * generated call site stays a single static invocation.
   */
-final case class Blocklist(words: Set[String])
+final case class GopherThresholds(minWords: Int, maxWords: Int,
+                                  minMeanWordLen: Double, maxMeanWordLen: Double,
+                                  maxSymbolWordRatio: Double,
+                                  maxBulletLineFrac: Double,
+                                  maxEllipsisLineFrac: Double,
+                                  minAlphaWordFrac: Double,
+                                  minRequiredWords: Int)
 
-object Blocklist {
-  def of(words: Seq[String]): Blocklist =
-    Blocklist(words.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
-}
-
-/** Static kernel for [[BlocklistCount]]: tokens via the shared classifier
-  * tokenizer (whitespace split, Locale.ROOT case-fold), occurrences counted.
+/** The whole Gopher keep/drop decision as ONE boolean kernel call — the
+  * counting scan runs once per row no matter how Catalyst splits the
+  * filter. Threshold comparisons replicate [[TextAnalysis.gopherFilter]]'s
+  * documented arithmetic exactly (same ratio expressions, inclusive
+  * bounds).
   */
-object BlocklistOps {
-  def count(list: Blocklist, u: org.apache.spark.unsafe.types.UTF8String): Int = {
-    val toks = QualityClassifier.tokenize(u.toString)
-    var n = 0
-    var i = 0
-    while (i < toks.length) {
-      if (list.words.contains(toks(i))) n += 1
-      i += 1
-    }
-    n
-  }
-}
-
-/** Occurrence count of blocklisted tokens — see
-  * [[TextAnalysis.blocklistCount]].
-  */
-case class BlocklistCount(
-    child: org.apache.spark.sql.catalyst.expressions.Expression,
-    list: Blocklist)
+case class GopherKeep(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                      thresholds: GopherThresholds)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: org.apache.spark.sql.types.DataType =
-    org.apache.spark.sql.types.IntegerType
+    org.apache.spark.sql.types.BooleanType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == org.apache.spark.sql.types.StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"blocklist_count requires a STRING argument, got ${child.dataType.sql}")
+      s"gopher_keep requires a STRING argument, got ${child.dataType.sql}")
 
   override def nullSafeEval(v: Any): Any =
-    BlocklistOps.count(list, v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    GopherOps.keep(thresholds, v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("gopherThresholds", thresholds,
+      classOf[GopherThresholds].getName)
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.GopherOps.keep($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): GopherKeep = copy(child = c)
+}
+
+/** A blocklist as a codegen reference object. Words are stored case-folded
+  * (Locale.ROOT) so matching is case-insensitive regardless of how the
+  * caller spelled the list. Matching is PER TOKEN — multi-word entries can
+  * never match and are rejected up front rather than silently ignored.
+  * (Top-level class: it rides into generated code.)
+  */
+final case class Blocklist(words: Set[String])
+
+object Blocklist {
+  def of(words: Seq[String]): Blocklist = {
+    val bad = words.filter(_.exists(Character.isWhitespace))
+    require(bad.isEmpty,
+      s"blocklist entries are matched per whitespace token; these contain " +
+        s"whitespace and could never match: ${bad.take(5).mkString("'", "', '", "'")}" +
+        " — split phrases into single-token entries or use a regex filter")
+    Blocklist(words.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+  }
+}
+
+/** Static kernel for [[BlocklistCounts]]: ONE scan over the text splitting
+  * on the full `\\s` whitespace set (the Gopher-kernel word convention —
+  * newline- and tab-delimited badwords match), each token case-folded
+  * (Locale.ROOT) and probed against the set. Emits (n_blocked, n_tokens)
+  * so the ratio needs no second tokenize pass.
+  */
+object BlocklistOps {
+  def counts(list: Blocklist, u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val s = u.toString
+    var nTokens = 0
+    var nBlocked = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      // skip whitespace (the Java regex \\s set)
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        nTokens += 1
+        val tok = s.substring(start, i).toLowerCase(java.util.Locale.ROOT)
+        if (list.words.contains(tok)) nBlocked += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nBlocked, nTokens)
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+}
+
+/** Blocklisted-token and total-token counts in one scan — see
+  * [[TextAnalysis.blocklistSignals]].
+  */
+case class BlocklistCounts(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    list: Blocklist)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: org.apache.spark.sql.types.DataType = BlocklistCounts.schema
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"blocklist_counts requires a STRING argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    BlocklistOps.counts(list, v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     val ref = ctx.addReferenceObj("blocklist", list, classOf[Blocklist].getName)
-    defineCodeGen(ctx, ev, c => s"graft.pipeline.BlocklistOps.count($ref, $c)")
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.BlocklistOps.counts($ref, $c)")
   }
 
   override protected def withNewChildInternal(
-      c: org.apache.spark.sql.catalyst.expressions.Expression): BlocklistCount = copy(child = c)
+      c: org.apache.spark.sql.catalyst.expressions.Expression): BlocklistCounts = copy(child = c)
+}
+
+object BlocklistCounts {
+  import org.apache.spark.sql.types._
+  val schema: StructType = StructType(Seq(
+    StructField("n_blocked", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false)))
 }
 
 /** Static kernel for [[CharEntropy]]: code-point counts via a sorted map,

@@ -215,13 +215,18 @@ object UrlAnalysis {
 
   /** Keep one row per canonical URL (first by `orderCol` — deterministic).
     * ONE hash shuffle on the canonical key; the standard crawl-level dedup
-    * before any content-based pass.
+    * before any content-based pass. Rows with a NULL url pass through
+    * undeduplicated (a window over the null key would silently collapse
+    * every fetch-failure row into one survivor — same exemption as
+    * [[capPerDomain]]).
     */
-  def dedupByCanonicalUrl(df: DataFrame, urlCol: String, orderCol: Column): DataFrame =
-    Dedup.dedupExact(
-      df.withColumn("__graft_canon_url", canonicalUrl(col(urlCol))),
-      Seq(col("__graft_canon_url")), orderCol)
+  def dedupByCanonicalUrl(df: DataFrame, urlCol: String, orderCol: Column): DataFrame = {
+    val withKey = df.withColumn("__graft_canon_url", canonicalUrl(col(urlCol)))
+    Dedup.dedupExact(withKey.where(col("__graft_canon_url").isNotNull),
+        Seq(col("__graft_canon_url")), orderCol)
+      .unionByName(withKey.where(col("__graft_canon_url").isNull))
       .drop("__graft_canon_url")
+  }
 
   private def nullIfEmpty(c: Column): Column = when(c === "", lit(null).cast("string")).otherwise(c)
 }

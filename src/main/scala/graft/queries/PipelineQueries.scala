@@ -1471,13 +1471,14 @@ object PipelineQueries {
             round(LangId.scoreColumn(col("text"), m, "en"), 4).as("en_score"))
           .orderBy("doc_id")
       },
-      // 'x' has no 3-grams: equal priors tie -> first sorted label ('de')
+      // 'x' has no 3-grams: equal priors tie -> first sorted label ('de').
+      // en smoothing denom = ln(total 15 + shared V {aaa,aab,bbb} + 1) = ln(19)
       Some("""SELECT doc_id,
              |  CASE CAST(doc_id % 3 AS INT)
              |    WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'de' END AS lang,
              |  round(CASE CAST(doc_id % 3 AS INT)
-             |    WHEN 0 THEN ln(0.5) + (ln(11.0) - ln(18.0)) + (ln(6.0) - ln(18.0))
-             |    WHEN 1 THEN ln(0.5) + (0 - ln(18.0)) + (0 - ln(18.0))
+             |    WHEN 0 THEN ln(0.5) + (ln(11.0) - ln(19.0)) + (ln(6.0) - ln(19.0))
+             |    WHEN 1 THEN ln(0.5) + (0 - ln(19.0)) + (0 - ln(19.0))
              |    ELSE ln(0.5) END, 4) AS en_score
              |FROM documents ORDER BY doc_id""".stripMargin)))
 

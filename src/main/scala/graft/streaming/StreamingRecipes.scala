@@ -108,13 +108,24 @@ object StreamingRecipes {
     * [[StreamChecks.firstSeenRows]]' per-key state. Returns the surviving
     * (canonical_url, id) stream — semi-join it back to the full rows
     * downstream, or TTL the state for a bounded working set (after expiry a
-    * re-crawled page is emitted again). Non-URL rows pass through keyed by
-    * their own raw string (never merged).
+    * re-crawled page is emitted again). Non-URL strings key by their own raw
+    * value (never merged); rows with a NULL url or id are EXCLUDED from the
+    * output (no page identity to dedup on — route them separately upstream).
     */
   def dedupByCanonicalUrlCrossBatch(stream: DataFrame, urlCol: String, idCol: String,
                                     stateTtlMs: Option[Long] = None)
       : org.apache.spark.sql.Dataset[StreamChecks.KeyedRow] = {
     import stream.sparkSession.implicits._
+    // fail fast on non-integral ids: the silent long cast would otherwise
+    // null every rowId and the isNotNull guard below would drop the whole
+    // stream — same contract as StreamChecks.bandDocuments
+    stream.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      case other => throw new IllegalArgumentException(
+        s"dedupByCanonicalUrlCrossBatch: idCol '$idCol' must be an integral type " +
+          s"(got ${other.sql}); derive a surrogate id (e.g. xxhash64 of the natural key) first")
+    }
     val keyed = stream.select(
       graft.pipeline.UrlAnalysis.canonicalUrl(col(urlCol)).as("key"),
       col(idCol).cast("long").as("rowId"))

@@ -33,18 +33,45 @@ class LangIdSpec extends SparkSpec {
     assert(again == m)
   }
 
-  test("score: hand-computed NB arithmetic, OOV unk mass") {
+  test("score: hand-computed NB arithmetic, OOV unk mass, shared vocabulary") {
     val m = LangIdModel(3, Map("en" -> 50L, "de" -> 50L),
       Map("en" -> Map("aaa" -> 3L), "de" -> Map("bbb" -> 4L)))
     def score(t: String, lang: String): Double =
       Seq(t).toDF("t").select(LangId.scoreColumn(col("t"), m, lang)).head().getDouble(0)
-    // en: total=3, V=1, denom=ln(5); "aaaa" -> grams aaa,aaa
-    val exp = math.log(0.5) + 2 * (math.log(4.0) - math.log(5.0))
+    // en: total=3, SHARED V = |{aaa, bbb}| = 2, denom=ln(6); "aaaa" -> aaa,aaa
+    val exp = math.log(0.5) + 2 * (math.log(4.0) - math.log(6.0))
     assert(math.abs(score("aaaa", "en") - exp) < 1e-12)
     // OOV gram scores the unk mass ln(1/(total+V+1))
-    assert(math.abs(score("zzz", "en") - (math.log(0.5) - math.log(5.0))) < 1e-12)
+    assert(math.abs(score("zzz", "en") - (math.log(0.5) - math.log(6.0))) < 1e-12)
     // no grams (short text) -> prior only
     assert(math.abs(score("a", "de") - math.log(0.5)) < 1e-12)
+  }
+
+  test("a language with doc counts but no gram table cannot dominate") {
+    // per-language smoothing would give 'xx' unk = ln(1/1) = 0 and every
+    // prediction would flip to it; shared-V smoothing keeps it penalized
+    val m = LangIdModel(3, Map("en" -> 1L, "xx" -> 1L),
+      Map("en" -> Map("aaa" -> 10L)))
+    val out = Seq("aaaaaa").toDF("t")
+      .select(LangId.predictColumn(col("t"), m)).head().getString(0)
+    assert(out == "en")
+  }
+
+  test("astral text scores identical grams at train and predict time") {
+    // one doc whose only word is two astral letters + 'ab' (4 code points,
+    // 6 UTF-16 units) — a UTF-16-sliding kernel would produce 4 lone-
+    // surrogate grams that miss the trained table entirely
+    val s = "𝐀𝐁ab"
+    val docs = Seq((s, "xx")).toDF("text", "lang")
+    val m = LangId.train(docs, col("text"), col("lang"), n = 3, vocabPerLang = 10)
+    // train (code-point substr) produced exactly 2 grams of 3 code points
+    assert(m.gramCounts("xx").size == 2)
+    assert(m.gramCounts("xx").keySet.forall(g => g.codePointCount(0, g.length) == 3))
+    // kernel must reproduce both grams -> score = 2 * (ln(1+1) - ln(2+2+1))
+    val score = Seq(s).toDF("t")
+      .select(LangId.scoreColumn(col("t"), m, "xx")).head().getDouble(0)
+    val exp = 2 * (math.log(2.0) - math.log(5.0)) // prior = ln(1/1) = 0
+    assert(math.abs(score - exp) < 1e-12, s"$score vs $exp")
   }
 
   test("predict: argmax with first-sorted-label ties") {

@@ -88,6 +88,15 @@ class TextQualitySpec extends SparkSpec {
       (1L, "bad BAD good spam"), // 3 hits (occurrences, both cases)
       (2L, "clean text only"),
       (3L, null)).toDF("id", "t")
+    // full-\s tokenization: badwords on their own lines / after tabs match
+    val nl = Seq("intro\nbad\tspam\nmore").toDF("t")
+      .select(TextAnalysis.blocklistCount(col("t"), list)).head().getInt(0)
+    assert(nl == 2)
+    // multi-word entries can never match per-token -> rejected up front
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistCount(col("t"), Seq("bad phrase"))
+    }
+    assert(e.getMessage.contains("whitespace"))
     val out = df.select(col("id"), TextAnalysis.blocklistCount(col("t"), list).as("n"))
       .orderBy("id").collect()
     assert(out(0).getInt(1) == 3)
@@ -137,6 +146,12 @@ class TextQualitySpec extends SparkSpec {
       / wholeEst < 0.01)
     assert(merged.getAs[Long]("n_docs") == 5000L)
     assert(merged.getAs[Long]("n_empty") == 0L)
+    // empty-string docs COUNT as a distinct value (prefix injection: raw
+    // DataSketches update('') is a no-op and would drop them)
+    val withEmpty = TextAnalysis.corpusSketchStats(TextAnalysis.corpusStatsSketch(
+      Seq("", "", "a").toDF("text"), col("text"))).head()
+    assert(withEmpty.getAs[Double]("distinct_texts_est") == 2.0)
+    assert(withEmpty.getAs[Long]("n_empty") == 2L)
     // DataSketches HLL at lgK=14: ~1.6% standard error on 3000 distincts
     val est = merged.getAs[Double]("distinct_texts_est")
     assert(math.abs(est - 3000.0) / 3000.0 < 0.05, est)
