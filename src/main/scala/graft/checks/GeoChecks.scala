@@ -1,7 +1,7 @@
 package graft.checks
 
 import graft.core.CheckUtils._
-import graft.geo.{WktEnvelopeCells, WktInfo, WktPairIntersects, WktRelation}
+import graft.geo.{WktEnvelopeCells, WktEnvelopeSubCells, WktInfo, WktPairIntersects, WktRelation}
 import graft.rules.DatasetCheck
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
@@ -179,7 +179,9 @@ object GeoChecks {
     * (identical non-empty geometries overlap by definition).
     */
   def arePolygonsMutuallyDisjoint(column: String, rowFilter: Option[String] = None,
-                                  cellSize: Double = 4.0): DatasetCheck = {
+                                  cellSize: Double = 4.0,
+                                  maxCellGeoms: Int = 256,
+                                  maxRefineLevels: Int = 12): DatasetCheck = {
     import org.apache.spark.sql.expressions.Window
     val id = uniqueSuffix()
     val dupCol = s"__dq_geo_dup_$id"
@@ -188,8 +190,6 @@ object GeoChecks {
     val c = col(column)
     def infoOf(cc: Column) = GraftColumnBridge.column(
       WktInfo(GraftColumnBridge.expression(cc.cast("string"))))
-    def cellsOf(cc: Column) = GraftColumnBridge.column(
-      WktEnvelopeCells(GraftColumnBridge.expression(cc.cast("string")), cellSize))
     val applyFn = (df: DataFrame) => {
       // duplicates of the same non-empty WKT overlap each other
       val w = Window.partitionBy(c)
@@ -197,29 +197,86 @@ object GeoChecks {
       val withDup = df.withColumn(dupCol,
         sum(when(filterC && nonEmpty, lit(1)).otherwise(lit(0))).over(w) > 1 &&
           filterC && nonEmpty)
-      // distinct geometries -> bucketed candidate pairs -> exact test
-      val geoms = df.where(filterC && nonEmpty).select(c.as("g")).distinct()
-        .withColumn("cells", cellsOf(col("g")))
-        .where(col("cells").isNotNull)
-      val exploded = geoms.select(col("g"), explode(col("cells")).as("cell"))
-      val a = exploded.select(col("g").as("ga"), col("cell"))
-      val b = exploded.select(col("g").as("gb"), col("cell"))
-      val pairs = a.join(b, Seq("cell")).where(col("ga") < col("gb"))
-        // dedupe multi-cell pairs: keep only the smallest shared cell
-        .withColumn("mincell", array_min(array_intersect(cellsOf(col("ga")), cellsOf(col("gb")))))
-        .where(col("cell") === col("mincell"))
+      // distinct geometries -> skew-guarded buckets -> candidate pairs -> exact test
+      val buckets = disjointCandidateBuckets(
+        df.where(filterC && nonEmpty).select(c.cast("string").as("g")),
+        cellSize, maxCellGeoms, maxRefineLevels)
+      val a = buckets.select(col("g").as("ga"), col("lvl"), col("cell"))
+      val b = buckets.select(col("g").as("gb"), col("lvl"), col("cell"))
+      // A pair sharing k buckets is exact-tested k times (k is bounded by the
+      // envelope's cell span); the violating-geometry distinct below dedupes,
+      // which is cheaper than shuffling full candidate-pair rows to dedupe
+      // them up front.
+      val pairs = a.join(b, Seq("lvl", "cell")).where(col("ga") < col("gb"))
         .where(coalesce(GraftColumnBridge.column(WktPairIntersects(
-          GraftColumnBridge.expression(col("ga").cast("string")),
-          GraftColumnBridge.expression(col("gb").cast("string")))), lit(false)))
+          GraftColumnBridge.expression(col("ga")),
+          GraftColumnBridge.expression(col("gb")))), lit(false)))
       val violating = pairs.select(col("ga").as("gv"))
         .union(pairs.select(col("gb").as("gv"))).distinct()
         .withColumn(hitCol, lit(true))
-      withDup.join(violating, c === col("gv"), "left").drop("gv")
+      withDup.join(violating, c.cast("string") === col("gv"), "left").drop("gv")
     }
     DatasetCheck(applyFn,
       makeCondition(filterC && (col(dupCol) || coalesce(col(hitCol), lit(false))),
         concat(lit("Geometry '"), valueText(c),
           lit(s"' in column '$column' overlaps another geometry"))))
+  }
+
+  /** Quadtree-refined blocking buckets for the D16 spatial self-join: distinct
+    * geometries explode into envelope grid cells, and any cell holding more
+    * than `maxCellGeoms` geometries is recursively subdivided into half-size
+    * cells (up to `maxRefineLevels`), so the in-cell self-join can never go
+    * quadratic on dense real-world clusters (the same bounded-bucket rule as
+    * `maxBucketSize` in the LSH dedup family). Returns `(g, lvl, cell)`.
+    *
+    * Any pair of envelope-intersecting geometries shares >=1 bucket: for a
+    * point p in both envelopes, both cells arrays contain p's cell at every
+    * level, and the refine-or-stop decision is per cell, so both stop in the
+    * same (lvl, cell). Refinement levels trigger only on observed density;
+    * sparse data takes the original one-explode plan plus one count job.
+    */
+  private[graft] def disjointCandidateBuckets(geomRows: DataFrame, cellSize: Double,
+                                              maxCellGeoms: Int,
+                                              maxRefineLevels: Int): DataFrame = {
+    val geoms = geomRows.distinct()
+      .withColumn("cells", GraftColumnBridge.column(
+        WktEnvelopeCells(GraftColumnBridge.expression(col("g")), cellSize)))
+      .where(col("cells").isNotNull)
+    var exploded = geoms.select(col("g"), explode(col("cells")).as("cell"))
+    var size = cellSize
+    var lvl = 0
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var done = false
+    while (!done) {
+      if (lvl >= maxRefineLevels) {
+        // depth cap: accept residual dense cells rather than refine forever
+        // (e.g. maxCellGeoms+ geometries sharing one tiny envelope)
+        parts += exploded.withColumn("lvl", lit(lvl)); done = true
+      } else {
+        val dense = exploded.groupBy("cell").count()
+          .where(col("count") > maxCellGeoms).select("cell")
+        if (dense.isEmpty) {
+          parts += exploded.withColumn("lvl", lit(lvl)); done = true
+        } else {
+          // materialize once so the three consumers below don't re-derive the
+          // whole refinement chain (the Dedup connected-components shape)
+          val mat = exploded.localCheckpoint(true)
+          val matDense = mat.groupBy("cell").count()
+            .where(col("count") > maxCellGeoms)
+            .select(col("cell"), lit(true).as("__dense"))
+          val marked = mat.join(matDense, Seq("cell"), "left")
+          parts += marked.where(col("__dense").isNull).drop("__dense")
+            .withColumn("lvl", lit(lvl))
+          exploded = marked.where(col("__dense") === true)
+            .select(col("g"), explode(GraftColumnBridge.column(WktEnvelopeSubCells(
+              GraftColumnBridge.expression(col("g")),
+              GraftColumnBridge.expression(col("cell")), size))).as("cell"))
+          size /= 2
+          lvl += 1
+        }
+      }
+    }
+    parts.reduce(_ unionByName _)
   }
 
   /** Point-subset fast path kept for callers that know the column holds only

@@ -84,6 +84,27 @@ object GeoOps {
         new GenericArrayData(cells.toArray)
     }
 
+  /** Half-size subcells of `parentCell` (at `parentSize`) covered by the
+    * geometry's envelope — the refinement step of the D16 quadtree grid.
+    * At most 4 cells; empty when the envelope misses the parent entirely.
+    * Packing convention matches [[envelopeCells]] (`cx*1e9+cy`, |cy| < 5e8).
+    */
+  def envelopeSubCells(s: UTF8String, parentCell: Long, parentSize: Double): ArrayData =
+    Wkt.parse(s.toString).flatMap(_.envelope) match {
+      case None => null
+      case Some((xmin, ymin, xmax, ymax)) =>
+        var px = Math.floorDiv(parentCell, 1000000000L)
+        var py = Math.floorMod(parentCell, 1000000000L)
+        if (py >= 500000000L) { py -= 1000000000L; px += 1 }
+        val h = parentSize / 2
+        val x0 = math.max(math.floor(xmin / h).toLong, 2 * px)
+        val x1 = math.min(math.floor(xmax / h).toLong, 2 * px + 1)
+        val y0 = math.max(math.floor(ymin / h).toLong, 2 * py)
+        val y1 = math.min(math.floor(ymax / h).toLong, 2 * py + 1)
+        val cells = for (cx <- x0 to x1; cy <- y0 to y1) yield cx * 1000000000L + cy
+        new GenericArrayData(cells.toArray)
+    }
+
   /** Codegen template: child-null-safe call whose null result sets ev.isNull. */
   private[geo] def nullableCall(ctx: CodegenContext, ev: ExprCode, javaType: String,
                                 children: Seq[Expression], call: Seq[String] => String): ExprCode = {
@@ -200,4 +221,27 @@ case class WktEnvelopeCells(child: Expression, cellSize: Double)
       vs => s"graft.geo.GeoOps.envelopeCells(${vs.head}, ${cellSize}D)")
 
   override protected def withNewChildInternal(c: Expression): WktEnvelopeCells = copy(child = c)
+}
+
+/** Half-size subcells of the row's `parentCell` (computed at `parentSize`)
+  * covered by the geometry's envelope — the quadtree refinement step that
+  * splits dense D16 grid cells. At most 4 cells per row. NULL when the WKT
+  * does not parse or has no envelope.
+  */
+case class WktEnvelopeSubCells(left: Expression, right: Expression, parentSize: Double)
+    extends BinaryExpression {
+  require(parentSize > 0, "parentSize must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(w: Any, cell: Any): Any =
+    GeoOps.envelopeSubCells(w.asInstanceOf[UTF8String], cell.asInstanceOf[Long], parentSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    GeoOps.nullableCall(ctx, ev, "org.apache.spark.sql.catalyst.util.ArrayData",
+      Seq(left, right),
+      vs => s"graft.geo.GeoOps.envelopeSubCells(${vs(0)}, ${vs(1)}, ${parentSize}D)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WktEnvelopeSubCells =
+    copy(left = l, right = r)
 }

@@ -213,7 +213,8 @@ object CheckRegistry {
     }),
     "are_polygons_mutually_disjoint" -> ((a, _) =>
       GeoChecks.arePolygonsMutuallyDisjoint(a.str("column"), a.strOpt("row_filter"),
-        a.double("cell_size", 4.0))),
+        a.double("cell_size", 4.0), a.int("max_cell_geoms", 256),
+        a.int("max_refine_levels", 12))),
     "are_points_mutually_disjoint" -> ((a, _) =>
       GeoChecks.arePointsMutuallyDisjoint(a.str("column"), a.strOpt("row_filter")))
   )

@@ -169,6 +169,49 @@ class GeoSpec extends SparkSpec {
     assert(flagged == oracle, s"flagged=$flagged oracle=$oracle")
   }
 
+  test("are_polygons_mutually_disjoint: dense co-located clusters refine, stay correct") {
+    // 1156 tiny disjoint squares tiled inside ONE level-0 grid cell (a dense
+    // urban cluster): without the quadtree guard the in-cell self-join would
+    // generate ~667k candidate pairs. Two overlapping intruders are planted.
+    val n = 34
+    val squares = (0 until n * n).map { k =>
+      val x = (k % n) * 0.1; val y = (k / n) * 0.1
+      (k, f"POLYGON (($x%.2f $y%.2f, ${x + 0.06}%.2f $y%.2f, " +
+        f"${x + 0.06}%.2f ${y + 0.06}%.2f, $x%.2f ${y + 0.06}%.2f, $x%.2f $y%.2f))")
+    }
+    val intruders = Seq(
+      (5000, "POLYGON ((0.01 0.01, 0.05 0.01, 0.05 0.05, 0.01 0.05, 0.01 0.01))"), // inside square 0
+      (5001, "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))")) // alone, outside tiling
+    val df = (squares ++ intruders).toDF("id", "wkt")
+    val flagged = errs(df, DQDatasetRule(
+      GeoChecks.arePolygonsMutuallyDisjoint("wkt", cellSize = 4.0, maxCellGeoms = 64),
+      "are_polygons_mutually_disjoint", Seq("wkt")))
+    assert(flagged == Seq(0, 5000), s"flagged=$flagged")
+    // the refinement bound holds: no bucket exceeds the cap
+    val buckets = GeoChecks.disjointCandidateBuckets(
+      df.select(col("wkt").as("g")), cellSize = 4.0, maxCellGeoms = 64, maxRefineLevels = 12)
+    val worst = buckets.groupBy("lvl", "cell").count()
+      .agg(max("count")).as[Long].head()
+    assert(worst <= 64, s"worst bucket holds $worst geometries")
+    // candidate pair work is bounded (vs ~667k unguarded)
+    val candPairs = buckets.groupBy("lvl", "cell").count()
+      .agg(sum(col("count") * (col("count") - 1)).cast("long") / 2)
+      .first().getDouble(0).toLong
+    assert(candPairs < 100000, s"candidate pairs $candPairs")
+  }
+
+  test("are_polygons_mutually_disjoint: depth cap accepts residual dense cells") {
+    // 5 distinct polygons sharing one tiny envelope can never spread across
+    // subcells; the loop must stop at maxRefineLevels and still be correct.
+    val df = (0 until 5).map { k =>
+      (k, s"POLYGON ((0 0, 0.001 0, 0.001 0.00${k + 1}, 0 0.00${k + 1}, 0 0))")
+    }.toDF("id", "wkt")
+    val flagged = errs(df, DQDatasetRule(
+      GeoChecks.arePolygonsMutuallyDisjoint("wkt", maxCellGeoms = 2, maxRefineLevels = 3),
+      "are_polygons_mutually_disjoint", Seq("wkt")))
+    assert(flagged == Seq(0, 1, 2, 3, 4))
+  }
+
   test("are_polygons_mutually_disjoint handles mixed geometry and skips empties") {
     val df = Seq(
       (1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
