@@ -80,9 +80,25 @@ object Bench {
     else None
   }
 
+  /** r7 follow-up: a stamped-but-written record still overwrote the committed
+    * artifacts when the driver re-ran on a 96g heap. A violating run now
+    * REFUSES (exit 2, nothing written) unless explicitly acknowledged, in
+    * which case the run proceeds and the stamp marks every output.
+    */
+  private[graft] def shouldRefuse(violation: Option[String],
+                                  acknowledged: Boolean): Option[String] =
+    violation.filter(_ => !acknowledged)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val refRowsEarly = sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.toLong).getOrElse(BenchRef.DefaultRows)
+    shouldRefuse(protocolViolation(refRowsEarly, Runtime.getRuntime.maxMemory()),
+      sys.env.get("SPARK_GRAFT_BENCH_ACKNOWLEDGE_BIG_HEAP").contains("1")).foreach { v =>
+      System.err.println(s"BENCH PROTOCOL VIOLATION — refusing to run: $v")
+      System.err.println("Set SPARK_GRAFT_BENCH_ACKNOWLEDGE_BIG_HEAP=1 to run anyway (outputs will be stamped).")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -31,4 +31,14 @@ class BenchGuardSpec extends AnyFunSuite {
   test("disabled ref suites (rows=0) still guard the heap") {
     assert(Bench.protocolViolation(0L, 90L * GiB).nonEmpty)
   }
+
+  test("violating run refuses unless explicitly acknowledged (r7 follow-up)") {
+    val v = Bench.protocolViolation(10000000L, 90L * GiB)
+    // unacknowledged -> refuse (main exits 2 before any artifact write)
+    assert(Bench.shouldRefuse(v, acknowledged = false) == v)
+    // acknowledged -> run proceeds, stamped
+    assert(Bench.shouldRefuse(v, acknowledged = true).isEmpty)
+    // clean run never refuses
+    assert(Bench.shouldRefuse(None, acknowledged = false).isEmpty)
+  }
 }
