@@ -989,10 +989,41 @@ object DatasetChecks {
                                numTrees: Int = 100, subsampleSize: Int = 256,
                                trainRows: Int = 10000, seed: Long = 42L,
                                rowFilter: Option[String] = None,
-                               checkName: String = "has_no_row_anomalies"): DatasetCheck = {
+                               checkName: String = "has_no_row_anomalies"): DatasetCheck =
+    iforestCheck(columns, threshold, rowFilter, checkName, df => {
+      import graft.anomaly.IsolationForest
+      val features = array(columns.map(c => coalesce(col(c).cast("double"), lit(0.0))): _*)
+      val base = rowFilter.map(df.filter).getOrElse(df)
+      val sample = base.select(features.as("f")).limit(trainRows)
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "no rows available to train the anomaly model")
+      val model = IsolationForest.train(sample, numTrees, subsampleSize, seed)
+      // severity percentile from the training-score distribution (broadcast
+      // as a sorted literal array; binary search per row via SQL)
+      (model, sample.map(model.score).sorted)
+    })
+
+  /** D15, pretrained variant: score with a model loaded from the file
+    * registry ([[graft.anomaly.ModelRegistry]]) — no training action, so the
+    * check is a pure projection and reproduces the training run's severity
+    * percentiles exactly (the record carries the sorted training scores).
+    * The reference's scoring orchestrator pulls the same pieces from MLflow
+    * (anomaly/scoring_orchestrator.py); here the record is a plain file.
+    */
+  def hasNoRowAnomaliesPretrained(record: graft.anomaly.AnomalyModelRecord,
+                                  threshold: Double = 99.0,
+                                  rowFilter: Option[String] = None,
+                                  checkName: String = "has_no_row_anomalies"): DatasetCheck =
+    iforestCheck(record.columns, threshold, rowFilter, checkName,
+      _ => (record.model, record.trainScoresSorted))
+
+  private def iforestCheck(columns: Seq[String], threshold: Double,
+                           rowFilter: Option[String], checkName: String,
+                           modelOf: DataFrame => (graft.anomaly.IsolationForest.Model, Array[Double]))
+      : DatasetCheck = {
     require(columns.nonEmpty, "columns must not be empty")
     require(threshold >= 0 && threshold <= 100, "threshold is a percentile in [0, 100]")
-    import graft.anomaly.{IForestContrib, IForestScore, IForestScoreStd, IsolationForest}
+    import graft.anomaly.{IForestContrib, IForestScore, IForestScoreStd}
     import org.apache.spark.sql.GraftColumnBridge
     val id = uniqueSuffix()
     val scoreCol = s"__dq_if_score_$id"
@@ -1002,14 +1033,7 @@ object DatasetChecks {
     val filterC = rowFilter.map(expr).getOrElse(lit(true))
     val features = array(columns.map(c => coalesce(col(c).cast("double"), lit(0.0))): _*)
     val applyFn = (df: DataFrame) => {
-      val base = rowFilter.map(df.filter).getOrElse(df)
-      val sample = base.select(features.as("f")).limit(trainRows)
-        .collect().map(_.getSeq[Double](0).toArray)
-      require(sample.nonEmpty, "no rows available to train the anomaly model")
-      val model = IsolationForest.train(sample, numTrees, subsampleSize, seed)
-      // severity percentile from the training-score distribution (broadcast
-      // as a sorted literal array; binary search per row via SQL)
-      val trainScores = sample.map(model.score).sorted
+      val (model, trainScores) = modelOf(df)
       val score = GraftColumnBridge.column(IForestScore(
         GraftColumnBridge.expression(features), model))
       val scored = df.withColumn(scoreCol, score)

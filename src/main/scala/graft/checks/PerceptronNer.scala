@@ -216,11 +216,51 @@ object PerceptronNer {
   }
 }
 
+/** JSON (de)serialization for [[PerceptronNerModel]] — the model-as-data
+  * path (reference loads Presidio's trained artifacts,
+  * pii/pii_detection_funcs.py:33): train once, save to any Hadoop-visible
+  * URI, and wire scoring runs via the `ner_model_location` metadata
+  * argument. Format: `{"tags": [...], "weights": {"w=alice": [0,5,...]}}`;
+  * the tag inventory is stored and validated so a weights file trained
+  * against a different tag set fails loudly instead of mis-decoding.
+  */
+object PerceptronNerModelJson {
+  def render(model: PerceptronNerModel): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("tags" -> PerceptronNer.Tags) ~
+          ("weights" -> model.weights.map { case (f, wv) => f -> wv.toSeq })))
+  }
+
+  def parse(json: String): PerceptronNerModel = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    val tags = (j \ "tags").extract[Seq[String]]
+    require(tags == PerceptronNer.Tags,
+      s"model tag set $tags does not match the engine's ${PerceptronNer.Tags}")
+    PerceptronNerModel((j \ "weights").extract[Map[String, Seq[Double]]]
+      .map { case (f, wv) =>
+        require(wv.length == PerceptronNer.Tags.length,
+          s"weight vector for '$f' has ${wv.length} entries, expected ${PerceptronNer.Tags.length}")
+        f -> wv.toArray
+      })
+  }
+
+  def save(spark: org.apache.spark.sql.SparkSession, location: String,
+           model: PerceptronNerModel): Unit =
+    graft.io.FsText.write(spark, location, render(model))
+
+  def load(spark: org.apache.spark.sql.SparkSession, location: String): PerceptronNerModel =
+    parse(graft.io.FsText.read(spark, location))
+}
+
 /** [[NerEngine]] backed by a trained [[PerceptronNerModel]] — wire it
   * programmatically (`NerDetect(expr, new PerceptronNerEngine(model))` or
-  * the PII check's engine parameter). The FQCN metadata path needs a
-  * zero-arg constructor and therefore stays gazetteer-backed; a trained
-  * model is data, not a class name.
+  * the PII check's engine parameter), or by file through the
+  * `ner_model_location` metadata argument ([[PerceptronNerModelJson]]).
+  * The FQCN `ner_engine_class` path needs a zero-arg constructor and
+  * therefore stays gazetteer-backed; a trained model is data, not a class.
   */
 final class PerceptronNerEngine(model: PerceptronNerModel) extends NerEngine {
   override def detect(text: String): Seq[String] = {

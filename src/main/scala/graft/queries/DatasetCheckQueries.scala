@@ -324,6 +324,43 @@ object DatasetCheckQueries {
         ds(D.hasValidSchema("l_orderkey BIGINT, l_quantity DOUBLE"), "has_valid_schema"),
         Seq("l_orderkey", "l_linenumber"))
         .groupBy().count().withColumnRenamed("count", "n_failing"),
-      Some("SELECT 0::BIGINT AS n_failing"))
+      Some("SELECT 0::BIGINT AS n_failing")),
+
+    // drift.py:34-195 — per-column baseline-vs-current drift scores against a
+    // fixed literal baseline (the registry supplies it in production); o_flag
+    // is a constant column exercising the zero-baseline-std branch.
+    "ds_drift_scores" -> QueryDef(
+      (s, dir) => {
+        import graft.anomaly.Drift
+        val cur = t(s, dir, "orders").withColumn("o_flag", lit(0.0))
+        val baseline = Map(
+          "o_totalprice" -> Drift.ColumnStats(240000.0, 140000.0),
+          "o_custkey" -> Drift.ColumnStats(750.0, 400.0),
+          "o_flag" -> Drift.ColumnStats(1.0, 0.0))
+        Drift.driftScores(cur, baseline)
+          .select(col("column").as("col_name"),
+            round(col("score"), 4).as("drift_score"),
+            (col("score") >= 0.5).as("drifted"), col("sample_size"))
+          .orderBy("col_name")
+      },
+      Some("""WITH cur AS (
+             |  SELECT count(*) AS n,
+             |         avg(o_totalprice) AS m_tp, stddev(o_totalprice) AS s_tp,
+             |         avg(o_custkey) AS m_ck, stddev(o_custkey) AS s_ck,
+             |         avg(0.0) AS m_fl, stddev(0.0) AS s_fl
+             |  FROM orders
+             |), scores AS (
+             |  SELECT 'o_totalprice' AS col_name,
+             |         0.7*abs(m_tp-240000.0)/140000.0 + 0.3*abs(s_tp-140000.0)/140000.0 AS score,
+             |         n FROM cur
+             |  UNION ALL
+             |  SELECT 'o_custkey',
+             |         0.7*abs(m_ck-750.0)/400.0 + 0.3*abs(s_ck-400.0)/400.0, n FROM cur
+             |  UNION ALL
+             |  SELECT 'o_flag', 0.7*abs(m_fl-1.0), n FROM cur
+             |)
+             |SELECT col_name, round(score, 4) AS drift_score, score >= 0.5 AS drifted,
+             |       n AS sample_size
+             |FROM scores ORDER BY col_name""".stripMargin))
   )
 }

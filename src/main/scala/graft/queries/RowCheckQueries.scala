@@ -484,6 +484,30 @@ object RowCheckQueries {
           Seq("doc_id"))
       },
       Some("""SELECT doc_id FROM documents
-             |WHERE doc_id % 13 = 0 OR doc_id % 17 = 0 OR doc_id % 19 = 0 ORDER BY 1""".stripMargin))
+             |WHERE doc_id % 13 = 0 OR doc_id % 17 = 0 OR doc_id % 19 = 0 ORDER BY 1""".stripMargin)),
+
+    // model-as-data NER (pii_detection_funcs.py:33 analog): a FIXED literal
+    // perceptron model routed through the JSON (de)serialization path. Only
+    // word-identity features carry weight, so the decode is fully determined
+    // by the planted tokens (all-zero scores tie-break to "O"); the planted
+    // names are absent from the synthetic corpus text.
+    "row_does_not_contain_pii_ner_model" -> QueryDef(
+      (s, dir) => {
+        import graft.checks._
+        val model = PerceptronNerModel(Map(
+          "w=alverton" -> Array(0.0, 5.0, 0.0, 0.0, 0.0, 0.0, 0.0), // B-PERSON
+          "w=quuxland" -> Array(0.0, 0.0, 0.0, 0.0, 0.0, 5.0, 0.0))) // B-LOC
+        val loaded = PerceptronNerModelJson.parse(PerceptronNerModelJson.render(model))
+        val df = t(s, dir, "documents")
+          .withColumn("body",
+            when(col("doc_id") % 9 === 0, concat(lit("Contact Alverton today. "), col("text")))
+              .when(col("doc_id") % 23 === 0, concat(lit("Greetings from Quuxland. "), col("text")))
+              .otherwise(col("text")))
+        failing(df, row(PiiChecks.doesNotContainPii(col("body"),
+          ner = Some(new PerceptronNerEngine(loaded))), "does_not_contain_pii", "body"),
+          Seq("doc_id"))
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE doc_id % 9 = 0 OR doc_id % 23 = 0 ORDER BY 1""".stripMargin))
   )
 }

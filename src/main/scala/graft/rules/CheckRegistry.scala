@@ -153,13 +153,17 @@ object CheckRegistry {
     "is_valid_lon_lat_point" -> (a => GeoChecks.isValidLonLatPoint(a.column())),
     "does_not_contain_pii" -> (a => PiiChecks.doesNotContainPii(a.column(),
       if (a.has("entities")) a.strSeq("entities") else PiiChecks.EntityPatterns.map(_._1),
-      // FQCN of a graft.checks.NerEngine with a no-arg constructor — the
-      // metadata-path seam for a Presidio-class model (same reflective
-      // convention as the FQCN CheckProvider)
-      a.strOpt("ner_engine_class").map { cls =>
+      // ner_model_location: a trained PerceptronNerModel JSON on any
+      // Hadoop-visible URI (model-as-data). ner_engine_class: FQCN of a
+      // graft.checks.NerEngine with a no-arg constructor — the seam for a
+      // Presidio-class model (same reflective convention as CheckProvider).
+      a.strOpt("ner_model_location").map { loc =>
+        new PerceptronNerEngine(PerceptronNerModelJson.load(
+          org.apache.spark.sql.SparkSession.active, loc)): graft.checks.NerEngine
+      }.orElse(a.strOpt("ner_engine_class").map { cls =>
         Class.forName(cls).getDeclaredConstructor().newInstance()
           .asInstanceOf[graft.checks.NerEngine]
-      }))
+      })))
   )
 
   import DatasetChecks._
@@ -204,7 +208,10 @@ object CheckRegistry {
       a.bool("exact", false), a.strOpt("row_filter"))),
     "has_valid_schema" -> ((a, _) => hasValidSchema(a.str("expected_schema"), a.bool("strict", false),
       a.strSeq("columns"), a.strSeq("exclude_columns"))),
-    "has_no_row_anomalies" -> ((a, _) => a.strOpt("method").getOrElse("zscore") match {
+    "has_no_row_anomalies" -> ((a, ctx) => a.strOpt("method").getOrElse("zscore") match {
+      case "isolation_forest_pretrained" => hasNoRowAnomaliesPretrained(
+        graft.anomaly.ModelRegistry.load(ctx.spark, a.str("model_location")),
+        a.double("threshold", 99.0), a.strOpt("row_filter"))
       case "isolation_forest" => hasNoRowAnomaliesIForest(a.strSeq("columns"),
         a.double("threshold", 99.0), a.int("num_trees", 100), a.int("subsample_size", 256),
         a.int("train_rows", 10000), a.long("seed", 42L), a.strOpt("row_filter"))

@@ -85,6 +85,101 @@ class AnomalySpec extends SparkSpec {
     assert(clean == 0)
   }
 
+  test("drift: scores, detection, and the zero-std conventions") {
+    import graft.anomaly.Drift
+    // scalar formula branches (drift.py:74-110)
+    assert(Drift.columnDriftScore(10.0, 2.0, Some(14.0), Some(3.0)) ==
+      0.7 * 2.0 + 0.3 * 0.5) // z=|14-10|/2, stdChange=|3-2|/2
+    assert(Drift.columnDriftScore(10.0, 0.0, Some(12.5), Some(0.0)) == 0.7 * 2.5) // bs=0 -> abs diff
+    assert(Drift.columnDriftScore(10.0, 0.0, Some(10.0), Some(0.0)) == 0.0)
+    assert(Drift.columnDriftScore(10.0, 2.0, Some(10.0), Some(0.0)) == 0.3) // collapsed std
+    assert(Drift.columnDriftScore(10.0, 2.0, None, None) == 0.3) // null cur -> (bm, 0)
+
+    // baseline from a training frame, one agg pass
+    val train = (1 to 2000).map(i => (i, 100.0 + (i % 10), (i % 2) == 0)).toDF("id", "v", "b")
+    val base = Drift.baselineStats(train, Seq("v", "b"))
+    assert(math.abs(base("v").mean - 104.5) < 1e-9)
+    assert(base("b").mean == 0.5) // boolean cast to double
+
+    // shifted current frame -> drift detected on the shifted column only
+    val cur = (1 to 2000).map(i => (i, 200.0 + (i % 10), (i % 2) == 0)).toDF("id", "v", "b")
+    val res = Drift.computeDriftScore(cur, Seq("v", "b"), base, threshold = 3.0)
+    assert(res.driftDetected && res.recommendation == "retrain")
+    assert(res.driftedColumns == Seq("v") && res.sampleSize == 2000)
+    assert(res.columnScores("v") > 3.0 && res.columnScores("b") < 0.1)
+
+    // unshifted current frame -> ok
+    val same = Drift.computeDriftScore(train, Seq("v", "b"), base)
+    assert(!same.driftDetected && same.recommendation == "ok" && same.driftScore < 0.1)
+  }
+
+  test("drift: small batches are skipped, missing columns ignored") {
+    import graft.anomaly.Drift
+    val base = Map("v" -> Drift.ColumnStats(10.0, 1.0))
+    val small = (1 to 50).map(i => (i, 9999.0)).toDF("id", "v")
+    val res = Drift.computeDriftScore(small, Seq("v"), base)
+    assert(!res.driftDetected && res.recommendation == "skipped_small_batch" && res.sampleSize == 50)
+    // column absent from baseline and frame -> ok, no throw
+    val none = Drift.computeDriftScore(small, Seq("w"), base)
+    assert(!none.driftDetected && none.columnScores.isEmpty)
+  }
+
+  test("model registry: train -> save -> load -> score parity, drift gate") {
+    import graft.anomaly.{Drift, ModelRegistry}
+    import graft.checks.DatasetChecks
+    val rnd = new java.util.Random(17)
+    val rows = (1 to 1500).map(i =>
+      (i, 50.0 + rnd.nextGaussian() * 3, 100.0 + rnd.nextGaussian() * 5)) :+
+      ((9999, 500.0, -400.0))
+    val df = rows.toDF("id", "a", "b")
+    val rec = ModelRegistry.train(df, Seq("a", "b"), "m1",
+      numTrees = 50, trainRows = 1501, seed = 9, trainedAtEpochMs = 1700000000000L)
+    assert(rec.trainingRows == 1501 && rec.algorithm == "isolation_forest")
+    assert(math.abs(rec.baselineStats("a").mean - 50.0) < 1.0)
+
+    // JSON round trip is exact (model trees + sorted scores + stats)
+    val loaded = ModelRegistry.parse(ModelRegistry.render(rec))
+    assert(loaded.trainScoresSorted.toSeq == rec.trainScoresSorted.toSeq)
+    assert(loaded.baselineStats == rec.baselineStats)
+    assert(loaded.model.score(Array(500.0, -400.0)) == rec.model.score(Array(500.0, -400.0)))
+
+    // file round trip via Hadoop FS
+    val path = java.nio.file.Files.createTempDirectory("graft_reg").resolve("m1.json")
+    ModelRegistry.save(spark, path.toUri.toString, rec)
+    val fromDisk = ModelRegistry.load(spark, path.toUri.toString)
+
+    // scoring with the loaded record flags the same rows as the inline train
+    def flagged(check: graft.rules.DatasetCheck): Set[Int] = {
+      val out = DQEngine.applyChecks(df, Seq(DQDatasetRule(check, "has_no_row_anomalies", Seq("a"))))
+      out.where(col("_errors").isNotNull).select("id").as[Int].collect().toSet
+    }
+    val inline = flagged(DatasetChecks.hasNoRowAnomaliesIForest(Seq("a", "b"),
+      numTrees = 50, trainRows = 1501, seed = 9))
+    val pretrained = flagged(DatasetChecks.hasNoRowAnomaliesPretrained(fromDisk))
+    assert(pretrained == inline && pretrained.contains(9999))
+
+    // drift gate on the stored baseline: same data ok, shifted data retrains
+    assert(ModelRegistry.checkDrift(df, fromDisk).recommendation == "ok")
+    val shifted = df.withColumn("a", col("a") + 1000.0)
+    val drift = ModelRegistry.checkDrift(shifted, fromDisk)
+    assert(drift.driftDetected && drift.driftedColumns == Seq("a"))
+  }
+
+  test("metadata path loads a pretrained model from a file location") {
+    import graft.anomaly.ModelRegistry
+    val df = ((1 to 1200).map(i => (i, 10.0)) :+ ((999, 99999.0))).toDF("id", "v")
+    val rec = ModelRegistry.train(df, Seq("v"), "m2", trainRows = 1201, seed = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_reg2").resolve("m2.json")
+    ModelRegistry.save(spark, path.toUri.toString, rec)
+    val out = DQEngine.applyChecksByMetadata(df, Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "has_no_row_anomalies",
+        "arguments" -> Map("method" -> "isolation_forest_pretrained",
+          "model_location" -> path.toUri.toString, "threshold" -> 99.0)))))
+    val bad = out.where(col("_errors").isNotNull).select("id").as[Int].collect().toSet
+    assert(bad == Set(999))
+  }
+
   test("metadata path selects the isolation_forest method") {
     val df = ((1 to 300).map(i => (i, 10.0)) :+ ((999, 99999.0))).toDF("id", "v")
     val out = DQEngine.applyChecksByMetadata(df, Seq(Map(

@@ -123,6 +123,38 @@ class PerceptronNerSpec extends SparkSpec {
     assert(got(3L) == Set("ORG", "LOC"), got)
   }
 
+  test("model-as-data: JSON round trip is exact; file load wires the metadata path") {
+    // trained weights survive render -> parse bit-for-bit
+    val rt = PerceptronNerModelJson.parse(PerceptronNerModelJson.render(model))
+    assert(rt.weights.keySet == model.weights.keySet)
+    model.weights.foreach { case (f, wv) => assert(rt.weights(f).toSeq == wv.toSeq) }
+    corpus(seed = 8, n = 30).foreach { case (toks, _) =>
+      assert(PerceptronNer.decode(rt, toks.toArray).toSeq ==
+        PerceptronNer.decode(model, toks.toArray).toSeq)
+    }
+    // tag-set and arity validation fail loudly
+    intercept[IllegalArgumentException] {
+      PerceptronNerModelJson.parse("""{"tags":["O","B-X"],"weights":{}}""")
+    }
+    intercept[IllegalArgumentException] {
+      PerceptronNerModelJson.parse(
+        """{"tags":["O","B-PERSON","I-PERSON","B-ORG","I-ORG","B-LOC","I-LOC"],
+          |"weights":{"w=a":[1.0]}}""".stripMargin)
+    }
+    // save -> metadata path via ner_model_location
+    val path = java.nio.file.Files.createTempDirectory("graft_ner").resolve("ner.json")
+    PerceptronNerModelJson.save(spark, path.toUri.toString, model)
+    val df = Seq(
+      (1, "please contact Mary Garcia for details ."),
+      (2, "revenue grew while costs fell .")).toDF("id", "text")
+    val out = graft.engine.DQEngine.applyChecksByMetadata(df, Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "does_not_contain_pii", "arguments" -> Map(
+        "column" -> "text", "ner_model_location" -> path.toUri.toString)))))
+    val flagged = out.where(col("_errors").isNotNull).select("id").as[Int].collect().toSet
+    assert(flagged == Set(1))
+  }
+
   test("train validates input: misaligned rows and unknown tags fail fast") {
     intercept[Exception] {
       PerceptronNer.train(Seq((Seq("a", "b"), Seq("O"))).toDF("toks", "tags"),
