@@ -256,10 +256,13 @@ object Curation {
     val whole = chain(w => math.floor(w).toLong)
     val cut = chain(w => ((w - math.floor(w)) * 4294967296.0).toLong)
     val bonus = when(saltedHash(id, EpochMixSalt) < cut, lit(1L)).otherwise(lit(0L))
+    // generator output aliased to reserved names so an input frame that
+    // already carries `pos`/`col` columns is not clobbered or dropped
     df.withColumn("__reps", (whole + bonus).cast("int"))
-      .select(col("*"), posexplode(array_repeat(lit(true), col("__reps"))))
-      .withColumn("epoch_copy", col("pos").cast("long"))
-      .drop("__reps", "pos", "col")
+      .select(col("*"), posexplode(array_repeat(lit(true), col("__reps")))
+        .as(Seq("__graft_pos", "__graft_col")))
+      .withColumn("epoch_copy", col("__graft_pos").cast("long"))
+      .drop("__reps", "__graft_pos", "__graft_col")
   }
 
   /** Salted portable hash: reduce `id` mod 2^31 BEFORE adding the prime salt

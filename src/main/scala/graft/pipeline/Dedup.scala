@@ -312,9 +312,13 @@ object Dedup {
     // lexicographic struct MIN of (-quality, id) = (quality desc, id asc)
     // argmax; quality negates as double (no Long.MinValue overflow), and the
     // cluster/keep-id references are qualified so a df that already carries
-    // a `cluster` column (e.g. from Embeddings.assignClusters) still works
+    // a `cluster` column (e.g. from Embeddings.assignClusters) still works.
+    // NULL quality (e.g. length(text) of a null text) sorts FIRST in struct
+    // order and would win the argmax — coalesce it to +inf negated quality
+    // so a null-quality doc can only keep when the whole cluster is null.
     val winners = clustered.groupBy(clusters("cluster"))
-      .agg(min(struct((-quality.cast("double")).as("nq"), id.as("kid"))).as("__w"))
+      .agg(min(struct(coalesce(-quality.cast("double"), lit(Double.MaxValue)).as("nq"),
+        id.as("kid"))).as("__w"))
       .select(col("__w.kid").as("__graft_keep_id"))
     val unclustered = df.join(clusters, id === clusters("id"), "left_anti")
     unclustered.unionByName(

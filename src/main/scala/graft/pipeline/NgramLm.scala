@@ -73,7 +73,11 @@ object NgramLm {
     val uni = df.select(explode(toks).as("__t"))
       .groupBy("__t").agg(count(lit(1)).as("__c")).persist()
     try {
-      val top = uni.orderBy(col("__c").desc, col("__t")).limit(vocabSize)
+      // a literal corpus token "<unk>" must not enter the head: it would
+      // collide with the reserved OOV bucket (its real count silently
+      // overwritten by the OOV mass); route it through OOV instead
+      val top = uni.where(col("__t") =!= LmModel.Unk)
+        .orderBy(col("__c").desc, col("__t")).limit(vocabSize)
         .collect().map(r => r.getString(0) -> r.getLong(1))
       // coalesce: sum over an empty term frame is NULL, and a bare getLong
       // would NPE — fail with the real story instead

@@ -70,17 +70,27 @@ object Unigram {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(wordCounts.nonEmpty, "Unigram.train needs at least one token")
 
-    // seed substring counts (corpus-weighted), driver-side over the capped dict
+    // seed substring counts (corpus-weighted), driver-side over the capped
+    // dict; substrings that would split a surrogate pair are skipped so no
+    // vocab piece can ever emit a malformed unpaired-surrogate token
     val subCounts = scala.collection.mutable.HashMap.empty[String, Long]
     wordCounts.foreach { case (w, n) =>
       var i = 0
       while (i < w.length) {
-        var l = 1
-        val maxL = math.min(maxPieceLen, w.length - i)
-        while (l <= maxL) {
-          val p = w.substring(i, i + l)
-          subCounts.update(p, subCounts.getOrElse(p, 0L) + n)
-          l += 1
+        if (!(Character.isLowSurrogate(w.charAt(i)) && i > 0 &&
+          Character.isHighSurrogate(w.charAt(i - 1)))) {
+          var l = 1
+          val maxL = math.min(maxPieceLen, w.length - i)
+          while (l <= maxL) {
+            val endsMidPair = i + l < w.length &&
+              Character.isHighSurrogate(w.charAt(i + l - 1)) &&
+              Character.isLowSurrogate(w.charAt(i + l))
+            if (!endsMidPair) {
+              val p = w.substring(i, i + l)
+              subCounts.update(p, subCounts.getOrElse(p, 0L) + n)
+            }
+            l += 1
+          }
         }
         i += 1
       }
@@ -174,13 +184,29 @@ object UnigramModelJson {
   */
 object UnigramOps {
 
-  /** log-prob of word[j, i) as one piece: vocabulary lookup, single-char
-    * fallback at unkLogProb, -inf otherwise.
+  /** log-prob of word[j, i) as one piece: vocabulary lookup, single
+    * CODE POINT fallback at unkLogProb, -inf otherwise. The unk unit is a
+    * code point, not a UTF-16 char: an astral char falls back as its intact
+    * surrogate PAIR, and a lone half of a pair is a dead edge (so the lattice
+    * can never emit a malformed unpaired-surrogate token). Unpaired
+    * surrogates in malformed input still get the single-char fallback —
+    * every well-formed or malformed word keeps a finite path.
     */
   private def pieceLp(model: UnigramModel, word: String, j: Int, i: Int): Double =
     model.pieces.get(word.substring(j, i)) match {
       case Some(v) => v
-      case None => if (i - j == 1) model.unkLogProb else Double.NegativeInfinity
+      case None =>
+        if (i - j == 1) {
+          val c = word.charAt(j)
+          val pairsRight = Character.isHighSurrogate(c) && i < word.length &&
+            Character.isLowSurrogate(word.charAt(i))
+          val pairsLeft = Character.isLowSurrogate(c) && j > 0 &&
+            Character.isHighSurrogate(word.charAt(j - 1))
+          if (pairsRight || pairsLeft) Double.NegativeInfinity else model.unkLogProb
+        } else if (i - j == 2 && Character.isHighSurrogate(word.charAt(j)) &&
+          Character.isLowSurrogate(word.charAt(j + 1))) {
+          model.unkLogProb
+        } else Double.NegativeInfinity
     }
 
   /** Viterbi best segmentation. Ties broken toward the LONGER piece ending

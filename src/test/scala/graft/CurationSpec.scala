@@ -192,6 +192,14 @@ class CurationSpec extends SparkSpec {
     assert(multi.select("doc_id").distinct().count() == df.count())
   }
 
+  test("epochMix preserves caller columns named pos/col") {
+    val df = Seq((1L, "en", 7, "keep")).toDF("doc_id", "lang", "pos", "col")
+    val out = Curation.epochMix(df, col("lang"), Map("en" -> 2.0), col("doc_id"))
+    assert(out.columns.toSet == Set("doc_id", "lang", "pos", "col", "epoch_copy"))
+    val rows = out.select("pos", "col", "epoch_copy").collect()
+    assert(rows.length == 2 && rows.forall(r => r.getInt(0) == 7 && r.getString(1) == "keep"))
+  }
+
   test("epochMix repeats floor(w) times plus the salted fractional draw, zero shuffle") {
     val df = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"), (5L, "en"))
       .toDF("doc_id", "lang")

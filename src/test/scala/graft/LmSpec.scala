@@ -21,6 +21,18 @@ class LmSpec extends SparkSpec {
       LmModel.key(LmModel.Unk, "a") -> 1L))
   }
 
+  test("a literal '<unk>' corpus token routes through OOV instead of colliding") {
+    // "<unk>" is the most frequent term; it must NOT occupy a vocab slot —
+    // its mass lands in the OOV bucket and bigrams treat it as OOV
+    val df = Seq("<unk> a <unk>", "<unk> b").toDF("text")
+    val m = NgramLm.train(df, col("text"), vocabSize = 2, maxBigrams = 100, k = 0.5)
+    assert(m.unigrams == Map("a" -> 1L, "b" -> 1L, LmModel.Unk -> 3L))
+    assert(m.bigrams == Map(
+      LmModel.key(LmModel.Unk, "a") -> 1L,
+      LmModel.key("a", LmModel.Unk) -> 1L,
+      LmModel.key(LmModel.Unk, "b") -> 1L))
+  }
+
   test("train fails fast on an empty/all-null corpus instead of NPE") {
     val e = intercept[IllegalArgumentException] {
       NgramLm.train(Seq(Option.empty[String]).toDF("text"), col("text"))

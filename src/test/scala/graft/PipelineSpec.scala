@@ -390,6 +390,28 @@ class PipelineSpec extends SparkSpec {
     assert(minId == Set(1L, 4L))
   }
 
+  test("dedupByClustersKeepBest: null quality never wins the keep rule") {
+    // doc 1 has NULL quality (e.g. length(text) of a null text) — struct
+    // ordering sorts null fields first, so without the coalesce guard the
+    // null-quality doc would beat every scored member
+    val docs = Seq(
+      (1L, null.asInstanceOf[java.lang.Double]),
+      (2L, java.lang.Double.valueOf(3.0)),
+      (3L, java.lang.Double.valueOf(9.0))).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+    val out = Dedup.dedupByClustersKeepBest(docs, "doc_id", col("q"), clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(3L))
+    // all-null cluster still keeps exactly one member (lowest id)
+    val docs2 = Seq((1L, null.asInstanceOf[java.lang.Double]),
+      (2L, null.asInstanceOf[java.lang.Double])).toDF("doc_id", "q")
+    val out2 = Dedup.dedupByClustersKeepBest(docs2, "doc_id", col("q"),
+      Dedup.duplicateClusters(Seq((1L, 2L)).toDF("id_a", "id_b")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 == Set(1L))
+  }
+
   test("NearDupIndex: prebuilt-index probes equal the direct path") {
     val today = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

@@ -28,6 +28,24 @@ class UnigramSpec extends SparkSpec {
     assert(UnigramOps.applyWord("zz", m).toSeq == Seq("z", "z"))
   }
 
+  test("applyWord never splits an astral code point into lone surrogates") {
+    // OOV astral char (U+1F600) falls back as its intact surrogate pair
+    val smile = new String(Character.toChars(0x1F600))
+    val pieces = UnigramOps.applyWord("ab" + smile + "cd", m)
+    assert(pieces.toSeq == Seq("ab", smile, "cd"), pieces.toSeq)
+    assert(pieces.forall(p => p.codePoints().toArray.forall(Character.isValidCodePoint)))
+    assert(!pieces.exists(p => p.length == 1 && Character.isSurrogate(p.charAt(0))))
+    // all-astral OOV word: one piece per code point
+    val astral = smile * 3
+    assert(UnigramOps.applyWord(astral, m).toSeq == Seq(smile, smile, smile))
+    // training on astral text yields no half-pair vocab pieces
+    val df2 = Seq(smile + "ab " + smile + "ab", "ab ab").toDF("text")
+    val m2 = Unigram.train(df2, col("text"), vocabSize = 8, emIters = 1)
+    assert(m2.pieces.keys.forall(p =>
+      !Character.isLowSurrogate(p.charAt(0)) &&
+        !Character.isHighSurrogate(p.charAt(p.length - 1))))
+  }
+
   test("encode/count columns: per-word application, case fold, null") {
     val df = Seq((1L, "ABCD abc"), (2L, null.asInstanceOf[String])).toDF("id", "t")
     val out = df.select(col("id"),
