@@ -56,6 +56,12 @@ object CurationPipeline {
     "filter_quality_score" -> Set("model_json", "min_score"),
     "dsir_resample" -> Set("model_json", "threshold", "temperature"),
     "dedup_against_reference" -> Set("ref_path", "ref_key", "key", "fpp", "expected_ref_items"),
+    "dedup_minhash" -> Set("shingle_size", "num_hashes", "bands", "threshold", "quality_col"),
+    "dedup_semantic" -> Set("vec_col", "threshold", "num_centroids", "train_rows",
+      "seed", "max_cluster_size"),
+    "decontaminate_semantic" -> Set("vec_col", "eval_path", "eval_vec_col", "threshold"),
+    "near_dedup_against_reference" -> Set("ref_path", "ref_id_col", "ref_text_col",
+      "shingle_size", "num_hashes", "bands", "threshold"),
     "sample_hash" -> Set("fraction"),
     "sample_quota" -> Set("group_cols", "quota"),
     "sample_weights" -> Set("group_col", "weights", "default_weight"),
@@ -195,6 +201,63 @@ object CurationPipeline {
           df.sparkSession.read.parquet(refPath), col(refKey),
           num(m, "fpp").getOrElse(0.01),
           num(m, "expected_ref_items").map(_.toLong))
+      case "dedup_minhash" =>
+        // MinHash LSH near-dup with the transitive-closure keep policy
+        // (lowest id, or quality argmax when quality_col is given). NOTE:
+        // like dedup_against_reference, cluster propagation runs Spark jobs
+        // at PIPELINE-CONSTRUCTION time (connected components iterate).
+        val pairs = Dedup.minHashDuplicatePairs(df, idCol, textCol,
+          shingleSize = num(m, "shingle_size").getOrElse(3.0).toInt,
+          numHashes = num(m, "num_hashes").getOrElse(64.0).toInt,
+          bands = num(m, "bands").getOrElse(16.0).toInt,
+          threshold = num(m, "threshold").getOrElse(0.8))
+        val clusters = Dedup.duplicateClusters(pairs)
+        str(m, "quality_col") match {
+          case Some(q) => Dedup.dedupByClustersKeepBest(df, idCol, col(q), clusters)
+          case None => Dedup.dedupByClusters(df, idCol, clusters)
+        }
+      case "dedup_semantic" =>
+        // SemDeDup: spherical k-means cells as blocking keys (trained on a
+        // capped driver sample at construction time), in-cell cosine pairs,
+        // conservative min-id keep rule
+        val vecCol = str(m, "vec_col").getOrElse(throw new IllegalArgumentException(
+          "dedup_semantic: 'vec_col' is required"))
+        val trainRows = num(m, "train_rows").getOrElse(10000.0).toInt
+        val sample = df.select(col(vecCol).cast("array<double>")).limit(trainRows)
+          .collect().map(_.getSeq[Double](0).toArray)
+        val centroids = Similarity.trainKMeans(sample,
+          num(m, "num_centroids").getOrElse(64.0).toInt,
+          seed = num(m, "seed").getOrElse(42.0).toLong)
+        Dedup.dedupSemantic(df, idCol, vecCol, centroids,
+          threshold = num(m, "threshold").getOrElse(0.95),
+          maxClusterSize = num(m, "max_cluster_size").getOrElse(100000.0).toInt)
+      case "decontaminate_semantic" =>
+        // drop rows whose embedding is near any eval-set embedding; the eval
+        // side broadcasts, the corpus never shuffles
+        val vecCol = str(m, "vec_col").getOrElse(throw new IllegalArgumentException(
+          "decontaminate_semantic: 'vec_col' is required"))
+        val evalPath = str(m, "eval_path").getOrElse(throw new IllegalArgumentException(
+          "decontaminate_semantic: 'eval_path' is required"))
+        val evalVecCol = str(m, "eval_vec_col").getOrElse(vecCol)
+        Curation.decontaminateSemantic(df, col(idCol), col(vecCol),
+          df.sparkSession.read.parquet(evalPath), col(evalVecCol),
+          num(m, "threshold").getOrElse(throw new IllegalArgumentException(
+            "decontaminate_semantic: 'threshold' is required")))
+          .where(!col("is_contaminated")).drop("is_contaminated")
+      case "near_dedup_against_reference" =>
+        // incremental crawl filter: drop rows near-duplicating a prior
+        // corpus snapshot (cross-side-only LSH — neither side's internal
+        // pair space enters the plan)
+        val refPath = str(m, "ref_path").getOrElse(throw new IllegalArgumentException(
+          "near_dedup_against_reference: 'ref_path' is required"))
+        val ref = df.sparkSession.read.parquet(refPath)
+        Dedup.dropNearDupsAgainstReference(df, idCol, textCol, ref,
+          str(m, "ref_id_col").getOrElse(idCol),
+          str(m, "ref_text_col").getOrElse(textCol),
+          shingleSize = num(m, "shingle_size").getOrElse(3.0).toInt,
+          numHashes = num(m, "num_hashes").getOrElse(64.0).toInt,
+          bands = num(m, "bands").getOrElse(16.0).toInt,
+          threshold = num(m, "threshold").getOrElse(0.8))
       case "dsir_resample" =>
         val model = DsirModelJson.parse(str(m, "model_json").getOrElse(
           throw new IllegalArgumentException("dsir_resample: 'model_json' is required")))

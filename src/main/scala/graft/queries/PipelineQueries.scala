@@ -581,6 +581,29 @@ object PipelineQueries {
              |WHERE (doc_id % 2147483648) * 2654435761 % 4294967296 < 2147483648
              |ORDER BY doc_id""".stripMargin)),
 
+    // Declarative pipeline with a HEAVY step: MinHash-LSH dedup (transitive
+    // closure, min-id keep) followed by a row-local shard assignment — the
+    // catalog's LSH family exercised end-to-end through the YAML-shaped
+    // config path. The oracle replays exact Jaccard >= 0.8 + WITH RECURSIVE
+    // closure (same prologue the pipe_dedup_clusters gate pins) and the
+    // portable shard hash.
+    "pipe_curation_pipeline_lsh" -> QueryDef(
+      (s, dir) => {
+        val steps: Seq[Map[String, Any]] = Seq(
+          Map("step" -> "dedup_minhash", "shingle_size" -> 3,
+            "num_hashes" -> 128, "bands" -> 32, "threshold" -> 0.8),
+          Map("step" -> "shard_assign", "num_shards" -> 8))
+        CurationPipeline(plantedNearDups(s, dir), steps)
+          .select(col("doc_id"), col("shard"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$nearDupClustersSql
+              |SELECT p.doc_id,
+              |       (p.doc_id % 2147483648) * 2654435761 % 4294967296 % 8 AS shard
+              |FROM planted p
+              |WHERE p.doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster)
+              |ORDER BY p.doc_id""".stripMargin)),
+
     // Incremental cross-snapshot dedup: "yesterday's corpus" = every third
     // doc; keep today's docs whose text is not already there. The bloom
     // prefilter routes rows, the confirm anti-join decides — so the result is

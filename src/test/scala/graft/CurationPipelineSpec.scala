@@ -170,4 +170,77 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  test("curation-pipeline steps: dedup_minhash matches the direct kernel path") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs3 = Seq(
+      (1L, base),
+      (2L, base), // exact dup of 1 -> jaccard 1.0
+      (3L, "completely unrelated words nothing shared here at all everywhere"),
+      (4L, "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    ).toDF("doc_id", "text")
+    val piped = CurationPipeline(docs3, Seq(Map(
+      "step" -> "dedup_minhash", "threshold" -> 0.9)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(piped == Set(1L, 3L, 4L))
+    // quality keep rule: longer text wins instead of lowest id
+    val docs4 = Seq((1L, base), (2L, base + " extra")).toDF("doc_id", "text")
+      .withColumn("q", length(col("text")))
+    val best = CurationPipeline(docs4, Seq(Map(
+      "step" -> "dedup_minhash", "threshold" -> 0.8, "quality_col" -> "q")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(best == Set(2L))
+  }
+
+  test("curation-pipeline steps: dedup_semantic and decontaminate_semantic dispatch") {
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.001, 0.0)), // near-dup of 1 -> dropped (higher id)
+      (3L, Seq(0.0, 1.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 1.0))
+    ).toDF("doc_id", "vec")
+    val kept = CurationPipeline(emb, Seq(Map(
+      "step" -> "dedup_semantic", "vec_col" -> "vec",
+      "threshold" -> 0.95, "num_centroids" -> 3, "train_rows" -> 4)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+
+    val evalRoot = java.nio.file.Files.createTempDirectory("graft_eval")
+    try {
+      val evalDir = evalRoot.toString + "/eval"
+      Seq(Seq(0.0, 1.0, 0.0)).toDF("vec").write.mode("overwrite").parquet(evalDir)
+      val decon = CurationPipeline(emb, Seq(Map(
+        "step" -> "decontaminate_semantic", "vec_col" -> "vec",
+        "eval_path" -> evalDir, "threshold" -> 0.95)))
+        .select("doc_id").as[Long].collect().toSet
+      assert(decon == Set(1L, 2L, 4L)) // doc 3 matches the eval vector
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(evalRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      ()
+    }
+  }
+
+  test("curation-pipeline steps: near_dedup_against_reference drops near-rewrites") {
+    val refRoot = java.nio.file.Files.createTempDirectory("graft_nref")
+    try {
+      val refDir = refRoot.toString + "/snap"
+      Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(refDir)
+      val today = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota"), // near-rewrite
+        (2L, "a genuinely new page about entirely different topics today")
+      ).toDF("doc_id", "text")
+      val kept = CurationPipeline(today, Seq(Map(
+        "step" -> "near_dedup_against_reference", "ref_path" -> refDir,
+        "threshold" -> 0.8)))
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(2L))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(refRoot).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      ()
+    }
+  }
 }
