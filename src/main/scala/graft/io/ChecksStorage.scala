@@ -183,10 +183,14 @@ class TableChecksStorage(spark: org.apache.spark.sql.SparkSession) extends Check
     saveChecks(checks, location)
 }
 
-/** Factory by location shape (checks_storage.py:1344-1441). */
+/** Factory by location shape (checks_storage.py:1344-1441). A scheme-qualified
+  * URI (file://, hdfs://, s3a://, ...) routes to the fingerprint-versioned
+  * blob backend — the OSS stand-in for workspace-file/UC-volume locations.
+  */
 object ChecksStorageFactory {
   def forLocation(location: String, spark: org.apache.spark.sql.SparkSession): ChecksStorage =
     if (location.startsWith("jdbc:")) new JdbcChecksStorage(location)
+    else if (location.contains("://")) new BlobChecksStorage(spark)
     else if (IO.isTableLocation(location)) new TableChecksStorage(spark)
     else FileChecksStorage
 }
