@@ -293,14 +293,22 @@ object RowChecks {
         lit(s"' in column '${c.toString}' is older than $maxAgeMinutes minutes")))
   }
 
-  /** check_funcs.py:3338 — invalid JSON fails. Spark 4: try_parse_json. */
+  /** One fused parse shared by the JSON checks via CSE ([[JsonInfoExpr]];
+    * semantics parity with try_parse_json/json_object_keys pinned by
+    * JsonInfoSpec's differential corpus).
+    */
+  private def jsonInfo(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(JsonInfoExpr(
+      org.apache.spark.sql.GraftColumnBridge.expression(c.cast("string"))))
+
+  /** check_funcs.py:3338 — invalid JSON fails (try_parse_json acceptance). */
   def isValidJson(c: Column): Column =
-    makeCondition(c.isNotNull && try_parse_json(c.cast("string")).isNull,
+    makeCondition(c.isNotNull && !jsonInfo(c).getField("valid"),
       concat(lit(s"Value in column '${c.toString}' is not valid JSON")))
 
   /** check_funcs.py:3362 — outer JSON object lacks required keys. */
   def hasJsonKeys(c: Column, keys: Seq[String], requireAll: Boolean = true): Column = {
-    val present = json_object_keys(c.cast("string"))
+    val present = jsonInfo(c).getField("keys")
     val wanted = array(keys.map(lit): _*)
     val missing = array_except(wanted, coalesce(present, array()))
     val failCond =
