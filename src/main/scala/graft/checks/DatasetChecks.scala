@@ -269,6 +269,10 @@ object DatasetChecks {
       val bucketed = withGrain
         .groupBy((groupBy.map(col) :+ col(grainCol)): _*)
         .agg(aggExpr.as(curCol))
+      // with empty group_by this is a single-partition window ("No Partition
+      // Defined" warning in logs) — benign by construction: it runs on the
+      // ALREADY-AGGREGATED per-grain frame, whose row count is bounded by the
+      // data's time range over the interval, not by input rows
       val wPrev = Window.partitionBy(groupBy.map(col): _*).orderBy(col(grainCol))
         .rowsBetween(-lookback, -1)
       val stats = bucketed
