@@ -1,0 +1,346 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization for embedding columns — the memory-compression scale
+  * path of the ANN family (Jégou, Douze, Schmid: "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011). A D-dim vector becomes `numBlocks`
+  * one-byte centroid ids (e.g. 768 floats -> 96 bytes, 32x), so a 100 TB
+  * embedding corpus's codes fit a fraction of the nodes; queries score
+  * against codes via asymmetric distance (ADC): per-block lookup tables of
+  * query-to-centroid dot products, summed by code — a handful of array reads
+  * per row instead of a full float dot product.
+  *
+  * Shapes: training is driver-side Lloyd per block on a CAPPED sample (the
+  * IsolationForest/IVF convention — the model is kilobytes and broadcasts
+  * inside a codegen'd expression); encode is a row-local projection; top-k
+  * is scan + per-query window, or compose with IVF cells for sublinear scan.
+  */
+object Pq {
+
+  /** codebooks(block)(centroid)(dim); blockDim * numBlocks = vector dim. */
+  final case class PqModel(blockDim: Int, codebooks: Array[Array[Array[Double]]])
+      extends Serializable {
+    def numBlocks: Int = codebooks.length
+    def codebookSize: Int = codebooks.head.length
+  }
+
+  /** Train per-block codebooks on a driver-side sample. `codebookSize` <= 256
+    * so codes pack into one byte per block. Deterministic for a fixed seed.
+    */
+  def train(df: DataFrame, vecCol: String, numBlocks: Int,
+            codebookSize: Int = 256, trainRows: Int = 10000,
+            iterations: Int = 10, seed: Long = 42L): PqModel = {
+    require(numBlocks > 0, "numBlocks must be positive")
+    require(codebookSize > 0 && codebookSize <= 256,
+      "codebookSize must be in [1, 256] (codes are one byte per block)")
+    val sample = df.select(col(vecCol).cast("array<double>"))
+      .where(col(vecCol).isNotNull).limit(trainRows)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "no rows to train the PQ codebooks")
+    val dim = sample.head.length
+    require(dim % numBlocks == 0, s"vector dim $dim not divisible by numBlocks $numBlocks")
+    val bd = dim / numBlocks
+    val codebooks = Array.tabulate(numBlocks) { b =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, b * bd, (b + 1) * bd))
+      lloyd(sub, codebookSize, iterations, seed + b)
+    }
+    PqModel(bd, codebooks)
+  }
+
+  /** Plain-L2 Lloyd (PQ quantizes raw subvectors; spherical normalization
+    * would distort per-block distances). Deterministic: seeded init, ties to
+    * the lowest centroid index, empty cells keep their previous centroid.
+    */
+  private def lloyd(data: Array[Array[Double]], k: Int, iterations: Int,
+                    seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, data.length)
+    var centroids = rnd.shuffle(data.indices.toVector).take(kk)
+      .map(i => data(i).clone()).toArray
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(kk)(new Array[Double](data.head.length))
+      val counts = new Array[Int](kk)
+      data.foreach { v =>
+        val c = nearest(centroids, v)
+        counts(c) += 1
+        var d = 0
+        while (d < v.length) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  private def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0
+      var i = 0
+      val cent = centroids(c)
+      while (i < v.length) { val x = v(i) - cent(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c } // strict: ties keep lowest index
+      c += 1
+    }
+    best
+  }
+
+  /** Per-block centroid codes for a vector column (`array<int>`, one entry
+    * per block — int for SQL replayability; pack to binary at the storage
+    * layer if desired). Row-local, codegen'd. NULL for null/mis-sized input.
+    */
+  def encodeColumn(vec: Column, model: PqModel): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(PqEncode(
+      GraftColumnBridge.expression(vec.cast("array<double>")), model))
+  }
+
+  /** ADC inner-product score of a FIXED query against a codes column: build
+    * the per-block lookup table of query-subvector x centroid dot products
+    * once on the driver, then each row sums `numBlocks` table reads.
+    */
+  def adcDotColumn(codes: Column, query: Array[Double], model: PqModel): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    require(query.length == model.blockDim * model.numBlocks,
+      s"query dim ${query.length} != model dim ${model.blockDim * model.numBlocks}")
+    val lut = Array.tabulate(model.numBlocks) { b =>
+      model.codebooks(b).map { cent =>
+        var s = 0.0
+        var d = 0
+        while (d < cent.length) { s += cent(d) * query(b * model.blockDim + d); d += 1 }
+        s
+      }
+    }
+    GraftColumnBridge.column(PqAdcDot(GraftColumnBridge.expression(codes), lut))
+  }
+
+  /** Approximate top-k by PQ ADC dot product: ONE corpus scan over CODES
+    * (no float vectors read, no per-query rescans) — every query's LUT rides
+    * one broadcast expression that emits all scores per row; a generator
+    * unpacks them and a per-query window ranks. `queries` carries
+    * (query_id, vector) pairs and must be small (driver-built LUTs, the
+    * broadcast-dimension convention). Output: (query_id, rank, neighbor_id,
+    * adc_dot).
+    */
+  def topKByAdc(corpusCodes: DataFrame, idCol: String, codesCol: String,
+                queries: Seq[(Long, Array[Double])], model: PqModel,
+                k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    require(queries.nonEmpty, "no queries")
+    val dim = model.blockDim * model.numBlocks
+    queries.foreach { case (_, qv) =>
+      require(qv.length == dim, s"query dim ${qv.length} != model dim $dim") }
+    val luts: Array[Array[Array[Double]]] = queries.map { case (_, qv) =>
+      Array.tabulate(model.numBlocks) { b =>
+        model.codebooks(b).map { cent =>
+          var s = 0.0
+          var d = 0
+          while (d < cent.length) { s += cent(d) * qv(b * model.blockDim + d); d += 1 }
+          s
+        }
+      }
+    }.toArray
+    val qids = queries.map(_._1)
+    val scores = GraftColumnBridge.column(PqAdcDotMulti(
+      GraftColumnBridge.expression(col(codesCol)), luts))
+    val scored = corpusCodes
+      .select(col(idCol).as("neighbor_id"), posexplode(scores)
+        .as(Seq("__graft_qidx", "adc_dot")))
+      .withColumn("query_id", element_at(
+        array(qids.map(lit): _*), col("__graft_qidx") + 1))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dot").desc, col("neighbor_id"))
+    scored.where(col("adc_dot").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dot"))
+  }
+
+  /** The production PQ search shape: ADC over codes prefilters a shortlist
+    * (quantization cannot rank WITHIN a cell — same-code rows tie), then the
+    * shortlist alone joins back to the float vectors for an exact cosine
+    * rerank (the metric the rest of the ANN family ranks by). The
+    * corpus-wide scan touches only codes; the exact kernel runs on
+    * `shortlist` rows per query. Output: (query_id, rank, neighbor_id,
+    * cosine), rank 1..k, self-match excluded.
+    */
+  def topKByAdcRerank(corpusCodes: DataFrame, corpusVecs: DataFrame,
+                      idCol: String, codesCol: String, vecCol: String,
+                      queries: Seq[(Long, Array[Double])], model: PqModel,
+                      k: Int, shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val session = corpusVecs.sparkSession
+    import session.implicits._
+    val cand = topKByAdc(corpusCodes, idCol, codesCol, queries, model, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qdf = queries.map { case (qid, qv) => (qid, qv.toSeq) }.toDF("query_id", "__qv")
+    val vecs = corpusVecs.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.join(vecs, Seq("neighbor_id"))
+      .join(broadcast(qdf), Seq("query_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Similarity.cosine(col("__qv"), col("__cv")))
+      .where(col("cosine").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}
+
+/** Static kernels for the PQ expressions. */
+object PqOps {
+  def encode(arr: ArrayData, model: Pq.PqModel): ArrayData = {
+    val n = arr.numElements()
+    if (n != model.blockDim * model.numBlocks) return null
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      v(i) = arr.getDouble(i)
+      i += 1
+    }
+    val codes = new Array[Int](model.numBlocks)
+    var b = 0
+    while (b < model.numBlocks) {
+      val cb = model.codebooks(b)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0
+        var j = 0
+        val cent = cb(c)
+        while (j < cent.length) {
+          val x = v(b * model.blockDim + j) - cent(j)
+          d += x * x
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(b) = best
+      b += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  def adcDot(codes: ArrayData, lut: Array[Array[Double]]): java.lang.Double = {
+    val n = codes.numElements()
+    if (n != lut.length) return null
+    var s = 0.0
+    var b = 0
+    while (b < n) {
+      val c = codes.getInt(b)
+      val t = lut(b)
+      if (c < 0 || c >= t.length) return null
+      s += t(c)
+      b += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** All queries' ADC dots in one pass over the row's codes (query-major
+    * LUTs); null when the codes don't fit the model.
+    */
+  def adcDotMulti(codes: ArrayData, luts: Array[Array[Array[Double]]]): ArrayData = {
+    val out = new Array[Double](luts.length)
+    var q = 0
+    while (q < luts.length) {
+      val one = adcDot(codes, luts(q))
+      if (one == null) return null
+      out(q) = one.doubleValue()
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** PQ codes of a vector column. NULL on null/mis-sized/null-element input. */
+case class PqEncode(child: Expression, model: Pq.PqModel) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = PqOps.encode(v.asInstanceOf[ArrayData], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqModel", model, classOf[Pq.PqModel].getName)
+    val gen = child.genCode(ctx)
+    val res = ctx.freshName("pqCodes")
+    ev.copy(code =
+      code"""
+        ${gen.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${gen.isNull}) {
+          org.apache.spark.sql.catalyst.util.ArrayData $res =
+            graft.pipeline.PqOps.encode(${gen.value}, $ref);
+          if ($res != null) { ${ev.isNull} = false; ${ev.value} = $res; }
+        }""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/** Every query's ADC dot product per row (array<double>, query-major LUTs). */
+case class PqAdcDotMulti(child: Expression, luts: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = PqOps.adcDotMulti(v.asInstanceOf[ArrayData], luts)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLuts", luts, "double[][][]")
+    val gen = child.genCode(ctx)
+    val res = ctx.freshName("adcMultiRes")
+    ev.copy(code =
+      code"""
+        ${gen.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${gen.isNull}) {
+          org.apache.spark.sql.catalyst.util.ArrayData $res =
+            graft.pipeline.PqOps.adcDotMulti(${gen.value}, $ref);
+          if ($res != null) { ${ev.isNull} = false; ${ev.value} = $res; }
+        }""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqAdcDotMulti = copy(child = c)
+}
+
+/** ADC dot product of a codes column against a broadcast LUT. */
+case class PqAdcDot(child: Expression, lut: Array[Array[Double]]) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = PqOps.adcDot(v.asInstanceOf[ArrayData], lut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", lut, "double[][]")
+    val gen = child.genCode(ctx)
+    val res = ctx.freshName("adcRes")
+    ev.copy(code =
+      code"""
+        ${gen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${gen.isNull}) {
+          java.lang.Double $res = graft.pipeline.PqOps.adcDot(${gen.value}, $ref);
+          if ($res != null) { ${ev.isNull} = false; ${ev.value} = $res.doubleValue(); }
+        }""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqAdcDot = copy(child = c)
+}

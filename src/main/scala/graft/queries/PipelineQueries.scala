@@ -364,6 +364,37 @@ object PipelineQueries {
              |  FROM scored) t
              |WHERE rank <= 5 ORDER BY 1, 2""".stripMargin)),
 
+    // Product-quantization gate: FIXED literal codebooks (2 blocks x 2
+    // centroids over the first 4 dims), so per-block argmin encoding and the
+    // ADC lookup sum are pure closed-form arithmetic the oracle replays.
+    // Ties keep the lowest centroid index on both sides (<=).
+    "pipe_knn_pq" -> QueryDef(
+      (s, dir) => {
+        val model = Pq.PqModel(2, Array(
+          Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+          Array(Array(1.0, 0.0), Array(0.0, 1.0))))
+        val emb = t(s, dir, "embeddings").select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 4).as("v4"))
+        emb.select(col("vec_id"), Pq.encodeColumn(col("v4"), model).as("codes"))
+          .select(col("vec_id"),
+            col("codes")(0).as("code0"), col("codes")(1).as("code1"),
+            round(Pq.adcDotColumn(col("codes"), Array(1.0, 0.0, 0.0, 1.0), model), 4)
+              .as("adc_dot"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS v
+             |           FROM embeddings),
+             |c AS (SELECT vec_id,
+             |  CASE WHEN (v[1]-1)*(v[1]-1)+v[2]*v[2] <= v[1]*v[1]+(v[2]-1)*(v[2]-1)
+             |       THEN 0 ELSE 1 END AS code0,
+             |  CASE WHEN (v[3]-1)*(v[3]-1)+v[4]*v[4] <= v[3]*v[3]+(v[4]-1)*(v[4]-1)
+             |       THEN 0 ELSE 1 END AS code1
+             |FROM e)
+             |SELECT vec_id, code0, code1,
+             |       round(CAST(CASE WHEN code0=0 THEN 1.0 ELSE 0.0 END +
+             |             CASE WHEN code1=0 THEN 0.0 ELSE 1.0 END AS DOUBLE), 4) AS adc_dot
+             |FROM c ORDER BY vec_id""".stripMargin)),
+
     // LSH-ANN gate: plant a scaled copy (x*1.01) of every query vector —
     // scaling never flips a hyperplane sign, so the copy lands in the SAME
     // bucket in every table (guaranteed candidate), and cosine(x, 1.01x)=1.0

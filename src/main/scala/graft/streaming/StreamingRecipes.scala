@@ -133,4 +133,25 @@ object StreamingRecipes {
       .as[StreamChecks.KeyedRow]
     StreamChecks.firstSeenRows(keyed, stateTtlMs)
   }
+
+  /** Per-micro-batch drift monitor against a stored model baseline
+    * ([[graft.anomaly.Drift]] / [[graft.anomaly.ModelRegistry]]): each batch
+    * is one fused aggregation pass; the result goes to `onResult` alongside
+    * the batch id, and the (possibly drift-gated) batch rows go to `sink`.
+    * The production retrain loop: alert or requeue training when
+    * `result.recommendation == "retrain"`. Small batches are skipped by
+    * Drift's min-sample gate rather than raising false alarms.
+    */
+  def driftMonitorPerBatch(stream: DataFrame, columns: Seq[String],
+                           baseline: Map[String, graft.anomaly.Drift.ColumnStats],
+                           threshold: Double = 3.0,
+                           minSampleSize: Long = graft.anomaly.Drift.MinSampleSizeForDrift)
+                          (onResult: (graft.anomaly.Drift.DriftResult, Long) => Unit)
+                          (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val res = graft.anomaly.Drift.computeDriftScore(
+        batch, columns, baseline, threshold, minSampleSize)
+      onResult(res, batchId)
+      sink(batch, batchId)
+    }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import graft.pipeline.{Pq, Similarity}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.functions._
+
+/** Product quantization: codebook training, row-local encoding, ADC top-k
+  * recall against brute force, and codegen integration.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Clustered synthetic vectors: `n` points around `k` well-separated
+    * 8-dim anchors with small deterministic jitter.
+    */
+  private def clustered(n: Int, k: Int): Seq[(Long, Seq[Double])] = {
+    val rnd = new java.util.Random(42)
+    val anchors = Array.fill(k)(Array.fill(8)(rnd.nextGaussian() * 10))
+    (0 until n).map { i =>
+      val a = anchors(i % k)
+      (i.toLong, a.map(_ + rnd.nextGaussian() * 0.5).toSeq)
+    }
+  }
+
+  test("train -> encode -> ADC shortlist + exact rerank recalls brute-force top-k") {
+    val data = clustered(400, 5)
+    val df = data.toDF("vec_id", "v")
+    val model = Pq.train(df, "v", numBlocks = 4, codebookSize = 8,
+      trainRows = 400, seed = 7)
+    assert(model.numBlocks == 4 && model.blockDim == 2 && model.codebookSize == 8)
+
+    val codes = df.select(col("vec_id"), Pq.encodeColumn(col("v"), model).as("codes"))
+    // codes are one small int per block (32x smaller than the float vector)
+    val c0 = codes.select(col("codes")).head().getSeq[Int](0)
+    assert(c0.length == 4 && c0.forall(c => c >= 0 && c < 8))
+
+    val queries = data.take(5).map { case (id, v) => (id, v.toArray) }
+
+    // prefilter contract: the ADC-100 shortlist contains the exact cosine
+    // top-10 (quantization cannot rank WITHIN a cell, so shortlist size
+    // must cover same-code ties — here a full cluster)
+    val shortlist = Pq.topKByAdc(codes, "vec_id", "codes", queries, model, k = 100)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val corpus = data.map { case (id, v) => (id, v.toArray) }
+    val exact = queries.map { case (qid, qv) =>
+      qid -> corpus.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosine(v, qv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    }.toMap
+    val shortRecalls = queries.map { case (qid, _) =>
+      exact(qid).count(shortlist.getOrElse(qid, Set.empty)).toDouble / 10.0
+    }
+    assert(shortRecalls.forall(_ >= 0.9), s"shortlist recall: ${shortRecalls.mkString(",")}")
+
+    // full search shape: shortlist + exact rerank == brute force top-10
+    val reranked = Pq.topKByAdcRerank(codes, df, "vec_id", "codes", "v",
+      queries, model, k = 10, shortlist = 100)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val rerankRecalls = queries.map { case (qid, _) =>
+      exact(qid).count(reranked.getOrElse(qid, Seq.empty).toSet).toDouble / 10.0
+    }
+    assert(rerankRecalls.forall(_ >= 0.9), s"rerank recall: ${rerankRecalls.mkString(",")}")
+  }
+
+  test("encode is deterministic, null-safe, and dimension-checked") {
+    val model = Pq.PqModel(2, Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0))))
+    val df = Seq(
+      (1L, Seq(0.9, 0.1, 0.1, 0.9)),  // codes (0, 1)
+      (2L, Seq(0.5, 0.5, 0.5, 0.5)),  // exact ties -> lowest index (0, 0)
+      (3L, Seq(1.0, 2.0)),            // wrong dim -> null
+      (4L, null.asInstanceOf[Seq[Double]]))
+      .toDF("id", "v")
+    val out = df.select(col("id"), Pq.encodeColumn(col("v"), model).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Int](1))).toMap
+    assert(out(1L).contains(Seq(0, 1)))
+    assert(out(2L).contains(Seq(0, 0)))
+    assert(out(3L).isEmpty && out(4L).isEmpty)
+    // ADC with out-of-range codes (foreign model) nulls instead of crashing
+    val lutModel = model
+    val bad = Seq((1L, Seq(7, 0))).toDF("id", "c")
+    val adc = bad.select(Pq.adcDotColumn(col("c"), Array(1.0, 0.0, 0.0, 1.0), lutModel))
+      .head()
+    assert(adc.isNullAt(0))
+  }
+
+  test("PQ expressions stay inside whole-stage codegen") {
+    val model = Pq.PqModel(2, Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0))))
+    val df = spark.range(100).select(array(
+      col("id").cast("double") % 2, lit(0.0),
+      lit(0.0), col("id").cast("double") % 3).as("v"))
+    val q = df.select(Pq.encodeColumn(col("v"), model).as("c"))
+      .select(Pq.adcDotColumn(col("c"), Array(1.0, 0.0, 0.0, 1.0), model).as("d"))
+      .where(col("d").isNotNull)
+    val codegen = q.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegen.nonEmpty, q.queryExecution.executedPlan.toString)
+    assert(q.count() == 100)
+  }
+
+  test("train validates inputs") {
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
+    intercept[IllegalArgumentException] { Pq.train(df, "v", numBlocks = 2) }
+    intercept[IllegalArgumentException] {
+      Pq.train(df, "v", numBlocks = 3, codebookSize = 300)
+    }
+  }
+}

@@ -208,4 +208,32 @@ class StreamChecksSpec extends SparkSpec {
     assert(pairs == Seq((2L, 1L)), events.mkString(", "))
     assert(events.forall(_.estJaccard >= 0.5))
   }
+
+  test("foreachBatch recipe: per-batch drift monitor against a stored baseline") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.anomaly.Drift
+    val baseline = Map("v" -> Drift.ColumnStats(10.0, 1.0))
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val stream = in.toDF().toDF("id", "v")
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Boolean)]
+    var rows = 0L
+    val q = graft.streaming.StreamingRecipes
+      .driftMonitorPerBatch(stream, Seq("v"), baseline, minSampleSize = 10) {
+        (res, id) => results += ((id, res.recommendation, res.driftDetected))
+      } { (batch, _) => rows += batch.count() }
+      .start()
+    // batch 0: small -> skipped; batch 1: on-baseline -> ok; batch 2: shifted -> retrain
+    in.addData((1L, 10.0))
+    q.processAllAvailable()
+    in.addData((2L to 21L).map(i => (i, 10.0 + (i % 3) - 1.0)): _*)
+    q.processAllAvailable()
+    in.addData((22L to 41L).map(i => (i, 500.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(results.toSeq == Seq(
+      (0L, "skipped_small_batch", false), (1L, "ok", false), (2L, "retrain", true)),
+      results.mkString(", "))
+    assert(rows == 41L)
+  }
 }
