@@ -83,6 +83,66 @@ object Curation {
       .drop("__split_rn", "__split_n")
   }
 
+  /** Deterministic sampling to a TOKEN budget — the data-mixing primitive a
+    * pretraining run actually configures ("200B tokens of web, 30B of code"):
+    * rows are taken in portable-hash order (a reproducible uniform shuffle,
+    * `id` tie-break) until the cumulative token count would exceed
+    * `budgetTokens`; with `groupCols`, each group gets its own budget.
+    * A row whose tokens push the running sum past the budget is dropped
+    * (strict prefix — budgets are ceilings, not targets).
+    *
+    * Scale shape: per-group budgets ride ONE shuffle on the group key (the
+    * cumsum window). The GLOBAL budget does NOT use a no-partition window
+    * (single-partition scale-killer): it range-partitions by the hash,
+    * computes per-partition token sums (one tiny collect, one row per
+    * partition), and adds broadcast prefix offsets to per-partition running
+    * sums — the classic distributed prefix sum; the kept set is independent
+    * of partition boundaries, so the result is still exactly the hash-order
+    * prefix an engine-independent replay produces.
+    *
+    * `tokens` is any token-count expression ([[TextAnalysis.tokenCount]], a
+    * BPE count, a precomputed column); nulls count as 0.
+    */
+  def sampleToTokenBudget(df: DataFrame, tokens: Column, id: Column,
+                          budgetTokens: Long,
+                          groupCols: Seq[String] = Nil): DataFrame = {
+    PipelineGuards.requireBatch(df, "sampleToTokenBudget")
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    val h = portableHash(id)
+    val t = coalesce(tokens.cast("long"), lit(0L))
+    if (groupCols.nonEmpty) {
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(h, id)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("__tb_cum", sum(t).over(w))
+        .where(col("__tb_cum") <= budgetTokens)
+        .drop("__tb_cum")
+    } else {
+      val base = df.withColumn("__tb_h", h).withColumn("__tb_t", t)
+        .withColumn("__tb_id", id.cast("long"))
+      // freeze the range partitioning: the offsets action and the final plan
+      // must see the SAME spark_partition_id assignment
+      val ranged = base.repartitionByRange(col("__tb_h"), col("__tb_id"))
+        .localCheckpoint(true)
+      val withPid = ranged.withColumn("__tb_pid", spark_partition_id())
+      val partSums = withPid.groupBy("__tb_pid")
+        .agg(sum("__tb_t").as("__tb_psum"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      var running = 0L
+      val offsets = partSums.map { case (pid, s) =>
+        val off = running; running += s; (pid, off)
+      }
+      val session = df.sparkSession
+      import session.implicits._
+      val offsetDf = offsets.toSeq.toDF("__tb_pid", "__tb_off")
+      val w = Window.partitionBy("__tb_pid").orderBy(col("__tb_h"), col("__tb_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withPid.join(broadcast(offsetDf), Seq("__tb_pid"))
+        .withColumn("__tb_cum", sum(col("__tb_t")).over(w) + col("__tb_off"))
+        .where(col("__tb_cum") <= budgetTokens)
+        .drop("__tb_pid", "__tb_h", "__tb_t", "__tb_id", "__tb_off", "__tb_cum")
+    }
+  }
+
   /** Deterministic per-group weighted sampling — the "domain mixing" step of a
     * pretraining pipeline: keep each row with the probability configured for
     * its group (e.g. source domain), decided by the portable hash of `id` so

@@ -65,6 +65,7 @@ object CurationPipeline {
     "sample_hash" -> Set("fraction"),
     "sample_quota" -> Set("group_cols", "quota"),
     "sample_weights" -> Set("group_col", "weights", "default_weight"),
+    "sample_token_budget" -> Set("budget_tokens", "group_cols"),
     "epoch_mix" -> Set("group_col", "weights", "default_weight"),
     "shard_assign" -> Set("num_shards"))
 
@@ -281,6 +282,11 @@ object CurationPipeline {
             "sample_weights: 'group_col' is required"))),
           numMap(m, "weights"), col(idCol),
           num(m, "default_weight").getOrElse(1.0))
+      case "sample_token_budget" =>
+        Curation.sampleToTokenBudget(df, TextAnalysis.tokenCount(text), col(idCol),
+          num(m, "budget_tokens").getOrElse(throw new IllegalArgumentException(
+            "sample_token_budget: 'budget_tokens' is required")).toLong,
+          strList(m, "group_cols").getOrElse(Nil))
       case "epoch_mix" =>
         Curation.epochMix(df,
           col(str(m, "group_col").getOrElse(throw new IllegalArgumentException(

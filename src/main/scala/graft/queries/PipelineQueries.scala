@@ -612,6 +612,58 @@ object PipelineQueries {
              |WHERE (doc_id % 2147483648) * 2654435761 % 4294967296 < 2147483648
              |ORDER BY doc_id""".stripMargin)),
 
+    // WordPiece count with a FIXED single-letter vocabulary: a word of pure
+    // a-z letters greedily segments into exactly len(word) pieces (no
+    // multi-char piece exists to match first), anything else — a digit, an
+    // apostrophe, an accented letter, >200 chars — makes the WHOLE word one
+    // [UNK] (BERT's rule). Closed-form, so the oracle needs no tokenizer.
+    // Greedy multi-char matching is pinned by WordPieceSpec.
+    "pipe_wordpiece_count" -> QueryDef(
+      (s, dir) => {
+        val vocab = ('a' to 'z').flatMap(c => Seq(c.toString, "##" + c)).toSet
+        val model = WordPieceModel(vocab)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            WordPiece.countColumn(coalesce(col("text"), lit("")), model).as("n_wp"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH d AS (SELECT doc_id,
+                |  list_filter(string_split(lower(coalesce(text,'')),' '), t -> t <> '') AS w
+                |FROM documents)
+                |SELECT doc_id,
+                |  CAST(coalesce(list_sum(list_transform(w, t ->
+                |    CASE WHEN length(t) <= 200 AND regexp_matches(t, '^[a-z]+$$')
+                |         THEN length(t) ELSE 1 END)), 0) AS INT) AS n_wp
+                |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget sampling: rows in portable-hash order until the cumulative
+    // whitespace-token count would exceed the budget. The GLOBAL path runs
+    // the distributed prefix sum (range partition + per-partition sums +
+    // broadcast offsets); its kept set is partition-independent, so the
+    // oracle replays it as one plain window cumsum.
+    "pipe_token_budget" -> QueryDef(
+      (s, dir) => Curation.sampleToTokenBudget(t(s, dir, "documents"),
+        TextAnalysis.tokenCount(col("text")), col("doc_id"), 20000L)
+        .select("doc_id").orderBy("doc_id"),
+      Some(raw"""WITH d AS (SELECT doc_id,
+                |  coalesce(len(regexp_extract_all(text, '\S+')), 0) AS tc,
+                |  (doc_id % 2147483648) * 2654435761 % 4294967296 AS h FROM documents),
+                |c AS (SELECT doc_id,
+                |  sum(tc) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+                |SELECT doc_id FROM c WHERE cum <= 20000 ORDER BY doc_id""".stripMargin)),
+
+    "pipe_token_budget_groups" -> QueryDef(
+      (s, dir) => Curation.sampleToTokenBudget(
+        t(s, dir, "documents").withColumn("g", col("doc_id") % 3),
+        TextAnalysis.tokenCount(col("text")), col("doc_id"), 5000L, Seq("g"))
+        .select("doc_id", "g").orderBy("doc_id"),
+      Some(raw"""WITH d AS (SELECT doc_id, doc_id % 3 AS g,
+                |  coalesce(len(regexp_extract_all(text, '\S+')), 0) AS tc,
+                |  (doc_id % 2147483648) * 2654435761 % 4294967296 AS h FROM documents),
+                |c AS (SELECT doc_id, g,
+                |  sum(tc) OVER (PARTITION BY g ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+                |SELECT doc_id, g FROM c WHERE cum <= 5000 ORDER BY doc_id""".stripMargin)),
+
     // Declarative pipeline with a HEAVY step: MinHash-LSH dedup (transitive
     // closure, min-id keep) followed by a row-local shard assignment — the
     // catalog's LSH family exercised end-to-end through the YAML-shaped

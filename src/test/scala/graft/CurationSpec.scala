@@ -150,6 +150,41 @@ class CurationSpec extends SparkSpec {
     assert(keep(1) && !keep(2))
   }
 
+  test("sampleToTokenBudget: hash-order prefix, strict ceiling, group budgets") {
+    // tokens per doc = 10; hash order decides WHICH docs fill the budget
+    val docs = (1L to 20L).map(i => (i, Seq.fill(10)("w").mkString(" "))).toDF("doc_id", "text")
+    def hashOf(id: Long): Long = (id % 2147483648L) * 2654435761L % 4294967296L
+    val order = (1L to 20L).sortBy(i => (hashOf(i), i))
+    // budget 55 -> exactly the first 5 docs in hash order (50 tokens; the
+    // 6th would reach 60 > 55 and is dropped: strict ceiling)
+    val kept = Curation.sampleToTokenBudget(docs,
+      TextAnalysis.tokenCount(col("text")), col("doc_id"), 55L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == order.take(5).toSet, s"kept=$kept expected=${order.take(5)}")
+    // partition-count independence: same answer from 1 and 13 partitions
+    val kept13 = Curation.sampleToTokenBudget(docs.repartition(13),
+      TextAnalysis.tokenCount(col("text")), col("doc_id"), 55L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept13 == kept)
+    // zero budget keeps nothing; huge budget keeps everything
+    assert(Curation.sampleToTokenBudget(docs, TextAnalysis.tokenCount(col("text")),
+      col("doc_id"), 0L).count() == 0)
+    assert(Curation.sampleToTokenBudget(docs, TextAnalysis.tokenCount(col("text")),
+      col("doc_id"), 1000L).count() == 20)
+    // per-group: each group gets its own 25-token budget (2 docs per group)
+    val grouped = docs.withColumn("g", col("doc_id") % 2)
+    val byGroup = Curation.sampleToTokenBudget(grouped,
+      TextAnalysis.tokenCount(col("text")), col("doc_id"), 25L, Seq("g"))
+      .groupBy("g").count().as[(Long, Long)].collect().toMap
+    assert(byGroup == Map(0L -> 2L, 1L -> 2L), byGroup.toString)
+    // null text counts as zero tokens and survives inside the budget
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, "a b c")).toDF("doc_id", "text")
+    val nullKept = Curation.sampleToTokenBudget(withNull,
+      TextAnalysis.tokenCount(col("text")), col("doc_id"), 3L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(nullKept == Set(1L, 2L))
+  }
+
   test("sampleByWeights keeps per-group fractions: 0 drops all, 1 keeps all") {
     val df = Seq.tabulate(3000) { i =>
       (i.toLong, Seq("keep", "drop", "half")(i % 3))
