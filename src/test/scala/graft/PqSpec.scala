@@ -109,6 +109,24 @@ class PqSpec extends SparkSpec {
     assert(q.count() == 100)
   }
 
+  test("top-k ranking window gets the group-limit pushdown (no full per-query sort)") {
+    val model = Pq.PqModel(2, Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0))))
+    val codes = spark.range(1000).select(col("id").as("vec_id"),
+      array((col("id") % 2).cast("int"), (col("id") % 3 === 0).cast("int")).as("codes"))
+    val q = Pq.topKByAdc(codes, "vec_id", "codes",
+      Seq((1L, Array(1.0, 0.0, 0.0, 1.0)), (2L, Array(0.0, 1.0, 1.0, 0.0))),
+      model, k = 5)
+    // Spark's rank<=k filter over a row_number window plans a
+    // WindowGroupLimit, so each partition retains only k rows per query
+    // before the sort — without it, top-k would fully sort the corpus per
+    // query partition
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(q.count() == 10)
+  }
+
   test("train validates inputs") {
     val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
     intercept[IllegalArgumentException] { Pq.train(df, "v", numBlocks = 2) }
