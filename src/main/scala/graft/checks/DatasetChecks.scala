@@ -1203,4 +1203,45 @@ object DatasetChecks {
     DatasetCheck(applyFn,
       makeCondition(!col(okCol), coalesce(col(msgCol), lit("Schema mismatch"))))
   }
+
+  // -------------------------------------------------------------------- drift
+
+  /** Distribution drift vs a stored baseline as a dataset check (the
+    * check-surface form of [[graft.anomaly.Drift]], drift.py:113-195): when
+    * any column's drift score reaches `threshold`, EVERY row fails with the
+    * per-column story (the has_valid_schema flag-all convention — drift is a
+    * dataset property, not a row property). Baselines come inline
+    * (`baseline`) or from a stored model record (`modelLocation`,
+    * [[graft.anomaly.ModelRegistry]]). One fused aggregation action at apply
+    * time; batches under `minSampleSize` rows pass (skipped, drift.py:24).
+    */
+  def hasNoDrift(columns: Seq[String],
+                 baseline: Map[String, graft.anomaly.Drift.ColumnStats],
+                 threshold: Double = 3.0,
+                 minSampleSize: Long = graft.anomaly.Drift.MinSampleSizeForDrift,
+                 rowFilter: Option[String] = None): DatasetCheck = {
+    require(columns.nonEmpty, "columns must not be empty")
+    val id = uniqueSuffix()
+    val okCol = s"__dq_drift_ok_$id"
+    val msgCol = s"__dq_drift_msg_$id"
+    val filterC = rowFilter.map(expr).getOrElse(lit(true))
+    val applyFn = (df: DataFrame) => {
+      val base = rowFilter.map(df.filter).getOrElse(df)
+      val res = graft.anomaly.Drift.computeDriftScore(
+        base, columns, baseline, threshold, minSampleSize)
+      val msg =
+        if (!res.driftDetected) null
+        else {
+          val per = res.driftedColumns.map(c =>
+            f"$c (score ${res.columnScores(c)}%.2f)").mkString(", ")
+          s"Distribution drift detected (recommendation: ${res.recommendation}): " +
+            s"$per vs baseline at threshold $threshold over ${res.sampleSize} rows"
+        }
+      df.withColumn(okCol, lit(!res.driftDetected))
+        .withColumn(msgCol, lit(msg))
+    }
+    DatasetCheck(applyFn,
+      makeCondition(filterC && !col(okCol),
+        coalesce(col(msgCol), lit("Distribution drift detected"))))
+  }
 }

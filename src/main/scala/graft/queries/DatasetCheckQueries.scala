@@ -326,6 +326,25 @@ object DatasetCheckQueries {
         .groupBy().count().withColumnRenamed("count", "n_failing"),
       Some("SELECT 0::BIGINT AS n_failing")),
 
+    // has_no_drift as a dataset CHECK: the baseline is far from the data, so
+    // drift is detected and every row fails (flag-all convention); the oracle
+    // recomputes the score decision and the row count in one aggregate.
+    "ds_has_no_drift" -> QueryDef(
+      (s, dir) => {
+        import graft.anomaly.Drift
+        val df = t(s, dir, "orders")
+        val checked = graft.engine.DQEngine.applyChecks(df, Seq(
+          ds(D.hasNoDrift(Seq("o_totalprice"),
+            Map("o_totalprice" -> Drift.ColumnStats(100000.0, 10000.0))),
+            "has_no_drift", "o_totalprice")))
+        checked.where(col("_errors").isNotNull)
+          .agg(count(lit(1)).as("n_failing"))
+      },
+      Some("""SELECT CASE WHEN 0.7*abs(avg(o_totalprice)-100000.0)/10000.0
+             |          + 0.3*abs(stddev(o_totalprice)-10000.0)/10000.0 >= 3.0
+             |       THEN count(*) ELSE CAST(0 AS BIGINT) END AS n_failing
+             |FROM orders""".stripMargin)),
+
     // drift.py:34-195 — per-column baseline-vs-current drift scores against a
     // fixed literal baseline (the registry supplies it in production); o_flag
     // is a constant column exercising the zero-baseline-std branch.

@@ -218,6 +218,31 @@ object CheckRegistry {
       case _ => hasNoRowAnomalies(a.strSeq("columns"),
         a.double("threshold", 3.5), a.strOpt("row_filter"))
     }),
+    "has_no_drift" -> ((a, ctx) => {
+      // baseline inline ({"col": {"mean": m, "std": s}}) or from a stored
+      // anomaly model record (model_location)
+      val baseline: Map[String, graft.anomaly.Drift.ColumnStats] =
+        if (a.has("model_location"))
+          graft.anomaly.ModelRegistry.load(ctx.spark, a.str("model_location")).baselineStats
+        else a.any("baseline") match {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].map {
+            case (c, stats: Map[_, _]) =>
+              val sm = stats.asInstanceOf[Map[String, Any]]
+              c -> graft.anomaly.Drift.ColumnStats(
+                String.valueOf(sm("mean")).toDouble, String.valueOf(sm("std")).toDouble)
+            case (c, other) => throw new IllegalArgumentException(
+              s"has_no_drift baseline for '$c' must be a {mean, std} map, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"has_no_drift: 'baseline' must be a map, got $other")
+        }
+      hasNoDrift(
+        if (a.has("columns")) a.strSeq("columns") else baseline.keys.toSeq.sorted,
+        baseline, a.double("threshold", 3.0),
+        a.double("min_sample_size",
+          graft.anomaly.Drift.MinSampleSizeForDrift.toDouble).toLong,
+        a.strOpt("row_filter"))
+    }),
     "are_polygons_mutually_disjoint" -> ((a, _) =>
       GeoChecks.arePolygonsMutuallyDisjoint(a.str("column"), a.strOpt("row_filter"),
         a.double("cell_size", 4.0), a.int("max_cell_geoms", 256),

@@ -165,6 +165,37 @@ class AnomalySpec extends SparkSpec {
     assert(drift.driftDetected && drift.driftedColumns == Seq("a"))
   }
 
+  test("has_no_drift dataset check: flag-all on drift, pass otherwise, metadata path") {
+    import graft.anomaly.Drift
+    import graft.checks.DatasetChecks
+    val df = (1 to 1500).map(i => (i, 10.0 + (i % 5))).toDF("id", "v")
+    def run(check: graft.rules.DatasetCheck): Long =
+      DQEngine.applyChecks(df, Seq(DQDatasetRule(check, "has_no_drift", Seq("v"))))
+        .where(col("_errors").isNotNull).count()
+    // baseline matches -> pass
+    val good = Map("v" -> Drift.ColumnStats(12.0, 1.5))
+    assert(run(DatasetChecks.hasNoDrift(Seq("v"), good)) == 0)
+    // baseline far off -> every row fails with the drift story
+    val bad = Map("v" -> Drift.ColumnStats(100.0, 1.0))
+    val out = DQEngine.applyChecks(df, Seq(DQDatasetRule(
+      DatasetChecks.hasNoDrift(Seq("v"), bad), "has_no_drift", Seq("v"))))
+    assert(out.where(col("_errors").isNotNull).count() == 1500)
+    val msg = out.select(to_json(col("_errors"))).head().getString(0)
+    assert(msg.contains("drift") && msg.contains("retrain") && msg.contains("v (score"))
+    // small batch -> skipped, no failures even with the bad baseline
+    val small = (1 to 50).map(i => (i, 10.0)).toDF("id", "v")
+    assert(DQEngine.applyChecks(small, Seq(DQDatasetRule(
+      DatasetChecks.hasNoDrift(Seq("v"), bad), "has_no_drift", Seq("v"))))
+      .where(col("_errors").isNotNull).count() == 0)
+    // metadata path with an inline baseline map
+    val meta = DQEngine.applyChecksByMetadata(df, Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "has_no_drift", "arguments" -> Map(
+        "baseline" -> Map("v" -> Map("mean" -> 100.0, "std" -> 1.0)),
+        "threshold" -> 3.0)))))
+    assert(meta.where(col("_errors").isNotNull).count() == 1500)
+  }
+
   test("metadata path loads a pretrained model from a file location") {
     import graft.anomaly.ModelRegistry
     val df = ((1 to 1200).map(i => (i, 10.0)) :+ ((999, 99999.0))).toDF("id", "v")
