@@ -88,6 +88,58 @@ object Drift {
         col("cur_mean"), col("cur_std")))
   }
 
+  /** Per-SEGMENT drift in ONE grouped aggregation — the reference's
+    * check_segment_drift (drift.py:219-253) loops segments and runs
+    * count + stats per segment (2 actions each); here every segment's
+    * mean/std aggregates in a single groupBy pass and compares against its
+    * own baseline via a broadcast join. Returns a lazy per-(segment, column)
+    * frame: segment columns + `(column, base_mean, base_std, cur_mean,
+    * cur_std, sample_size, score, drifted)`; segments under `minSampleSize`
+    * carry drifted=false (the small-batch skip). Segments present in the
+    * data but absent from `baselines` are omitted (nothing to compare),
+    * matching the reference's per-model dispatch.
+    */
+  def segmentDriftScores(df: DataFrame, segmentCols: Seq[String],
+                         baselines: Map[Seq[String], Map[String, ColumnStats]],
+                         threshold: Double = 3.0,
+                         minSampleSize: Long = MinSampleSizeForDrift): DataFrame = {
+    require(segmentCols.nonEmpty, "segmentCols must not be empty")
+    require(baselines.nonEmpty, "baselines must not be empty")
+    baselines.keys.foreach(k => require(k.length == segmentCols.length,
+      s"baseline segment key $k does not match segmentCols $segmentCols"))
+    val session = df.sparkSession
+    import session.implicits._
+    val allCols = baselines.values.flatMap(_.keys).toSeq.distinct.sorted
+      .filter(df.columns.contains)
+    require(allCols.nonEmpty, "no baseline column exists in the frame")
+    val agg = df.groupBy(segmentCols.map(c => col(c).cast("string").as(c)): _*)
+      .agg(count(lit(1)).as("sample_size"), statExprs(df, allCols): _*)
+    val perCol = allCols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"mean_$c").as("cur_mean"), col(s"std_$c").as("cur_std"))
+    }
+    val long = agg.select(
+      segmentCols.map(col) :+ col("sample_size") :+
+        explode(array(perCol: _*)).as("s"): _*)
+      .select(segmentCols.map(col) :+ col("sample_size") :+
+        col("s.column") :+ col("s.cur_mean") :+ col("s.cur_std"): _*)
+    val baseRows = baselines.toSeq.flatMap { case (seg, stats) =>
+      stats.toSeq.map { case (c, st) => (seg.toList, c, st.mean, st.std) }
+    }.map { case (seg, c, m, s) => (seg.mkString(""), c, m, s) }
+    val baseDf = baseRows.toDF("__seg_key", "column", "base_mean", "base_std")
+    val segKey = concat_ws("", segmentCols.map(c => col(c).cast("string")): _*)
+    long.withColumn("__seg_key", segKey)
+      .join(broadcast(baseDf), Seq("__seg_key", "column"))
+      .withColumn("score", scoreExpr(col("base_mean"), col("base_std"),
+        col("cur_mean"), col("cur_std")))
+      .withColumn("drifted",
+        col("sample_size") >= minSampleSize && col("score") >= threshold)
+      .drop("__seg_key")
+      .select(segmentCols.map(col) ++ Seq(col("column"), col("base_mean"),
+        col("base_std"), col("cur_mean"), col("cur_std"), col("sample_size"),
+        col("score"), col("drifted")): _*)
+  }
+
   /** drift.py:113-195 `compute_drift_score` — one Spark action total (the
     * count is fused into the stats aggregation). Columns missing from the
     * baseline or from the frame are skipped.

@@ -326,6 +326,34 @@ object DatasetCheckQueries {
         .groupBy().count().withColumnRenamed("count", "n_failing"),
       Some("SELECT 0::BIGINT AS n_failing")),
 
+    // Per-segment drift (drift.py:219-253) in ONE grouped aggregation: the
+    // F segment's baseline is planted far off (drifts), O and P sit on
+    // their true stats (clean).
+    "ds_segment_drift" -> QueryDef(
+      (s, dir) => {
+        import graft.anomaly.Drift
+        val base = Map(
+          Seq("F") -> Map("o_totalprice" -> Drift.ColumnStats(100000.0, 10000.0)),
+          Seq("O") -> Map("o_totalprice" -> Drift.ColumnStats(250000.0, 140000.0)),
+          Seq("P") -> Map("o_totalprice" -> Drift.ColumnStats(250000.0, 140000.0)))
+        Drift.segmentDriftScores(t(s, dir, "orders"), Seq("o_orderstatus"), base)
+          .select(col("o_orderstatus"), col("column").as("col_name"),
+            round(col("score"), 4).as("drift_score"), col("drifted"),
+            col("sample_size"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH cur AS (SELECT o_orderstatus AS seg, count(*) AS n,
+             |  avg(o_totalprice) AS m, stddev(o_totalprice) AS s
+             |  FROM orders GROUP BY 1),
+             |base AS (SELECT * FROM (VALUES ('F', 100000.0, 10000.0),
+             |  ('O', 250000.0, 140000.0), ('P', 250000.0, 140000.0)) b(seg, bm, bs))
+             |SELECT c.seg AS o_orderstatus, 'o_totalprice' AS col_name,
+             |       round(CAST(0.7*abs(m-bm)/bs + 0.3*abs(s-bs)/bs AS DOUBLE), 4) AS drift_score,
+             |       (n >= 1000 AND 0.7*abs(m-bm)/bs + 0.3*abs(s-bs)/bs >= 3.0) AS drifted,
+             |       n AS sample_size
+             |FROM cur c JOIN base b ON c.seg = b.seg
+             |ORDER BY 1""".stripMargin)),
+
     // has_no_drift as a dataset CHECK: the baseline is far from the data, so
     // drift is detected and every row fails (flag-all convention); the oracle
     // recomputes the score decision and the row count in one aggregate.

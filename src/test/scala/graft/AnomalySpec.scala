@@ -165,6 +165,30 @@ class AnomalySpec extends SparkSpec {
     assert(drift.driftDetected && drift.driftedColumns == Seq("a"))
   }
 
+  test("segment drift: one grouped pass, per-segment baselines, small segments skipped") {
+    import graft.anomaly.Drift
+    val df = ((1 to 1200).map(i => (i, "a", 10.0 + (i % 3))) ++ // on-baseline
+      (1 to 1200).map(i => (2000 + i, "b", 500.0)) ++ // far from baseline
+      (1 to 20).map(i => (4000 + i, "c", 999.0))) // tiny segment -> skipped
+      .toDF("id", "seg", "v")
+    val base = Map(
+      Seq("a") -> Map("v" -> Drift.ColumnStats(11.0, 1.0)),
+      Seq("b") -> Map("v" -> Drift.ColumnStats(10.0, 1.0)),
+      Seq("c") -> Map("v" -> Drift.ColumnStats(10.0, 1.0)),
+      Seq("d") -> Map("v" -> Drift.ColumnStats(0.0, 1.0))) // absent from data
+    val out = Drift.segmentDriftScores(df, Seq("seg"), base)
+      .select("seg", "drifted", "sample_size")
+      .as[(String, Boolean, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set("a", "b", "c")) // segment d has no data rows
+    assert(out("a") == ((false, 1200L)))
+    assert(out("b") == ((true, 1200L)))
+    assert(out("c") == ((false, 20L))) // huge shift but under min sample
+    // one aggregation: exactly one Exchange below the baseline join
+    val plan = Drift.segmentDriftScores(df, Seq("seg"), base)
+      .queryExecution.executedPlan.toString()
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
+  }
+
   test("has_no_drift dataset check: flag-all on drift, pass otherwise, metadata path") {
     import graft.anomaly.Drift
     import graft.checks.DatasetChecks
