@@ -23,7 +23,11 @@ object PlanAudit {
         "ds_is_aggr_not_greater_than", "pipe_dedup_minhash", "pipe_knn_bruteforce",
         "ds_polygons_mutually_disjoint", "pipe_dedup_cosine", "ds_has_no_aggr_outliers",
         "eng_check_metrics", "ds_compare_datasets", "pipe_decontaminate",
-        "pipe_curation_quota")
+        "pipe_curation_quota",
+        // round 8 additions
+        "pipe_knn_pq", "pipe_token_budget", "pipe_token_budget_groups",
+        "pipe_wordpiece_count", "ds_drift_scores", "ds_segment_drift",
+        "pipe_curation_pipeline_lsh")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
