@@ -151,6 +151,27 @@ object GraftExtensions {
         graft.pipeline.UnigramCount(a(0),
           graft.pipeline.UnigramModelJson.parse(String.valueOf(a(1).eval())))
       }),
+    ("graft_wordpiece_encode",
+      info("graft_wordpiece_encode",
+        """graft_wordpiece_encode(text, model_json) - WordPiece tokens (array<string>): """ +
+          """greedy longest-match per whitespace-lowercased word, ## continuations, """ +
+          """whole-word [UNK]; model_json is a literal like """ +
+          """'{"vocab": ["the","##me"], "unk": "[UNK]", "prefix": "##", "max_chars": 200}'"""),
+      args => {
+        val a = arity("graft_wordpiece_encode", 2, args)
+        require(a(1).foldable, "graft_wordpiece_encode: model_json must be a literal")
+        graft.pipeline.WordPieceEncode(a(0),
+          graft.pipeline.WordPieceModelJson.parse(String.valueOf(a(1).eval())))
+      }),
+    ("graft_wordpiece_count",
+      info("graft_wordpiece_count",
+        "graft_wordpiece_count(text, model_json) - WordPiece token count without materializing the tokens"),
+      args => {
+        val a = arity("graft_wordpiece_count", 2, args)
+        require(a(1).foldable, "graft_wordpiece_count: model_json must be a literal")
+        graft.pipeline.WordPieceCount(a(0),
+          graft.pipeline.WordPieceModelJson.parse(String.valueOf(a(1).eval())))
+      }),
     ("graft_langid",
       info("graft_langid",
         """graft_langid(text, model_json) - predicted language code under a trained """ +

@@ -83,6 +83,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(langs.getString(0) == "en" && langs.getString(1) == "de")
   }
 
+  test("wordpiece functions evaluate from plain SQL") {
+    Seq((1L, "theme unable zz9")).toDF("id", "text").createOrReplaceTempView("wpv")
+    val model =
+      """{"vocab": ["the","##me","un","##able","z","##z"],
+        |"unk": "[UNK]", "prefix": "##", "max_chars": 200}""".stripMargin
+    val r = spark.sql(
+      s"""SELECT graft_wordpiece_encode(text, '$model') AS toks,
+         |  graft_wordpiece_count(text, '$model') AS n FROM wpv""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("the", "##me", "un", "##able", "[UNK]"))
+    assert(r.getInt(1) == 5)
+    intercept[Exception] {
+      spark.sql("SELECT graft_wordpiece_count(text, text) FROM wpv").collect()
+    }
+  }
+
   test("bpe and ner functions evaluate from plain SQL") {
     Seq((1L, "abc xabd plain"), (2L, "Dear James Smith, hello"), (3L, "nothing here"))
       .toDF("id", "text").createOrReplaceTempView("bnv")

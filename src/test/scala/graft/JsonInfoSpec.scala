@@ -95,6 +95,39 @@ class JsonInfoSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: 3000 seeded random JSON-ish strings agree with both built-ins") {
+    // deterministic generator biased toward structural tokens so a useful
+    // fraction parses; covers quote styles, control chars, deep nesting,
+    // duplicate keys, trailing junk by construction
+    val rnd = new scala.util.Random(20260815)
+    val atoms = Array("{", "}", "[", "]", ":", ",", "\"a\"", "\"b\"", "'c'",
+      "\"a\":1", "\"a\":", "1", "-2.5", "1e3", "true", "false", "null",
+      " ", "\t", "\n", "\"x\\u0041y\"", "\"x\\qy\"", "", "\"", "x",
+      "{\"k\":[1,2]}", "[{\"a\":1,\"a\":2}]", "0", "01", "\"長い\"")
+    def gen(): String = {
+      val n = 1 + rnd.nextInt(12)
+      (0 until n).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+    }
+    val corpus = (0 until 3000).map(_ => gen())
+    val df = corpus.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "s")
+    val info = GraftColumnBridge.column(JsonInfoExpr(
+      GraftColumnBridge.expression(col("s"))))
+    val bad = df.select(col("i"), col("s"),
+      try_parse_json(col("s")).isNull.as("bi"),
+      json_object_keys(col("s")).as("bk"),
+      info.getField("valid").as("gv"),
+      info.getField("keys").as("gk"))
+      .where(col("bi") === col("gv") || // validity mismatch (bi == !valid)
+        !(col("bk") <=> col("gk")))
+      .collect()
+    assert(bad.isEmpty, bad.take(5).map { r =>
+      val s = r.getAs[String]("s").flatMap(c =>
+        if (c < ' ' || c > '~') f"\\u${c.toInt}%04x" else c.toString)
+      s"<$s> builtin_invalid=${r.getAs[Boolean]("bi")} got_valid=${r.getAs[Boolean]("gv")} " +
+        s"builtin_keys=${Option(r.getAs[Seq[String]]("bk"))} got_keys=${Option(r.getAs[Seq[String]]("gk"))}"
+    }.mkString("; "))
+  }
+
   test("the fused parse stays inside whole-stage codegen") {
     val df = spark.range(100).select(
       concat(lit("{\"k\":"), col("id").cast("string"), lit("}")).as("s"))
