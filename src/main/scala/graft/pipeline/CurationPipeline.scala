@@ -65,7 +65,7 @@ object CurationPipeline {
     "sample_hash" -> Set("fraction"),
     "sample_quota" -> Set("group_cols", "quota"),
     "sample_weights" -> Set("group_col", "weights", "default_weight"),
-    "sample_token_budget" -> Set("budget_tokens", "group_cols"),
+    "sample_token_budget" -> Set("budget_tokens", "group_cols", "tokenizer", "model_json"),
     "epoch_mix" -> Set("group_col", "weights", "default_weight"),
     "shard_assign" -> Set("num_shards"))
 
@@ -283,7 +283,24 @@ object CurationPipeline {
           numMap(m, "weights"), col(idCol),
           num(m, "default_weight").getOrElse(1.0))
       case "sample_token_budget" =>
-        Curation.sampleToTokenBudget(df, TextAnalysis.tokenCount(text), col(idCol),
+        // the budget speaks whichever tokenizer the training run uses:
+        // whitespace (default), or a trained bpe/wordpiece/unigram model
+        val tokens = str(m, "tokenizer").getOrElse("ws") match {
+          case "ws" => TextAnalysis.tokenCount(text)
+          case tok =>
+            val json = str(m, "model_json").getOrElse(throw new IllegalArgumentException(
+              s"sample_token_budget: 'model_json' is required for tokenizer '$tok'"))
+            tok match {
+              case "bpe" => Bpe.countColumn(coalesce(text, lit("")), BpeModelJson.parse(json))
+              case "wordpiece" =>
+                WordPiece.countColumn(coalesce(text, lit("")), WordPieceModelJson.parse(json))
+              case "unigram" =>
+                Unigram.countColumn(coalesce(text, lit("")), UnigramModelJson.parse(json))
+              case other => throw new IllegalArgumentException(
+                s"sample_token_budget: tokenizer must be ws|bpe|wordpiece|unigram, got '$other'")
+            }
+        }
+        Curation.sampleToTokenBudget(df, tokens, col(idCol),
           num(m, "budget_tokens").getOrElse(throw new IllegalArgumentException(
             "sample_token_budget: 'budget_tokens' is required")).toLong,
           strList(m, "group_cols").getOrElse(Nil))

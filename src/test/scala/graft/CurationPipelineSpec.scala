@@ -170,6 +170,29 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  test("sample_token_budget step: ws default and trained-tokenizer budgets") {
+    val docs4 = (1L to 8L).map(i => (i, "w w w w w")).toDF("doc_id", "text") // 5 ws tokens each
+    val ws = CurationPipeline(docs4, Seq(Map(
+      "step" -> "sample_token_budget", "budget_tokens" -> 12)))
+    assert(ws.count() == 2) // 2 docs x 5 tokens = 10 <= 12; a third would hit 15
+    // wordpiece budget: each "w" is one piece, same counts here but through
+    // the trained-tokenizer path (model_json parsed, expression dispatched)
+    val model = """{"vocab": ["w"], "unk": "[UNK]", "prefix": "##", "max_chars": 200}"""
+    val wp = CurationPipeline(docs4, Seq(Map(
+      "step" -> "sample_token_budget", "budget_tokens" -> 12,
+      "tokenizer" -> "wordpiece", "model_json" -> model)))
+    assert(wp.count() == 2)
+    intercept[IllegalArgumentException] {
+      CurationPipeline(docs4, Seq(Map(
+        "step" -> "sample_token_budget", "budget_tokens" -> 12, "tokenizer" -> "bpe")))
+    }
+    intercept[IllegalArgumentException] {
+      CurationPipeline(docs4, Seq(Map(
+        "step" -> "sample_token_budget", "budget_tokens" -> 12,
+        "tokenizer" -> "nope", "model_json" -> model)))
+    }
+  }
+
   test("curation-pipeline steps: dedup_minhash matches the direct kernel path") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs3 = Seq(
