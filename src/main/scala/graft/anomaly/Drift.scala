@@ -123,19 +123,29 @@ object Drift {
         explode(array(perCol: _*)).as("s"): _*)
       .select(segmentCols.map(col) :+ col("sample_size") :+
         col("s.column") :+ col("s.cur_mean") :+ col("s.cur_std"): _*)
+    // Join on the segment columns THEMSELVES, one baseline-frame column per
+    // segment column: a concatenated string key drops nulls (concat_ws), so
+    // ("a", null) and (null, "a") would collide, and any separator char
+    // appearing inside a value would too. Null-safe equality (<=>) keeps a
+    // deliberately-null baseline segment value matchable.
+    val segKeyCols = segmentCols.indices.map(i => s"__base_seg_$i")
     val baseRows = baselines.toSeq.flatMap { case (seg, stats) =>
       stats.toSeq.map { case (c, st) => (seg.toList, c, st.mean, st.std) }
-    }.map { case (seg, c, m, s) => (seg.mkString(""), c, m, s) }
-    val baseDf = baseRows.toDF("__seg_key", "column", "base_mean", "base_std")
-    val segKey = concat_ws("", segmentCols.map(c => col(c).cast("string")): _*)
-    long.withColumn("__seg_key", segKey)
-      .join(broadcast(baseDf), Seq("__seg_key", "column"))
+    }
+    val baseDf = baseRows.toDF("__seg", "column", "base_mean", "base_std")
+      .select(segKeyCols.zipWithIndex.map { case (n, i) =>
+        element_at(col("__seg"), i + 1).as(n)
+      } ++ Seq(col("column").as("__base_column"), col("base_mean"),
+        col("base_std")): _*)
+    val joinCond = segmentCols.zip(segKeyCols).map { case (sc, bc) =>
+      long(sc) <=> baseDf(bc)
+    }.reduce(_ && _) && long("column") === baseDf("__base_column")
+    long.join(broadcast(baseDf), joinCond)
       .withColumn("score", scoreExpr(col("base_mean"), col("base_std"),
         col("cur_mean"), col("cur_std")))
       .withColumn("drifted",
         col("sample_size") >= minSampleSize && col("score") >= threshold)
-      .drop("__seg_key")
-      .select(segmentCols.map(col) ++ Seq(col("column"), col("base_mean"),
+      .select(segmentCols.map(long(_)) ++ Seq(long("column"), col("base_mean"),
         col("base_std"), col("cur_mean"), col("cur_std"), col("sample_size"),
         col("score"), col("drifted")): _*)
   }

@@ -224,7 +224,8 @@ object CurationPipeline {
         val vecCol = str(m, "vec_col").getOrElse(throw new IllegalArgumentException(
           "dedup_semantic: 'vec_col' is required"))
         val trainRows = num(m, "train_rows").getOrElse(10000.0).toInt
-        val sample = df.select(col(vecCol).cast("array<double>")).limit(trainRows)
+        val sample = df.select(col(vecCol).cast("array<double>"))
+          .where(col(vecCol).isNotNull).limit(trainRows)
           .collect().map(_.getSeq[Double](0).toArray)
         val centroids = Similarity.trainKMeans(sample,
           num(m, "num_centroids").getOrElse(64.0).toInt,

@@ -242,6 +242,7 @@ object PqOps {
     var s = 0.0
     var b = 0
     while (b < n) {
+      if (codes.isNullAt(b)) return null
       val c = codes.getInt(b)
       val t = lut(b)
       if (c < 0 || c >= t.length) return null

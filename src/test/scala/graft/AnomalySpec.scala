@@ -189,6 +189,27 @@ class AnomalySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
   }
 
+  test("segment drift: multi-column segments join on the columns, not a concat key") {
+    import graft.anomaly.Drift
+    // ("a","bc") vs ("ab","c") — identical under any separator-less concat;
+    // plus a null segment value, which concat_ws would silently drop.
+    val df = ((1 to 1200).map(i => (i, "a", "bc", 10.0)) ++
+      (1 to 1200).map(i => (3000 + i, "ab", "c", 10.0)) ++
+      (1 to 1200).map(i => (6000 + i, null.asInstanceOf[String], "a", 10.0)))
+      .toDF("id", "s1", "s2", "v")
+    val base = Map(
+      Seq("a", "bc") -> Map("v" -> Drift.ColumnStats(10.0, 1.0)), // matches -> no drift
+      Seq("ab", "c") -> Map("v" -> Drift.ColumnStats(99.0, 1.0)), // far -> drift
+      Seq(null.asInstanceOf[String], "a") -> Map("v" -> Drift.ColumnStats(50.0, 1.0)))
+    val out = Drift.segmentDriftScores(df, Seq("s1", "s2"), base)
+      .select("s1", "s2", "drifted")
+      .as[(String, String, Boolean)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.size == 3)
+    assert(out(("a", "bc")) == false) // would be true if keyed on "abc" collision
+    assert(out(("ab", "c")) == true)
+    assert(out((null, "a")) == true) // null segment value still matches its baseline
+  }
+
   test("has_no_drift dataset check: flag-all on drift, pass otherwise, metadata path") {
     import graft.anomaly.Drift
     import graft.checks.DatasetChecks

@@ -227,6 +227,16 @@ class CurationPipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 4L))
 
+    // a null vec among the first train_rows must not NPE the driver-side
+    // k-means sample (it is filtered, matching Pq.train)
+    val withNull = Seq((0L, null.asInstanceOf[Seq[Double]])).toDF("doc_id", "vec")
+      .union(emb)
+    val keptNull = CurationPipeline(withNull, Seq(Map(
+      "step" -> "dedup_semantic", "vec_col" -> "vec",
+      "threshold" -> 0.95, "num_centroids" -> 3, "train_rows" -> 4)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptNull.intersect(Set(1L, 3L, 4L)) == Set(1L, 3L, 4L))
+
     val evalRoot = java.nio.file.Files.createTempDirectory("graft_eval")
     try {
       val evalDir = evalRoot.toString + "/eval"

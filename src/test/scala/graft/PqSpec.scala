@@ -90,6 +90,13 @@ class PqSpec extends SparkSpec {
     val adc = bad.select(Pq.adcDotColumn(col("c"), Array(1.0, 0.0, 0.0, 1.0), lutModel))
       .head()
     assert(adc.isNullAt(0))
+    // a NULL element inside the codes array nulls the score (adcDotColumn
+    // accepts arbitrary array<int>, so containsNull is possible)
+    val nullElem = Seq((1L, Seq[Integer](0, null))).toDF("id", "c")
+    val adcNull = nullElem
+      .select(Pq.adcDotColumn(col("c"), Array(1.0, 0.0, 0.0, 1.0), lutModel))
+      .head()
+    assert(adcNull.isNullAt(0))
   }
 
   test("PQ expressions stay inside whole-stage codegen") {
