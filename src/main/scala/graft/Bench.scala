@@ -89,15 +89,62 @@ object Bench {
                                   acknowledged: Boolean): Option[String] =
     violation.filter(_ => !acknowledged)
 
+  /** sf0.1-protocol heap for the self-normalizing re-exec (r8 follow-up). */
+  private[graft] val NormalizedHeap = "8g"
+
+  /** Child JVM flags = the parent's, minus any heap pin / attached agent,
+    * plus the protocol heap. Keeping the rest verbatim preserves the
+    * `--add-opens` set Spark 4 needs on JDK 17 without re-deriving it.
+    */
+  private[graft] def childJvmArgs(parentArgs: Seq[String]): Seq[String] =
+    parentArgs.filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+      a.startsWith("-agentlib") || a.startsWith("-javaagent")) :+
+      s"-Xmx$NormalizedHeap"
+
+  /** r8 "Next #1": refusing an oversized-heap run left the driver's official
+    * BENCH artifact empty two rounds running (the driver's env pins a ~90g
+    * heap the builder doesn't control). Self-normalize instead: re-exec this
+    * same main in a child JVM pinned to the protocol heap, stream its output
+    * through (the contract JSON line still lands last on stdout), and exit
+    * with its code. Refusal survives only as the fallback when spawning
+    * fails — or when the pinned child somehow still violates (recursion
+    * guard via SPARK_GRAFT_BENCH_CHILD).
+    */
+  private def reexecPinned(args: Array[String]): Int = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = childJvmArgs(java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq)
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench") ++ args
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+    pb.inheritIO()
+    pb.start().waitFor()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val refRowsEarly = sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.toLong).getOrElse(BenchRef.DefaultRows)
     shouldRefuse(protocolViolation(refRowsEarly, Runtime.getRuntime.maxMemory()),
       sys.env.get("SPARK_GRAFT_BENCH_ACKNOWLEDGE_BIG_HEAP").contains("1")).foreach { v =>
-      System.err.println(s"BENCH PROTOCOL VIOLATION — refusing to run: $v")
-      System.err.println("Set SPARK_GRAFT_BENCH_ACKNOWLEDGE_BIG_HEAP=1 to run anyway (outputs will be stamped).")
-      sys.exit(2)
+      if (sys.env.get("SPARK_GRAFT_BENCH_CHILD").contains("1")) {
+        // the -Xmx-pinned child should never get here; don't spawn again
+        System.err.println(s"BENCH PROTOCOL VIOLATION — refusing to run (already re-execed once): $v")
+        sys.exit(2)
+      }
+      System.err.println(s"BENCH PROTOCOL: $v — re-executing in a child JVM pinned to -Xmx$NormalizedHeap")
+      val rc =
+        try reexecPinned(args)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH PROTOCOL VIOLATION — child re-exec failed ($e); refusing to run: $v")
+            System.err.println("Set SPARK_GRAFT_BENCH_ACKNOWLEDGE_BIG_HEAP=1 to run anyway (outputs will be stamped).")
+            2
+        }
+      sys.exit(rc)
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -141,12 +188,20 @@ object Bench {
       BenchRef.touch(DQEngine.applyChecks(o, rules))
     }
 
+    // SPARK_GRAFT_BENCH_SUITES applies to the headline suites and the query
+    // loop too (r9) — BenchRef already filters its own suites with the same
+    // env var — so a single suspicious number from ANY phase can be A/B'd in
+    // isolation from the full run's cumulative JVM/page-cache pressure.
+    val suiteFilter = sys.env.get("SPARK_GRAFT_BENCH_SUITES")
+    def keepSuite(name: String): Boolean = suiteFilter.forall(name.contains)
+
     val suites: Seq[(String, () => Unit)] = Seq(
       "all_row_checks" -> (() => { BenchRef.touch(allRowChecksSuite(spark, sfDir)); () }),
       "all_dataset_checks" -> (() => { BenchRef.touch(allDatasetChecksSuite(spark, sfDir)); () }),
       "foreach_is_unique" -> (() => foreachIsUnique()),
       "foreach_foreign_key" -> (() => foreachForeignKey()),
-      "compare_datasets_single" -> (() => compareDatasetsSingle()))
+      "compare_datasets_single" -> (() => compareDatasetsSingle())
+    ).filter { case (name, _) => keepSuite(name) }
 
     val suiteTimes = suites.map { case (name, f) =>
       f() // warmup round
@@ -158,7 +213,9 @@ object Bench {
     // regressions); the min of two runs reports the query's real cost
     spark.sharedState.cacheManager.clearCache()
     System.gc()
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => keepSuite(name) }
+      .map { case (name, fn) =>
       name -> (try {
         val t1 = time(fn(spark, sfDir).count())
         val t2 = time(fn(spark, sfDir).count())

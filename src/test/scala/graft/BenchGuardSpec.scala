@@ -41,4 +41,69 @@ class BenchGuardSpec extends AnyFunSuite {
     // clean run never refuses
     assert(Bench.shouldRefuse(None, acknowledged = false).isEmpty)
   }
+
+  test("child JVM args drop the parent heap pin and agents, keep module opens") {
+    val parent = Seq("-Xmx91g", "-Xms4g", "--add-opens",
+      "java.base/java.lang=ALL-UNNAMED", "-agentlib:jdwp=x", "-javaagent:a.jar",
+      "-Dspark.ui.enabled=false")
+    val child = Bench.childJvmArgs(parent)
+    assert(child.last == s"-Xmx${Bench.NormalizedHeap}")
+    assert(child.contains("--add-opens") &&
+      child.contains("java.base/java.lang=ALL-UNNAMED") &&
+      child.contains("-Dspark.ui.enabled=false"))
+    assert(!child.exists(a => a == "-Xmx91g" || a == "-Xms4g" ||
+      a.startsWith("-agentlib") || a.startsWith("-javaagent")))
+  }
+
+  test("big-heap parent self-normalizes: re-exec yields a parsed, 8g-stamped record (r8 follow-up)") {
+    import scala.jdk.CollectionConverters._
+    // Spawn the REAL graft.Bench at -Xmx32g (violating); it must re-exec
+    // itself at the protocol heap and produce a clean artifact + contract
+    // line. Suite filter matches nothing and ref rows are disabled, so the
+    // child only starts a session, warms the sf0.001 tables, and reports.
+    val dir = java.nio.file.Files.createTempDirectory("graft_benchguard")
+    val out = dir.resolve("stdout.txt").toFile
+    val err = dir.resolve("stderr.txt").toFile
+    try {
+      val javaBin = new java.io.File(
+        new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val baseArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+          a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cmd = Seq(javaBin) ++ baseArgs ++ Seq("-Xmx32g",
+        "-cp", System.getProperty("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.directory(dir.toFile) // artifacts land here, NOT in the repo
+      pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+      pb.environment().put("SPARK_GRAFT_BENCH_ROWS", "0") // still guards heap
+      pb.environment().put("SPARK_GRAFT_BENCH_SUITES", "__no_such_suite__")
+      pb.environment().put("SPARK_GRAFT_CPUS", "4")
+      pb.redirectOutput(out)
+      pb.redirectError(err)
+      val proc = pb.start()
+      assert(proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+        { proc.destroyForcibly(); "bench child timed out" })
+      val stderrTxt = new String(java.nio.file.Files.readAllBytes(err.toPath))
+      assert(proc.exitValue() == 0, s"exit ${proc.exitValue()}\n$stderrTxt")
+      assert(stderrTxt.contains("re-executing in a child JVM pinned to -Xmx8g"), stderrTxt)
+      // contract line: last stdout line is the JSON record, no violation stamp
+      val lines = scala.io.Source.fromFile(out).getLines().toSeq
+      val contract = lines.last
+      assert(contract.startsWith("""{"metric":"total""""), contract)
+      assert(!contract.contains("protocol_violation"), contract)
+      // artifact: written by the pinned grandchild, stamped under the ceiling
+      val art = new String(java.nio.file.Files.readAllBytes(
+        dir.resolve("bench_out.json")))
+      val heapMb = """"heapMaxMb":(\d+)""".r.findFirstMatchIn(art)
+        .map(_.group(1).toLong)
+      assert(heapMb.exists(h => h > 4000 && h <= 16384), s"stamp heap $heapMb\n$art")
+      assert(!art.contains("protocol_violation"), art)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      ()
+    }
+  }
 }
