@@ -355,4 +355,17 @@ object GazetteerNerEngine {
     "snyder", "mason", "dixon", "munoz", "hunt", "hicks", "holmes",
     "palmer", "wagner", "black", "robertson", "boyd", "rose", "stone",
     "salazar", "fox", "warren", "mills", "meyer", "rice", "schmidt")
+
+  // Sorted snapshots of the public lists for synthetic NER corpus generation
+  // ([[NerCorpus]]) — sorted so name splits are deterministic across JVMs.
+  private[checks] def givenNameList: Vector[String] = GivenNames.toVector.sorted
+  private[checks] def surnameList: Vector[String] = Surnames.toVector.sorted
+  private[checks] def placeList: Vector[String] = Places.toVector.sorted
+  private[checks] def inAnyNameList(lower: String): Boolean =
+    GivenNames(lower) || Surnames(lower) || Places(lower)
+  // single-token membership probes for perceptron gazetteer FEATURES
+  // (Collins 2002-style list features; [[PerceptronNer.features]])
+  private[checks] def isGivenName(lower: String): Boolean = GivenNames(lower)
+  private[checks] def isSurname(lower: String): Boolean = Surnames(lower)
+  private[checks] def isPlaceWord(lower: String): Boolean = Places(lower)
 }

@@ -53,13 +53,21 @@ object PerceptronNer {
     sb.toString
   }
 
-  /** Sparse feature strings for position `i` given the previous tag. */
+  /** Sparse feature strings for position `i` given the previous tag.
+    * Includes Collins 2002-style gazetteer-membership features (the public
+    * name/place lists [[GazetteerNerEngine]] carries) for the current,
+    * previous, and next word — standard perceptron-NER practice: the lists
+    * provide identity evidence, the learned weights arbitrate it against
+    * shape and context (so "Jordan River" and "April showers" resolve by
+    * context instead of by list membership alone).
+    */
   private[checks] def features(toks: Array[String], i: Int, prevTag: String): Array[String] = {
     val w = toks(i)
     val lw = w.toLowerCase(java.util.Locale.ROOT)
     val prev = if (i > 0) toks(i - 1).toLowerCase(java.util.Locale.ROOT) else "<s>"
     val next = if (i + 1 < toks.length) toks(i + 1).toLowerCase(java.util.Locale.ROOT) else "</s>"
     val isCap = w.length > 0 && w.head.isUpper
+    val G = GazetteerNerEngine
     Array(
       "b",
       "w=" + lw,
@@ -71,8 +79,14 @@ object PerceptronNer {
       "prevw=" + prev,
       "nextw=" + next,
       if (i > 0 && toks(i - 1).headOption.exists(_.isUpper)) "prevcap" else "noprevcap",
+      if (i + 1 < toks.length && toks(i + 1).headOption.exists(_.isUpper)) "nextcap" else "nonextcap",
       "pt=" + prevTag,
-      "pt+w=" + prevTag + "+" + lw)
+      "pt+w=" + prevTag + "+" + lw,
+      if (G.isGivenName(lw)) "g:giv" else "g:giv0",
+      if (G.isSurname(lw)) "g:sur" else "g:sur0",
+      if (G.isPlaceWord(lw)) "g:plc" else "g:plc0",
+      if (G.isSurname(next)) "g:nextsur" else "g:nextsur0",
+      if (G.isGivenName(prev)) "g:prevgiv" else "g:prevgiv0")
   }
 
   private def scoreAll(weights: Map[String, Array[Double]], feats: Array[String]): Array[Double] = {

@@ -508,6 +508,25 @@ object RowCheckQueries {
           Seq("doc_id"))
       },
       Some("""SELECT doc_id FROM documents
-             |WHERE doc_id % 9 = 0 OR doc_id % 23 = 0 ORDER BY 1""".stripMargin))
+             |WHERE doc_id % 9 = 0 OR doc_id % 23 = 0 ORDER BY 1""".stripMargin)),
+
+    // The COMMITTED pretrained model through the out-of-the-box default
+    // engine (r9): the planted name is absent from every public gazetteer
+    // list, so only the bundled perceptron weights can flag it — the gate
+    // fails if the shipped artifact loses that recall (reference ships
+    // Presidio's trained models, pii/pii_detection_funcs.py:33).
+    "row_does_not_contain_pii_pretrained" -> QueryDef(
+      (s, dir) => {
+        import graft.checks._
+        val df = t(s, dir, "documents")
+          .withColumn("body",
+            when(col("doc_id") % 11 === 0,
+              concat(lit("Please contact Quina Ashford about the invoice . "), col("text")))
+              .otherwise(col("text")))
+        failing(df, row(PiiChecks.doesNotContainPii(col("body"),
+          ner = Some(new DefaultNerEngine())), "does_not_contain_pii", "body"),
+          Seq("doc_id"))
+      },
+      Some("SELECT doc_id FROM documents WHERE doc_id % 11 = 0 ORDER BY 1"))
   )
 }

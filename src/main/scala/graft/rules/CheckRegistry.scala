@@ -163,7 +163,13 @@ object CheckRegistry {
       }.orElse(a.strOpt("ner_engine_class").map { cls =>
         Class.forName(cls).getDeclaredConstructor().newInstance()
           .asInstanceOf[graft.checks.NerEngine]
-      })))
+      }).orElse(
+        // r9 default: name detection works out of the box, like the
+        // reference's bundled Presidio models — gazetteer first, committed
+        // pretrained perceptron when the gazetteer finds nothing. Opt out
+        // with use_ner: false (regex/checksum entities only).
+        if (a.bool("use_ner", true)) Some(new graft.checks.DefaultNerEngine)
+        else None)))
   )
 
   import DatasetChecks._

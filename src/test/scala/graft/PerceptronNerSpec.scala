@@ -7,12 +7,20 @@ import org.apache.spark.sql.functions._
 class PerceptronNerSpec extends SparkSpec {
   import spark.implicits._
 
+  // gazetteer names plus a few out-of-list ones: with the list-membership
+  // features (r9) a corpus whose persons are ALL in the lists teaches
+  // "absent from every list" as ORG evidence, which would defeat the
+  // shape+context generalization this spec pins
   private val givens = Vector("james", "mary", "robert", "patricia", "john",
     "jennifer", "michael", "linda", "david", "elizabeth", "william", "barbara",
-    "richard", "susan", "joseph", "jessica", "thomas", "sarah", "charles", "karen")
+    "richard", "susan", "joseph", "jessica", "thomas", "sarah", "charles", "karen",
+    "branwel", "fyntor", "gorveth", "jaspen", "kelmar", "lorvus", "mirteth",
+    "nolqa", "pralio", "selben")
   private val surs = Vector("smith", "johnson", "williams", "brown", "jones",
     "garcia", "miller", "davis", "rodriguez", "martinez", "wilson", "anderson",
-    "taylor", "moore", "jackson", "martin", "lee", "perez", "thompson", "white")
+    "taylor", "moore", "jackson", "martin", "lee", "perez", "thompson", "white",
+    "dornwick", "fennholt", "greshmere", "ostrand", "pembwell", "caldby",
+    "elmstrand", "haleton", "irvmere", "kestwick")
   private val orgs = Vector("acme", "globex", "initech", "umbrella", "stark",
     "wayne", "cyberdyne", "tyrell", "wonka", "oscorp")
   private val suffixes = Vector("Corp", "Inc", "Ltd", "Group")
@@ -61,7 +69,7 @@ class PerceptronNerSpec extends SparkSpec {
   private lazy val model: PerceptronNerModel = {
     val train = corpus(seed = 11, n = 400)
     PerceptronNer.train(train.toDF("toks", "tags").repartition(4),
-      col("toks"), col("tags"), epochs = 8)
+      col("toks"), col("tags"), epochs = 12)
   }
 
   test("held-out token accuracy and entity-type detection on unseen sentences") {
