@@ -44,6 +44,16 @@ object Pq {
     val sample = df.select(col(vecCol).cast("array<double>"))
       .where(col(vecCol).isNotNull).limit(trainRows)
       .collect().map(_.getSeq[Double](0).toArray)
+    trainFromSample(sample, numBlocks, codebookSize, iterations, seed)
+  }
+
+  /** Codebook training from an already-collected sample — shared by
+    * [[train]] and [[ivfPqTopK]] (which trains the coarse quantizer and the
+    * codebooks from ONE driver sample instead of scanning twice).
+    */
+  private[pipeline] def trainFromSample(sample: Array[Array[Double]], numBlocks: Int,
+                                        codebookSize: Int, iterations: Int,
+                                        seed: Long): PqModel = {
     require(sample.nonEmpty, "no rows to train the PQ codebooks")
     val dim = sample.head.length
     require(dim % numBlocks == 0, s"vector dim $dim not divisible by numBlocks $numBlocks")
@@ -194,6 +204,118 @@ object Pq {
       .withColumn("cosine", Similarity.cosine(col("__qv"), col("__cv")))
       .where(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Driver-side mirror of the [[NearestCentroids]] kernel (max dot against
+    * NORMALIZED centroids, ties to the lowest index) so query probing and
+    * corpus cell assignment agree exactly.
+    */
+  private[pipeline] def probeCells(cells: Array[Array[Double]], q: Array[Double],
+                                   nprobe: Int): Array[Int] = {
+    val normed = cells.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(_ / n)
+    }
+    val sims = normed.map { cen =>
+      val d = math.min(q.length, cen.length)
+      var dot = 0.0
+      var j = 0
+      while (j < d) { dot += q(j) * cen(j); j += 1 }
+      dot
+    }
+    sims.zipWithIndex.sortBy { case (s, idx) => (-s, idx) }.take(nprobe).map(_._2)
+  }
+
+  /** IVF-PQ — the production 100 TB ANN layout (Jégou et al. 2011 §V;
+    * IVFADC without residual re-encoding, codebooks shared across cells):
+    * a coarse quantizer partitions the corpus into `numCells` inverted
+    * lists, every row stores only its cell id + PQ codes, and a query
+    * touches just its `nprobe` nearest cells — the scan is SUBLINEAR in the
+    * corpus (cells prune at the storage layer when the table is partitioned
+    * by cell), and what it reads is 32x smaller than the float vectors.
+    * Scoring is one ADC pass over the probed rows; the top-`shortlist` ADC
+    * candidates alone join back to float vectors for an exact cosine rerank.
+    *
+    * Both quantizers train on ONE capped driver sample (the IVF/PQ/
+    * IsolationForest convention). `queries` is a small driver-side seq, the
+    * broadcast-dimension convention of [[topKByAdc]]; probing is therefore
+    * free driver arithmetic. Output: (query_id, rank, neighbor_id, cosine),
+    * rank 1..k, self-match excluded.
+    */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: Seq[(Long, Array[Double])], k: Int,
+                numCells: Int = 64, nprobe: Int = 8, numBlocks: Int = 16,
+                codebookSize: Int = 256, shortlist: Int = 100,
+                trainRows: Int = 10000, iterations: Int = 10,
+                seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    require(queries.nonEmpty, "no queries")
+    require(shortlist >= k, "shortlist must be at least k")
+    val session = corpus.sparkSession
+    import session.implicits._
+    val sample = corpus.select(col(vecCol).cast("array<double>"))
+      .where(col(vecCol).isNotNull).limit(trainRows)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cells = Similarity.trainKMeans(sample, numCells, iterations, seed)
+    val model = trainFromSample(sample, numBlocks, codebookSize, iterations, seed)
+    val dim = model.blockDim * model.numBlocks
+    queries.foreach { case (_, qv) =>
+      require(qv.length == dim, s"query dim ${qv.length} != model dim $dim") }
+
+    // index build: ONE corpus projection -> (id, cell, codes); at rest this
+    // is the whole index (cell = partition column, codes = 1 byte/block)
+    val vec = col(vecCol).cast("array<double>")
+    val indexed = corpus.where(vec.isNotNull).select(
+      col(idCol).cast("long").as("neighbor_id"),
+      element_at(GraftColumnBridge.column(NearestCentroids(
+        GraftColumnBridge.expression(vec), cells, 1)), 1).as("__cell"),
+      encodeColumn(vec, model).as("__codes"))
+
+    // driver-side probe lists per query + the union of touched cells
+    val probes = math.min(nprobe, cells.length)
+    val probed: Seq[Array[Int]] = queries.map { case (_, qv) => probeCells(cells, qv, probes) }
+    val touched = probed.flatten.distinct.sorted
+    val probedLit = array(probed.map(cs => array(cs.map(lit): _*)): _*)
+
+    // ADC over probed rows only: every query's LUT rides one expression,
+    // rows outside a query's probe list are dropped before ranking
+    val luts: Array[Array[Array[Double]]] = queries.map { case (_, qv) =>
+      Array.tabulate(model.numBlocks) { b =>
+        model.codebooks(b).map { cent =>
+          var s = 0.0
+          var d = 0
+          while (d < cent.length) { s += cent(d) * qv(b * model.blockDim + d); d += 1 }
+          s
+        }
+      }
+    }.toArray
+    val qids = queries.map(_._1)
+    val scores = GraftColumnBridge.column(PqAdcDotMulti(
+      GraftColumnBridge.expression(col("__codes")), luts))
+    val cand = indexed
+      .where(col("__cell").isin(touched: _*)) // cell pruning (partition prune at rest)
+      .select(col("neighbor_id"), col("__cell"), posexplode(scores).as(Seq("__qidx", "adc_dot")))
+      .where(array_contains(element_at(probedLit, col("__qidx") + 1), col("__cell")))
+      .withColumn("query_id", element_at(array(qids.map(lit): _*), col("__qidx") + 1))
+      .where(col("adc_dot").isNotNull)
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc_dot").desc, col("neighbor_id"))
+    val short = cand.withColumn("__r", row_number().over(wAdc))
+      .where(col("__r") <= shortlist)
+      .select("query_id", "neighbor_id")
+
+    // exact cosine rerank on the shortlist only
+    val qdf = queries.map { case (qid, qv) => (qid, qv.toSeq) }.toDF("query_id", "__qv")
+    val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val wCos = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    short.join(vecs, Seq("neighbor_id"))
+      .join(broadcast(qdf), Seq("query_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Similarity.cosine(col("__qv"), col("__cv")))
+      .where(col("cosine").isNotNull)
+      .withColumn("rank", row_number().over(wCos))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }

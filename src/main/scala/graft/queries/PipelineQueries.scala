@@ -364,6 +364,36 @@ object PipelineQueries {
              |  FROM scored) t
              |WHERE rank <= 5 ORDER BY 1, 2""".stripMargin)),
 
+    // IVF-PQ composition gate (r9): nprobe = numCells and a corpus-sized
+    // shortlist make the pipeline exhaustive — every row is ADC-scored and
+    // every candidate is exact-cosine reranked, so the brute-force oracle
+    // applies exactly (the spec proves the degenerate-exact property; recall
+    // at sublinear nprobe/shortlist is spec-tested on clustered data).
+    "pipe_knn_ivfpq" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val queries = emb.where(col("vec_id") < 20)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+          .sortBy(_._1)
+        Pq.ivfPqTopK(emb, "vec_id", "embedding", queries, k = 5,
+          numCells = 16, nprobe = 16, numBlocks = 16, codebookSize = 64,
+          shortlist = 1000000, trainRows = 2000)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |q AS (SELECT vec_id, e FROM emb WHERE vec_id < 20),
+             |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |  list_cosine_similarity(q.e, c.e) AS cos
+             |  FROM q JOIN emb c ON c.vec_id != q.vec_id)
+             |SELECT query_id, rank, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 5 ORDER BY 1, 2""".stripMargin)),
+
     // Product-quantization gate: FIXED literal codebooks (2 blocks x 2
     // centroids over the first 4 dims), so per-block argmin encoding and the
     // ADC lookup sum are pure closed-form arithmetic the oracle replays.

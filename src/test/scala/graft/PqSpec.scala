@@ -69,6 +69,47 @@ class PqSpec extends SparkSpec {
     assert(rerankRecalls.forall(_ >= 0.9), s"rerank recall: ${rerankRecalls.mkString(",")}")
   }
 
+  test("IVF-PQ composition recalls brute-force top-k; zero-probe cells never scanned") {
+    val data = clustered(600, 6)
+    val df = data.toDF("vec_id", "v")
+    val queries = data.take(6).map { case (id, v) => (id, v.toArray) }
+
+    val got = Pq.ivfPqTopK(df, "vec_id", "v", queries, k = 10,
+      numCells = 6, nprobe = 3, numBlocks = 4, codebookSize = 8,
+      shortlist = 150, trainRows = 600, seed = 7)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val corpus = data.map { case (id, v) => (id, v.toArray) }
+    val exact = queries.map { case (qid, qv) =>
+      qid -> corpus.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosine(v, qv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    }.toMap
+    val recalls = queries.map { case (qid, _) =>
+      exact(qid).count(got.getOrElse(qid, Seq.empty).toSet).toDouble / 10.0
+    }
+    // with 6 well-separated clusters and nprobe=3, every query's own cluster
+    // is probed -> near-exact recall on clustered data
+    assert(recalls.forall(_ >= 0.9), s"ivfpq recall: ${recalls.mkString(",")}")
+
+    // nprobe = numCells degenerates to PQ-over-everything = exact after rerank
+    val full = Pq.ivfPqTopK(df, "vec_id", "v", queries, k = 10,
+      numCells = 6, nprobe = 6, numBlocks = 4, codebookSize = 8,
+      shortlist = 300, trainRows = 600, seed = 7)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    queries.foreach { case (qid, _) =>
+      assert(full(qid) == exact(qid).toSeq, s"query $qid full-probe mismatch")
+    }
+  }
+
   test("encode is deterministic, null-safe, and dimension-checked") {
     val model = Pq.PqModel(2, Array(
       Array(Array(1.0, 0.0), Array(0.0, 1.0)),
