@@ -67,7 +67,15 @@ object CurationPipeline {
     "sample_weights" -> Set("group_col", "weights", "default_weight"),
     "sample_token_budget" -> Set("budget_tokens", "group_cols", "tokenizer", "model_json"),
     "epoch_mix" -> Set("group_col", "weights", "default_weight"),
-    "shard_assign" -> Set("num_shards"))
+    "shard_assign" -> Set("num_shards"),
+    "drift_check" -> Set("baseline", "model_location", "columns", "threshold",
+      "min_sample_size"),
+    "pq_encode" -> Set("vec_col", "codes_col", "num_blocks", "codebook_size",
+      "train_rows", "iterations", "seed"),
+    "knn_pq" -> Set("vec_col", "queries_path", "query_id_col", "query_vec_col",
+      "k", "shortlist", "num_blocks", "codebook_size", "train_rows",
+      "iterations", "seed", "max_queries"),
+    "tokenize_wordpiece" -> Set("model_json", "mode", "output_col"))
 
   /** Parse a YAML (or JSON) step list and run it. */
   def fromYaml(df: DataFrame, yaml: String, idCol: String = "doc_id",
@@ -315,6 +323,96 @@ object CurationPipeline {
         Curation.shardAssign(df, col(idCol),
           num(m, "num_shards").getOrElse(throw new IllegalArgumentException(
             "shard_assign: 'num_shards' is required")).toInt)
+      case "drift_check" =>
+        // monitoring step: annotate every row with the batch's overall drift
+        // score vs a baseline (inline {col: {mean, std}} map, or a stored
+        // anomaly model record), so downstream steps/writers can route or
+        // quarantine drifted batches. ONE extra aggregation over the frame,
+        // joined back as a broadcast 1-row scalar (the aggr-check convention).
+        import graft.anomaly.{Drift, ModelRegistry}
+        val baseline: Map[String, Drift.ColumnStats] = str(m, "model_location") match {
+          case Some(loc) => ModelRegistry.load(df.sparkSession, loc).baselineStats
+          case None => m.get("baseline") match {
+            case Some(bm: Map[_, _]) => bm.asInstanceOf[Map[String, Any]].map {
+              case (c, stats: Map[_, _]) =>
+                val sm = stats.asInstanceOf[Map[String, Any]]
+                c.toString -> Drift.ColumnStats(
+                  String.valueOf(sm("mean")).toDouble, String.valueOf(sm("std")).toDouble)
+              case (c, other) => throw new IllegalArgumentException(
+                s"drift_check baseline for '$c' must be a {mean, std} map, got $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              "drift_check: 'baseline' map or 'model_location' is required")
+          }
+        }
+        val cols = strList(m, "columns").getOrElse(baseline.keys.toSeq.sorted)
+          .filter(df.columns.contains)
+        require(cols.nonEmpty, "drift_check: no baseline column exists in the frame")
+        val threshold = num(m, "threshold").getOrElse(3.0)
+        val minN = num(m, "min_sample_size")
+          .getOrElse(Drift.MinSampleSizeForDrift.toDouble).toLong
+        val scores = Drift.driftScores(df.select(cols.map(col): _*), baseline)
+          .agg(max(col("score")).as("_drift_score"),
+            first(col("sample_size")).as("__n"))
+          .select(col("_drift_score"),
+            (col("__n") >= minN && col("_drift_score") >= threshold)
+              .as("_drift_detected"))
+        df.crossJoin(broadcast(scores))
+      case "pq_encode" =>
+        // product-quantization codes next to (or in place of) the float
+        // vectors: trains codebooks on a capped driver sample at
+        // pipeline-construction time (the dedup_semantic convention), adds a
+        // row-local codegen'd codes column
+        val vecCol = str(m, "vec_col").getOrElse(throw new IllegalArgumentException(
+          "pq_encode: 'vec_col' is required"))
+        val model = Pq.train(df, vecCol,
+          numBlocks = num(m, "num_blocks").getOrElse(16.0).toInt,
+          codebookSize = num(m, "codebook_size").getOrElse(256.0).toInt,
+          trainRows = num(m, "train_rows").getOrElse(10000.0).toInt,
+          iterations = num(m, "iterations").getOrElse(10.0).toInt,
+          seed = num(m, "seed").getOrElse(42.0).toLong)
+        df.withColumn(str(m, "codes_col").getOrElse("pq_codes"),
+          Pq.encodeColumn(col(vecCol), model))
+      case "knn_pq" =>
+        // terminal search step: the frame is the corpus, queries come from a
+        // parquet path (capped driver-side — the broadcast-dimension
+        // convention); output is (query_id, rank, neighbor_id, cosine)
+        val vecCol = str(m, "vec_col").getOrElse(throw new IllegalArgumentException(
+          "knn_pq: 'vec_col' is required"))
+        val queriesPath = str(m, "queries_path").getOrElse(throw new IllegalArgumentException(
+          "knn_pq: 'queries_path' is required"))
+        val qidCol = str(m, "query_id_col").getOrElse("query_id")
+        val qvecCol = str(m, "query_vec_col").getOrElse(vecCol)
+        val queries = df.sparkSession.read.parquet(queriesPath)
+          .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+          .where(col(qvecCol).isNotNull)
+          .limit(num(m, "max_queries").getOrElse(1000.0).toInt)
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        val model = Pq.train(df, vecCol,
+          numBlocks = num(m, "num_blocks").getOrElse(16.0).toInt,
+          codebookSize = num(m, "codebook_size").getOrElse(256.0).toInt,
+          trainRows = num(m, "train_rows").getOrElse(10000.0).toInt,
+          iterations = num(m, "iterations").getOrElse(10.0).toInt,
+          seed = num(m, "seed").getOrElse(42.0).toLong)
+        val k = num(m, "k").getOrElse(10.0).toInt
+        val codes = df.select(col(idCol),
+          Pq.encodeColumn(col(vecCol), model).as("__pq_codes"))
+        Pq.topKByAdcRerank(codes, df, idCol, "__pq_codes", vecCol, queries, model,
+          k, shortlist = num(m, "shortlist").getOrElse(math.max(100, 10 * k).toDouble).toInt)
+      case "tokenize_wordpiece" =>
+        // count (default) or encode with a serialized WordPiece model —
+        // row-local, codegen'd, no shuffle
+        val model = WordPieceModelJson.parse(str(m, "model_json")
+          .getOrElse(throw new IllegalArgumentException(
+            "tokenize_wordpiece: 'model_json' is required")))
+        str(m, "mode").getOrElse("count") match {
+          case "count" => df.withColumn(str(m, "output_col").getOrElse("token_count"),
+            WordPiece.countColumn(coalesce(text, lit("")), model))
+          case "encode" => df.withColumn(str(m, "output_col").getOrElse("tokens"),
+            WordPiece.encodeColumn(coalesce(text, lit("")), model))
+          case other => throw new IllegalArgumentException(
+            s"tokenize_wordpiece: 'mode' must be count or encode, got '$other'")
+        }
     }
   }
 

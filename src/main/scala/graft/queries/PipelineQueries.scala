@@ -642,6 +642,35 @@ object PipelineQueries {
              |WHERE (doc_id % 2147483648) * 2654435761 % 4294967296 < 2147483648
              |ORDER BY doc_id""".stripMargin)),
 
+    // Declarative monitoring recipe (r9): tokenize_wordpiece (count mode,
+    // fixed single-letter vocab -> closed-form token counts) followed by
+    // drift_check annotating every row with the batch drift verdict against
+    // an inline far-off baseline — score >> threshold by construction, so
+    // the boolean replay is just the min-sample-size rule (no float
+    // aggregates in the output, avoiding cross-engine stddev drift).
+    "pipe_curation_pipeline_monitor" -> QueryDef(
+      (s, dir) => {
+        val vocab = ('a' to 'z').flatMap(c => Seq(c.toString, "##" + c)).toSet
+        val json = WordPieceModelJson.render(WordPieceModel(vocab))
+        CurationPipeline(t(s, dir, "documents"), Seq(
+          Map("step" -> "tokenize_wordpiece", "model_json" -> json,
+            "output_col" -> "n_wp"),
+          Map("step" -> "drift_check",
+            "baseline" -> Map("n_wp" -> Map("mean" -> -100000.0, "std" -> 1.0)),
+            "threshold" -> 3.0, "min_sample_size" -> 100)))
+          .select(col("doc_id"), col("n_wp"), col("_drift_detected"))
+          .orderBy("doc_id")
+      },
+      Some(raw"""WITH d AS (SELECT doc_id,
+                |  list_filter(string_split(lower(coalesce(text,'')),' '), t -> t <> '') AS w
+                |FROM documents)
+                |SELECT doc_id,
+                |  CAST(coalesce(list_sum(list_transform(w, t ->
+                |    CASE WHEN length(t) <= 200 AND regexp_matches(t, '^[a-z]+$$')
+                |         THEN length(t) ELSE 1 END)), 0) AS INT) AS n_wp,
+                |  (SELECT count(*) FROM documents) >= 100 AS _drift_detected
+                |FROM d ORDER BY doc_id""".stripMargin)),
+
     // WordPiece count with a FIXED single-letter vocabulary: a word of pure
     // a-z letters greedily segments into exactly len(word) pieces (no
     // multi-char piece exists to match first), anything else — a digit, an

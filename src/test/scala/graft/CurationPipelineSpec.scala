@@ -254,6 +254,80 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  test("curation-pipeline steps: drift_check, pq_encode, knn_pq, tokenize_wordpiece dispatch") {
+    import graft.pipeline.{WordPieceModel, WordPieceModelJson}
+    // drift_check: off-baseline batch annotates detected=true; small batch skips
+    val nums = (1 to 1500).map(i => (i.toLong, "doc text", 10.0 + i % 3))
+      .toDF("doc_id", "text", "v")
+    val drifted = CurationPipeline(nums, Seq(Map("step" -> "drift_check",
+      "baseline" -> Map("v" -> Map("mean" -> 100.0, "std" -> 1.0)))))
+    assert(drifted.columns.contains("_drift_score"))
+    assert(drifted.where(!col("_drift_detected")).count() == 0)
+    assert(drifted.count() == 1500)
+    val small = CurationPipeline(nums.limit(100), Seq(Map("step" -> "drift_check",
+      "baseline" -> Map("v" -> Map("mean" -> 100.0, "std" -> 1.0)))))
+    assert(small.where(col("_drift_detected")).count() == 0) // min_sample_size skip
+    val onBase = CurationPipeline(nums, Seq(Map("step" -> "drift_check",
+      "baseline" -> Map("v" -> Map("mean" -> 11.0, "std" -> 0.82)))))
+    assert(onBase.where(col("_drift_detected")).count() == 0)
+
+    // pq_encode: adds a codes column of num_blocks small ints
+    val rnd = new java.util.Random(7)
+    val emb = (0 until 200).map(i =>
+      (i.toLong, "t", Seq.fill(8)(rnd.nextGaussian()))).toDF("doc_id", "text", "vec")
+    val coded = CurationPipeline(emb, Seq(Map("step" -> "pq_encode",
+      "vec_col" -> "vec", "num_blocks" -> 4, "codebook_size" -> 8, "train_rows" -> 200)))
+    val c0 = coded.select("pq_codes").head().getSeq[Int](0)
+    assert(c0.length == 4 && c0.forall(c => c >= 0 && c < 8))
+    assert(coded.count() == 200)
+
+    // knn_pq: terminal search step; a query identical to corpus vector 3
+    // must return neighbor 3 at rank 1
+    val qdir = java.nio.file.Files.createTempDirectory("graft_knnpq")
+    try {
+      val qpath = qdir.toString + "/queries"
+      emb.where(col("doc_id") === 3)
+        .select(col("doc_id").as("query_id"), col("vec"))
+        .write.mode("overwrite").parquet(qpath)
+      val knn = CurationPipeline(emb, Seq(Map("step" -> "knn_pq",
+        "vec_col" -> "vec", "queries_path" -> qpath, "k" -> 5,
+        "num_blocks" -> 4, "codebook_size" -> 8, "train_rows" -> 200,
+        "shortlist" -> 200, "query_vec_col" -> "vec")))
+        .orderBy("rank").select("neighbor_id").as[Long].collect()
+      assert(knn.length == 5 && !knn.contains(3L)) // self excluded, k returned
+      // rank-1 is the true nearest by exact cosine (rerank contract):
+      val vecs = emb.select("doc_id", "vec").as[(Long, Seq[Double])].collect().toMap
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val best = vecs.filter(_._1 != 3L)
+        .map { case (id, v) => (id, cos(v, vecs(3L))) }
+        .toSeq.sortBy { case (id, c) => (-c, id) }.head._1
+      assert(knn.head == best, s"rank1 ${knn.head} != exact $best")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(qdir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      ()
+    }
+
+    // tokenize_wordpiece: count and encode modes with a serialized model
+    val vocab = ('a' to 'z').flatMap(c => Seq(c.toString, "##" + c)).toSet ++
+      Set("ab", "##cd")
+    val json = WordPieceModelJson.render(WordPieceModel(vocab))
+    val docs = Seq((1L, "abcd xy"), (2L, "q9")).toDF("doc_id", "text")
+    val counted = CurationPipeline(docs, Seq(Map("step" -> "tokenize_wordpiece",
+      "model_json" -> json))).select("doc_id", "token_count")
+      .as[(Long, Int)].collect().toMap
+    assert(counted(1L) == 4) // "abcd" -> ab, ##cd (greedy); "xy" -> x, ##y
+    assert(counted(2L) == 1) // digit -> whole-word [UNK]
+    val encoded = CurationPipeline(docs, Seq(Map("step" -> "tokenize_wordpiece",
+      "model_json" -> json, "mode" -> "encode", "output_col" -> "toks")))
+      .where(col("doc_id") === 1).select("toks").head().getSeq[String](0)
+    assert(encoded.take(2) == Seq("ab", "##cd"), encoded)
+  }
+
   test("curation-pipeline steps: near_dedup_against_reference drops near-rewrites") {
     val refRoot = java.nio.file.Files.createTempDirectory("graft_nref")
     try {
