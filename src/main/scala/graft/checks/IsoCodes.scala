@@ -46,6 +46,18 @@ object IsoCodes {
     "SBD SCR SDG SEK SGD SHP SLE SOS SRD SSP STN SVC SYP SZL THB TJS TMT TND TOP TRY TTD TWD TZS UAH UGX USD UYU UZS VES " +
     "VND VUV WST XAF XCD XOF XPF YER ZAR ZMW ZWL").split(" ").toSeq
 
+  /** ISO 4217 numeric codes, three-digit zero-padded (bundled public-standard
+    * data, one code per line).
+    */
+  lazy val currencyNumeric: Seq[String] =
+    resourceLines("iso_4217_numeric.txt").map(_.trim).filter(_.nonEmpty)
+
+  /** ISO 639-3 three-letter codes, lowercase (bundled public-standard data —
+    * the comprehensive registry, ~7900 languages).
+    */
+  lazy val language639_3: Seq[String] =
+    resourceLines("iso_639_3_alpha_3.txt").map(_.trim).filter(_.nonEmpty)
+
   /** ISO 639-1 two-letter codes (lowercase). */
   val language639_1: Seq[String] = (
     "aa ab ae af ak am an ar as av ay az ba be bg bh bi bm bn bo br bs ca ce ch co cr cs cu cv cy da de dv dz ee el en eo " +

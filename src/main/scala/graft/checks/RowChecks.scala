@@ -266,15 +266,35 @@ object RowChecks {
   }
 
   /** check_funcs.py:1367 — ISO 4217. */
-  def isValidCurrencyCode(c: Column, caseSensitive: Boolean = true): Column =
-    isoListCheck(c, IsoCodes.currency, caseSensitive, "ISO 4217 currency code")
+  /** check_funcs.py:1367 — ISO 4217, `alphabetic` (default) or `numeric`
+    * (three-digit zero-padded, so a non-string column loses leading zeros
+    * and should be formatted upstream — same caveat as country numeric).
+    */
+  def isValidCurrencyCode(c: Column, codeFormat: String = "alphabetic",
+                          caseSensitive: Boolean = true): Column = {
+    val codes = codeFormat.toLowerCase match {
+      case "alphabetic" => IsoCodes.currency
+      case "numeric" => IsoCodes.currencyNumeric
+      case other => throw new IllegalArgumentException(s"Unknown currency code format: $other")
+    }
+    isoListCheck(c, codes, caseSensitive, s"ISO 4217 $codeFormat currency code")
+  }
 
-  /** check_funcs.py:1516 — ISO 639-1. */
-  def isValidLanguageCode(c: Column, caseSensitive: Boolean = true): Column = {
-    val in = if (caseSensitive) c.cast("string").isin(IsoCodes.language639_1: _*)
-             else lower(c.cast("string")).isin(IsoCodes.language639_1: _*)
+  /** check_funcs.py:1516 — ISO 639: `alpha-2` (639-1, default) or `alpha-3`
+    * (the full 639-3 registry). Registry codes are lowercase, so
+    * caseSensitive=true rejects uppercase input (reference ditto).
+    */
+  def isValidLanguageCode(c: Column, codeFormat: String = "alpha-2",
+                          caseSensitive: Boolean = true): Column = {
+    val (codes, standard) = codeFormat.toLowerCase match {
+      case "alpha2" | "alpha-2" => (IsoCodes.language639_1, "ISO 639-1")
+      case "alpha3" | "alpha-3" => (IsoCodes.language639_3, "ISO 639-3")
+      case other => throw new IllegalArgumentException(s"Unknown language code format: $other")
+    }
+    val in = if (caseSensitive) c.cast("string").isin(codes: _*)
+             else lower(c.cast("string")).isin(codes: _*)
     makeCondition(c.isNotNull && !in,
-      concat(lit(s"Value '"), valueText(c), lit(s"' in column '${c.toString}' is not a valid ISO 639-1 language code")))
+      concat(lit(s"Value '"), valueText(c), lit(s"' in column '${c.toString}' is not a valid $standard language code")))
   }
 
   /** check_funcs.py:1437 — ISO 3166-2 subdivision codes (subset registry). */
@@ -324,7 +344,17 @@ object RowChecks {
     * declared NOT NULL in the schema.
     */
   def hasValidJsonSchema(c: Column, ddlSchema: String): Column = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddlSchema)
+    // both DDL spellings are accepted (reference ditto): a bare field list
+    // ("a BIGINT, b BIGINT") or the wrapped form ("STRUCT<a: BIGINT, ...>")
+    val schema =
+      try org.apache.spark.sql.types.StructType.fromDDL(ddlSchema)
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          org.apache.spark.sql.types.DataType.fromDDL(ddlSchema) match {
+            case st: org.apache.spark.sql.types.StructType => st
+            case _ => throw e
+          }
+      }
     import org.apache.spark.sql.types.{StructType => ST}
     val corruptField = "__corrupt_record"
     val schemaWithCorrupt = ST(schema.fields :+ org.apache.spark.sql.types.StructField(

@@ -34,6 +34,9 @@ object CheckUtils {
     case d: java.sql.Date => lit(d)
     case t: java.sql.Timestamp => lit(t)
     case d: java.time.LocalDate => lit(java.sql.Date.valueOf(d))
+    // snakeyaml parses unquoted YAML date/timestamp scalars to java.util.Date
+    // (must match AFTER the sql.Date/Timestamp subclasses)
+    case d: java.util.Date => lit(new java.sql.Timestamp(d.getTime))
     case n => lit(n)
   }
 

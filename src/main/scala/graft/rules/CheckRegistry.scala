@@ -3,7 +3,7 @@ package graft.rules
 import graft.checks._
 import graft.core.Criticality
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Typed access to a check's metadata arguments. */
 final case class CheckArgs(args: Map[String, Any]) {
@@ -34,7 +34,14 @@ final case class CheckArgs(args: Map[String, Any]) {
     case s => String.valueOf(s).toBoolean
   }.getOrElse(default)
   def any(k: String): Any = args.getOrElse(k, throw new IllegalArgumentException(s"Missing required argument: $k"))
-  def column(k: String = "column"): Column = col(str(k))
+  def column(k: String = "column"): Column = {
+    val v = str(k)
+    // reference contract: the column argument may be an EXPRESSION
+    // ("try_element_at(col7, 'key1')", "array_min(col4)"); plain
+    // identifier paths keep col() so unusual-but-legal raw names
+    // ("my col") behave exactly as before
+    if (v.matches("[A-Za-z0-9_.`]+")) col(v) else expr(v)
+  }
   def has(k: String): Boolean = args.contains(k)
 }
 
@@ -72,6 +79,22 @@ object CheckRegistry {
 
   private def lim(a: CheckArgs, k: String): Any = a.any(k)
 
+  /** The approximate geo path fires on `approximate: true` or the
+    * reference's H3-style `resolution: N` — unless `precise: true` pins
+    * the exact path.
+    */
+  private def geoApprox(a: CheckArgs): Boolean =
+    !a.bool("precise", false) && (a.bool("approximate", false) || a.has("resolution"))
+
+  /** cell_size wins when given; otherwise resolution N maps to a grid cell
+    * whose area shrinks ~7x per step (sqrt(7) per side), anchored at 45
+    * degrees for resolution 0 — the same growth law as H3 cells.
+    */
+  private def geoCellSize(a: CheckArgs): Double =
+    if (a.has("cell_size")) a.double("cell_size", 1.0)
+    else if (a.has("resolution")) 45.0 / math.pow(math.sqrt(7.0), a.int("resolution", 0).toDouble)
+    else 1.0
+
   private val rowBuilders: Map[String, CheckArgs => Column] = Map(
     "is_not_null_and_not_empty" -> (a => isNotNullAndNotEmpty(a.column(), a.bool("trim_strings", false))),
     "is_not_empty" -> (a => isNotEmpty(a.column(), a.bool("trim_strings", false))),
@@ -79,7 +102,8 @@ object CheckRegistry {
     "is_null" -> (a => isNull(a.column())),
     "is_empty" -> (a => isEmpty(a.column(), a.bool("trim_strings", false))),
     "is_null_or_empty" -> (a => isNullOrEmpty(a.column(), a.bool("trim_strings", false))),
-    "has_valid_string_case" -> (a => hasValidStringCase(a.column(), a.strOpt("case_type").getOrElse("upper"))),
+    "has_valid_string_case" -> (a => hasValidStringCase(a.column(),
+      a.strOpt("case").orElse(a.strOpt("case_type")).getOrElse("upper"))),
     "is_not_null_and_is_in_list" -> (a => isNotNullAndIsInList(a.column(), a.anySeq("allowed"), a.bool("case_sensitive", true))),
     "is_in_list" -> (a => isInList(a.column(), a.anySeq("allowed"), a.bool("case_sensitive", true))),
     "is_not_in_list" -> (a => isNotInList(a.column(), a.anySeq("forbidden"), a.bool("case_sensitive", true))),
@@ -102,9 +126,11 @@ object CheckRegistry {
     "is_valid_email" -> (a => isValidEmail(a.column())),
     "is_valid_national_id" -> (a => isValidNationalId(a.column(), a.str("country"))),
     "is_valid_country_code" -> (a => isValidCountryCode(a.column(), a.strOpt("code_format").getOrElse("alpha2"), a.bool("case_sensitive", true))),
-    "is_valid_currency_code" -> (a => isValidCurrencyCode(a.column(), a.bool("case_sensitive", true))),
+    "is_valid_currency_code" -> (a => isValidCurrencyCode(a.column(),
+      a.strOpt("code_format").getOrElse("alphabetic"), a.bool("case_sensitive", true))),
     "is_valid_subdivision_code" -> (a => isValidSubdivisionCode(a.column(), a.str("country"), a.bool("case_sensitive", true))),
-    "is_valid_language_code" -> (a => isValidLanguageCode(a.column(), a.bool("case_sensitive", true))),
+    "is_valid_language_code" -> (a => isValidLanguageCode(a.column(),
+      a.strOpt("code_format").getOrElse("alpha-2"), a.bool("case_sensitive", true))),
     "is_ipv4_address_in_cidr" -> (a => NetChecks.isIpv4AddressInCidr(a.column(), a.str("cidr_block"))),
     "is_valid_ipv6_address" -> (a => NetChecks.isValidIpv6Address(a.column())),
     "is_ipv6_address_in_cidr" -> (a => NetChecks.isIpv6AddressInCidr(a.column(), a.str("cidr_block"))),
@@ -134,15 +160,21 @@ object CheckRegistry {
     "is_num_points_not_greater_than" -> (a => GeoChecks.isNumPointsNotGreaterThan(a.column(), a.int("value", 0))),
     "is_num_points_not_less_than" -> (a => GeoChecks.isNumPointsNotLessThan(a.column(), a.int("value", 0))),
     "is_geo_contains" -> (a => GeoChecks.isGeoContains(a.column(), a.str("reference_geometry"))),
-    // approximate=true switches to the envelope-grid cell-cover analog of the
-    // reference's H3 variant (geo:1027); cell_size plays the resolution role
+    // approximate=true (or the reference's H3 `resolution: N`) switches to
+    // the envelope-grid cell-cover analog of the reference's H3 variant
+    // (geo:1027); cell_size plays the resolution role. `resolution` maps to
+    // a grid cell size shrinking ~7x in AREA per step like H3 cells do
+    // (sqrt(7) per side). `precise: true` forces the exact path (the
+    // default); `convert_column`/`convert_reference_geometry` are accepted
+    // no-ops — WKT parsing is inherent here, there is no geometry type to
+    // convert from.
     "is_geo_covers" -> (a =>
-      if (a.bool("approximate", false))
-        GeoChecks.isGeoCoversApprox(a.column(), a.str("reference_geometry"), a.double("cell_size", 1.0))
+      if (geoApprox(a))
+        GeoChecks.isGeoCoversApprox(a.column(), a.str("reference_geometry"), geoCellSize(a))
       else GeoChecks.isGeoCovers(a.column(), a.str("reference_geometry"))),
     "is_geo_intersects" -> (a =>
-      if (a.bool("approximate", false))
-        GeoChecks.isGeoIntersectsApprox(a.column(), a.str("reference_geometry"), a.double("cell_size", 1.0))
+      if (geoApprox(a))
+        GeoChecks.isGeoIntersectsApprox(a.column(), a.str("reference_geometry"), geoCellSize(a))
       else GeoChecks.isGeoIntersects(a.column(), a.str("reference_geometry"))),
     "is_geo_touches" -> (a => GeoChecks.isGeoTouches(a.column(), a.str("reference_geometry"))),
     "is_geo_within" -> (a => GeoChecks.isGeoWithin(a.column(), a.str("reference_geometry"))),
@@ -190,8 +222,10 @@ object CheckRegistry {
       a.strOpt("aggr_type").getOrElse("count"), a.strSeq("group_by"), a.strOpt("row_filter"),
       a.double("abs_tolerance", 0.0), a.double("rel_tolerance", 0.0))),
     "has_no_aggr_outliers" -> ((a, _) => hasNoAggrOutliers(a.str("column"), a.str("time_column"),
-      a.strOpt("aggr_type").getOrElse("count"), a.double("sigma", 3.0), a.int("lookback", 10),
-      a.int("warmup", 3), a.strOpt("time_interval").getOrElse("1 day"), a.strSeq("group_by"), a.strOpt("row_filter"))),
+      a.strOpt("aggr_type").getOrElse("count"), a.double("sigma", 3.0),
+      a.int("lookback_num_intervals", a.int("lookback", 10)),
+      a.int("warmup_num_intervals", a.int("warmup", 3)),
+      a.strOpt("time_interval").getOrElse("1 day"), a.strSeq("group_by"), a.strOpt("row_filter"))),
     "aggr_matches_dataset" -> ((a, ctx) => aggrMatchesDataset(a.str("column"), ctx.ref(a),
       a.strOpt("ref_column").getOrElse(a.str("column")), a.strOpt("aggr_type").getOrElse("count"),
       a.strSeq("group_by"), a.strSeq("ref_group_by"), a.strOpt("row_filter"), a.strOpt("ref_row_filter"),

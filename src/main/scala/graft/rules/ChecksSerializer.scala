@@ -122,8 +122,16 @@ object ChecksSerializer {
       val check = c("check").asInstanceOf[Map[String, Any]]
       val function = check("function").asInstanceOf[String]
       val baseArgs = check.getOrElse("arguments", Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
-      val forEach = check.get("for_each_column").map {
-        case s: Seq[_] => s.map(String.valueOf)
+      // entries are column names/expressions, or LISTS of columns for the
+      // composite-key dataset checks (reference: is_unique for_each_column
+      // with [[col3, col5], [col1]])
+      val forEach: Option[Seq[Any]] = check.get("for_each_column").map {
+        case s: Seq[_] => s.map {
+          case inner: Seq[_] => inner.map(String.valueOf)
+          case inner: java.util.List[_] =>
+            scala.jdk.CollectionConverters.ListHasAsScala(inner).asScala.toSeq.map(String.valueOf)
+          case one => String.valueOf(one)
+        }
         case other => Seq(String.valueOf(other))
       }
       val criticality = c.get("criticality").map(v => Criticality.fromString(String.valueOf(v)))
@@ -137,11 +145,21 @@ object ChecksSerializer {
       val argSets: Seq[(Map[String, Any], String)] = forEach match {
         case Some(cols) =>
           // expand template x N columns; suffix auto-names per column
-          cols.map(cn => (baseArgs + (columnArgKey(function) -> cn), cn))
+          cols.map {
+            case cs: Seq[_] =>
+              (baseArgs + (columnArgKey(function) -> cs.map(String.valueOf)),
+                cs.map(String.valueOf).mkString("_"))
+            case cn => (baseArgs + (columnArgKey(function) -> cn), String.valueOf(cn))
+          }
         case None => Seq((baseArgs, ""))
       }
       argSets.map { case (args, suffixCol) =>
-        val ruleName = (name, suffixCol) match {
+        // reference sql_expression/sql_query also accept `name` INSIDE
+        // arguments; the top-level key wins when both are present
+        val effName =
+          if (name.nonEmpty) name
+          else args.get("name").map(String.valueOf).getOrElse("")
+        val ruleName = (effName, suffixCol) match {
           case ("", _) => ""
           case (n, "") => n
           case (n, sc) => s"${n}_$sc"

@@ -55,6 +55,14 @@ class ConformanceSpec extends SparkSpec {
       .withColumn("numcc", lit("840"))
       .withColumn("es_id", lit("12345678Z"))
       .withColumn("fr_sub", lit("FR-13"))
+      // r9 sweep columns (reference all_row_checks.yaml argument coverage)
+      .withColumn("stct", struct(lit(1).as("field1")))
+      .withColumn("mp", map(lit("key1"), lit(7)))
+      .withColumn("num_arr", array(lit(2), lit(3)))
+      .withColumn("js2", lit("""{"a": 1, "b": 2}"""))
+      .withColumn("lang3", lit("eng"))
+      .withColumn("curnum", lit("840"))
+      .withColumn("c3", lit("USA"))
 
     val ref = Seq("A", "B").toDF("rflag")
     val ref2 = Seq(1, 2, 3).toDF("rid")
