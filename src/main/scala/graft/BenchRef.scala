@@ -331,6 +331,30 @@ object BenchRef {
     * unambiguous and the suite stats make JVM-pressure regressions diagnosable
     * from the artifact alone.
     */
+  /** One-shot sequential-write probe on the shuffle/spill tempdir (256 MiB,
+    * fsync'd): the honest-protocol 100M suites are spill-bound, so
+    * cross-round comparisons need the session's disk health ON RECORD in
+    * the artifact (r8 verdict: "disk was slow today" must be verifiable).
+    * Write+fsync is the signal that collapses under disk pressure; a read
+    * probe would only measure the page cache. -1.0 when probing fails.
+    */
+  lazy val diskProbeMbS: Double = try {
+    val f = java.io.File.createTempFile("graft_disk_probe", ".bin")
+    try {
+      val mb = 1024 * 1024
+      val totalMb = 256
+      val buf = new Array[Byte](mb)
+      new java.util.Random(42).nextBytes(buf)
+      val out = new java.io.FileOutputStream(f)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < totalMb) { out.write(buf); i += 1 }
+      out.getFD.sync()
+      out.close()
+      math.rint(totalMb / ((System.nanoTime() - t0) / 1e9) * 10) / 10
+    } finally { f.delete(); () }
+  } catch { case _: Throwable => -1.0 }
+
   def artifactJson(main: String, queries: Seq[(String, Double)], stats: Seq[SuiteStat],
                    sf: String, rows: Long, rounds: Int,
                    violationField: String = ""): String = {
@@ -339,7 +363,8 @@ object BenchRef {
     val rt = Runtime.getRuntime
     val stamp = s"""{"main":"$main","ts":"${java.time.Instant.now()}","rows":$rows,""" +
       s""""sf":"$sf","cpus":${rt.availableProcessors()},""" +
-      s""""heapMaxMb":${rt.maxMemory() / (1024 * 1024)},"rounds":$rounds$violationField}"""
+      s""""heapMaxMb":${rt.maxMemory() / (1024 * 1024)},"rounds":$rounds,""" +
+      s""""disk_mb_s":$diskProbeMbS$violationField}"""
     val suites = stats.map { s =>
       val rs = s.roundsSec.map(v => f"$v%.4f").mkString("[", ",", "]")
       s"""{"name":"${s.name}","secs":${f"${s.secs}%.4f"},"roundsSec":$rs,""" +
