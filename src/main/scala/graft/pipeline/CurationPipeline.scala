@@ -70,6 +70,8 @@ object CurationPipeline {
     "shard_assign" -> Set("num_shards"),
     "drift_check" -> Set("baseline", "model_location", "columns", "threshold",
       "min_sample_size"),
+    "dedup_semantic_pq" -> Set("vec_col", "threshold", "margin", "num_centroids",
+      "num_blocks", "codebook_size", "train_rows", "seed", "max_cluster_size"),
     "pq_encode" -> Set("vec_col", "codes_col", "num_blocks", "codebook_size",
       "train_rows", "iterations", "seed"),
     "knn_pq" -> Set("vec_col", "queries_path", "query_id_col", "query_vec_col",
@@ -240,6 +242,25 @@ object CurationPipeline {
           seed = num(m, "seed").getOrElse(42.0).toLong)
         Dedup.dedupSemantic(df, idCol, vecCol, centroids,
           threshold = num(m, "threshold").getOrElse(0.95),
+          maxClusterSize = num(m, "max_cluster_size").getOrElse(100000.0).toInt)
+      case "dedup_semantic_pq" =>
+        // SemDeDup with PQ-compressed candidate joins: in-cell pairs carry
+        // codes (~32x smaller than vectors), SDC-prefilter, exact verify
+        val vecCol = str(m, "vec_col").getOrElse(throw new IllegalArgumentException(
+          "dedup_semantic_pq: 'vec_col' is required"))
+        val trainRows = num(m, "train_rows").getOrElse(10000.0).toInt
+        val seed = num(m, "seed").getOrElse(42.0).toLong
+        val sample = df.select(col(vecCol).cast("array<double>"))
+          .where(col(vecCol).isNotNull).limit(trainRows)
+          .collect().map(_.getSeq[Double](0).toArray)
+        val centroids = Similarity.trainKMeans(sample,
+          num(m, "num_centroids").getOrElse(64.0).toInt, seed = seed)
+        val model = Pq.trainFromSample(sample,
+          num(m, "num_blocks").getOrElse(16.0).toInt,
+          num(m, "codebook_size").getOrElse(256.0).toInt, 10, seed)
+        Dedup.dedupSemanticPq(df, idCol, vecCol, centroids, model,
+          threshold = num(m, "threshold").getOrElse(0.95),
+          margin = num(m, "margin").getOrElse(0.05),
           maxClusterSize = num(m, "max_cluster_size").getOrElse(100000.0).toInt)
       case "decontaminate_semantic" =>
         // drop rows whose embedding is near any eval-set embedding; the eval

@@ -465,6 +465,77 @@ object Dedup {
     df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** SemDeDup at PQ scale — the 100 TB refinement of [[semanticDupPairs]]:
+    * the in-cell pair join carries `(id, pq_codes, norm)` — ~32x smaller
+    * than the float vectors, so the self-join's shuffle and candidate
+    * materialization shrink by the same factor — and pairs are prefiltered
+    * by the SYMMETRIC-distance approximate cosine (code-code table lookups,
+    * [[PqSdcDot]]) before only the survivors rejoin float vectors for the
+    * exact cosine test. Output contract matches [[semanticDupPairs]]
+    * exactly: `(id_a, id_b, cluster, cosine)` with the EXACT cosine.
+    *
+    * `margin` widens the prefilter band (keep approx >= threshold - margin)
+    * to absorb quantization error: a margin at least as large as the
+    * corpus's quantization-error band (even for IDENTICAL vectors the SDC
+    * approximate cosine is |q(v)|^2/|v|^2, not exactly 1) reproduces the
+    * plain pair set bit-for-bit; smaller margins trade recall for pruning,
+    * the LSH convention. margin >= 1 disables pruning entirely and the
+    * output still costs only the candidate-verify joins.
+    */
+  def pqSemanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: Array[Array[Double]], model: Pq.PqModel,
+                         threshold: Double = 0.95, margin: Double = 0.05,
+                         maxClusterSize: Int = 100000): DataFrame = {
+    PipelineGuards.requireBatch(df, "pqSemanticDupPairs")
+    require(centroids.nonEmpty, "pqSemanticDupPairs needs at least one centroid")
+    require(margin >= 0.0, "margin must be non-negative")
+    import org.apache.spark.sql.GraftColumnBridge
+    val base = df.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val cluster = GraftColumnBridge.column(NearestCentroids(
+      GraftColumnBridge.expression(col("__v")), centroids, 1))(0)
+    // ONE projection computes cell + codes + norm; the float vector is
+    // dropped before anything shuffles
+    val assigned = base.select(col("__id"), cluster.as("__cluster"),
+      Pq.encodeColumn(col("__v"), model).as("__codes"),
+      GraftColumnBridge.column(VectorNorm(
+        GraftColumnBridge.expression(col("__v")))).as("__norm"))
+    val kept = assigned
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__cluster")))
+      .where(col("__n") <= maxClusterSize)
+      .drop("__n")
+    val l = kept.select(col("__cluster"), col("__id").as("id_a"),
+      col("__codes").as("__ca"), col("__norm").as("__na"))
+    val r = kept.select(col("__cluster"), col("__id").as("id_b"),
+      col("__codes").as("__cb"), col("__norm").as("__nb"))
+    val candidates = l.join(r, Seq("__cluster"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("__approx_cos",
+        Pq.sdcDotColumn(col("__ca"), col("__cb"), model) / (col("__na") * col("__nb")))
+      .where(col("__approx_cos") >= threshold - margin)
+      .select(col("id_a"), col("id_b"), col("__cluster"))
+    // exact verify: only candidate ids rejoin the float vectors
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("__va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("__vb"))
+    candidates.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("__cluster").as("cluster"), col("cosine"))
+  }
+
+  /** Removal policy over [[pqSemanticDupPairs]] — same min-id-keeps rule as
+    * [[dedupSemantic]].
+    */
+  def dedupSemanticPq(df: DataFrame, idCol: String, vecCol: String,
+                      centroids: Array[Array[Double]], model: Pq.PqModel,
+                      threshold: Double = 0.95, margin: Double = 0.05,
+                      maxClusterSize: Int = 100000): DataFrame = {
+    val drop = pqSemanticDupPairs(df, idCol, vecCol, centroids, model,
+      threshold, margin, maxClusterSize)
+      .select(col("id_b").as("__drop_id")).distinct()
+    df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   // ------------------------------------- incremental dedup vs a prior corpus
 
   /** Cross-snapshot dedup: drop rows whose `key` already exists in a

@@ -136,6 +136,32 @@ object Pq {
     GraftColumnBridge.column(PqAdcDot(GraftColumnBridge.expression(codes), lut))
   }
 
+  /** Per-block code-code dot tables for symmetric (code vs code) scoring:
+    * `tables(b)(i)(j)` = dot(codebook(b)(i), codebook(b)(j)). Size is
+    * numBlocks x k^2 doubles (16 blocks x 256^2 = 8 MB at the default k,
+    * kilobytes at dedup-sized codebooks) — broadcast once inside the
+    * expression.
+    */
+  def sdcTables(model: PqModel): Array[Array[Array[Double]]] =
+    Array.tabulate(model.numBlocks) { b =>
+      val cb = model.codebooks(b)
+      Array.tabulate(cb.length) { i =>
+        Array.tabulate(cb.length) { j =>
+          var s = 0.0
+          var d = 0
+          while (d < cb(i).length) { s += cb(i)(d) * cb(j)(d); d += 1 }
+          s
+        }
+      }
+    }
+
+  /** SDC approximate dot of two PQ-codes columns. */
+  def sdcDotColumn(a: Column, b: Column, model: PqModel): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(PqSdcDot(GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b), sdcTables(model)))
+  }
+
   /** Approximate top-k by PQ ADC dot product: ONE corpus scan over CODES
     * (no float vectors read, no per-query rescans) — every query's LUT rides
     * one broadcast expression that emits all scores per row; a generator
@@ -374,6 +400,27 @@ object PqOps {
     java.lang.Double.valueOf(s)
   }
 
+  /** SDC dot of two code arrays via the precomputed per-block code-code
+    * tables; null on any malformed side (mirrors [[adcDot]]'s conventions).
+    */
+  def sdcDot(a: ArrayData, b: ArrayData,
+             tables: Array[Array[Array[Double]]]): java.lang.Double = {
+    val n = a.numElements()
+    if (n != tables.length || b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val ca = a.getInt(i)
+      val cb = b.getInt(i)
+      val t = tables(i)
+      if (ca < 0 || ca >= t.length || cb < 0 || cb >= t(ca).length) return null
+      s += t(ca)(cb)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
   /** All queries' ADC dots in one pass over the row's codes (query-major
     * LUTs); null when the codes don't fit the model.
     */
@@ -444,6 +491,42 @@ case class PqAdcDotMulti(child: Expression, luts: Array[Array[Array[Double]]])
 }
 
 /** ADC dot product of a codes column against a broadcast LUT. */
+/** Symmetric-distance (SDC) dot product of TWO PQ code arrays: per block,
+  * `tables(b)(ca)(cb)` = dot(codebook(b)(ca), codebook(b)(cb)), precomputed
+  * once on the driver ([[Pq.sdcTables]]) — a code-code pair costs numBlocks
+  * array reads, no float vectors touched (Jégou et al. 2011 §III.B, SDC).
+  * NULL when either side is null/mis-sized/null-element/out-of-range.
+  */
+case class PqSdcDot(left: Expression, right: Expression,
+                    tables: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqOps.sdcDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqSdcTables", tables, "double[][][]")
+    val genA = left.genCode(ctx)
+    val genB = right.genCode(ctx)
+    val res = ctx.freshName("sdcRes")
+    ev.copy(code =
+      code"""
+        ${genA.code}
+        ${genB.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${genA.isNull} && !${genB.isNull}) {
+          java.lang.Double $res = graft.pipeline.PqOps.sdcDot(${genA.value}, ${genB.value}, $ref);
+          if ($res != null) { ${ev.isNull} = false; ${ev.value} = $res.doubleValue(); }
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqSdcDot =
+    copy(left = l, right = r)
+}
+
 case class PqAdcDot(child: Expression, lut: Array[Array[Double]]) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

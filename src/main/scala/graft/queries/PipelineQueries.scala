@@ -1306,7 +1306,7 @@ object PipelineQueries {
   ) :+ qualityScoreQuery :+ corpusStatsQuery :+ bpeCountQuery :+ bpeApplyQuery :+
     streamingNearDupQuery :+ lmBigramsQuery :+ lmPerplexityQuery :+
     stripMarkupQuery :+ stratifiedSplitQuery :+ semanticDedupQuery :+
-    semanticDedupRemoveQuery :+ charEntropyQuery :+ readabilityQuery :+
+    semanticDedupRemoveQuery :+ pqSemanticDedupQuery :+ charEntropyQuery :+ readabilityQuery :+
     tfIdfKeywordsQuery :+ embeddingClustersQuery :+
     dsirTrainQuery :+ dsirScoreQuery :+ dsirResampleQuery) ++
     unigramQueries ++ langIdQueries
@@ -1783,6 +1783,52 @@ object PipelineQueries {
              |SELECT x.vec_id AS id_a, y.vec_id AS id_b, CAST(x.cluster AS INT) AS cluster
              |FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
              |WHERE list_cosine_similarity(x.v, y.v) >= 0.9965
+             |ORDER BY 1, 2""".stripMargin))
+
+  /** PQ-SDC semantic dedup gate (r9): the full pipeline — normalize the
+    * 4-dim slice in-plan (so the SDC approximate cosine is the INTEGER
+    * shared-code count, no float boundary), fixed literal codebooks (the
+    * pipe_knn_pq closed forms), code-only candidate join, integer
+    * prefilter (margin 0: keep >= 1 shared block code), exact-cosine
+    * verify at the probed mid-gap 0.9965 — replayed step for step in SQL.
+    * Probed on both SFs: no true pair has 0 shared codes, so the prefilter
+    * is lossless here and the output equals the plain semantic pair set.
+    */
+  private def pqSemanticDedupQuery: (String, QueryDef) =
+    "pipe_semantic_dedup_pq" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.GraftColumnBridge
+        val model = Pq.PqModel(2, Array(
+          Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+          Array(Array(1.0, 0.0), Array(0.0, 1.0))))
+        val emb = t(s, dir, "embeddings").select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 4).as("v0"))
+        val normed = emb
+          .withColumn("__n", GraftColumnBridge.column(VectorNorm(
+            GraftColumnBridge.expression(col("v0")))))
+          .where(col("__n") > 0)
+          .select(col("vec_id"), transform(col("v0"), x => x / col("__n")).as("v4"))
+        Dedup.pqSemanticDupPairs(normed, "vec_id", "v4",
+          Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0),
+            Array(0, 0, 1.0, 0), Array(0, 0, 0, 1.0)),
+          model, threshold = 0.9965, margin = 0.0)
+          .select(col("id_a"), col("id_b"), col("cluster").cast("int").as("cluster"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH e0 AS (SELECT vec_id, list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings),
+             |e AS (SELECT vec_id, v0, sqrt(v0[1]*v0[1]+v0[2]*v0[2]+v0[3]*v0[3]+v0[4]*v0[4]) AS nrm FROM e0),
+             |n AS (SELECT vec_id, list_transform(v0, x -> x/nrm) AS v FROM e WHERE nrm > 0),
+             |a AS (SELECT vec_id, v,
+             |  CASE WHEN v[1] >= v[2] AND v[1] >= v[3] AND v[1] >= v[4] THEN 0
+             |       WHEN v[2] >= v[3] AND v[2] >= v[4] THEN 1
+             |       WHEN v[3] >= v[4] THEN 2 ELSE 3 END AS cluster,
+             |  CASE WHEN (v[1]-1)*(v[1]-1)+v[2]*v[2] <= v[1]*v[1]+(v[2]-1)*(v[2]-1) THEN 0 ELSE 1 END AS c0,
+             |  CASE WHEN (v[3]-1)*(v[3]-1)+v[4]*v[4] <= v[3]*v[3]+(v[4]-1)*(v[4]-1) THEN 0 ELSE 1 END AS c1
+             |FROM n)
+             |SELECT x.vec_id AS id_a, y.vec_id AS id_b, CAST(x.cluster AS INT) AS cluster
+             |FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+             |WHERE ((x.c0 = y.c0)::INT + (x.c1 = y.c1)::INT) >= 0.9965
+             |  AND list_cosine_similarity(x.v, y.v) >= 0.9965
              |ORDER BY 1, 2""".stripMargin))
 
   /** Removal-policy gate for [[Dedup.dedupSemantic]]: keep = ids never

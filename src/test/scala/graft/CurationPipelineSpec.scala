@@ -237,6 +237,14 @@ class CurationPipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(keptNull.intersect(Set(1L, 3L, 4L)) == Set(1L, 3L, 4L))
 
+    // PQ-compressed variant: same semantics under a no-pruning margin
+    val keptPq = CurationPipeline(emb, Seq(Map(
+      "step" -> "dedup_semantic_pq", "vec_col" -> "vec",
+      "threshold" -> 0.95, "margin" -> 1.0, "num_centroids" -> 3,
+      "num_blocks" -> 3, "codebook_size" -> 4, "train_rows" -> 4)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptPq == Set(1L, 3L, 4L))
+
     val evalRoot = java.nio.file.Files.createTempDirectory("graft_eval")
     try {
       val evalDir = evalRoot.toString + "/eval"

@@ -53,6 +53,65 @@ class SemDedupSpec extends SparkSpec {
     assert(kept == Set(1L, 10L), kept)
   }
 
+  test("pqSemanticDupPairs: generous margin reproduces the plain pair set exactly") {
+    // clustered 8-dim corpus with planted exact duplicates
+    val rnd = new java.util.Random(11)
+    val anchors = Array.fill(4)(Array.fill(8)(rnd.nextGaussian() * 10))
+    val data = (0 until 300).map { i =>
+      val a = anchors(i % 4)
+      (i.toLong, a.map(_ + rnd.nextGaussian() * 0.4).toSeq)
+    } ++ Seq((1000L, data0Copy(anchors(0))), (1001L, data0Copy(anchors(0))))
+    val df = data.toDF("id", "v")
+    val cents = Similarity.trainKMeans(
+      data.map(_._2.toArray).toArray, 4, seed = 5)
+    val model = Pq.train(df, "v", numBlocks = 4, codebookSize = 16,
+      trainRows = 400, seed = 7)
+    val plain = Dedup.semanticDupPairs(df, "id", "v", cents, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // margin 1.0 disables pruning entirely -> identical output (exact verify
+    // is the last word); the planted twins must be in both
+    val pq = Dedup.pqSemanticDupPairs(df, "id", "v", cents, model,
+      threshold = 0.999, margin = 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pq == plain, s"pq=$pq plain=$plain")
+    assert(plain.contains((1000L, 1001L)))
+    // a tighter margin can only REMOVE candidates, never invent pairs (the
+    // exact-cosine verify is the last word); at 0.1 the well-quantized
+    // planted twins survive (their SDC approx cosine is |q(v)|^2/|v|^2)
+    val tight = Dedup.pqSemanticDupPairs(df, "id", "v", cents, model,
+      threshold = 0.999, margin = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(tight.subsetOf(plain))
+    assert(tight.contains((1000L, 1001L)))
+    // removal policy matches dedupSemantic under the no-pruning margin
+    val keptPlain = Dedup.dedupSemantic(df, "id", "v", cents, threshold = 0.999)
+      .select("id").as[Long].collect().toSet
+    val keptPq = Dedup.dedupSemanticPq(df, "id", "v", cents, model,
+      threshold = 0.999, margin = 1.0)
+      .select("id").as[Long].collect().toSet
+    assert(keptPq == keptPlain)
+  }
+
+  private def data0Copy(a: Array[Double]): Seq[Double] = a.toSeq
+
+  test("PqSdcDot: table lookups match brute dot; null conventions") {
+    val model = Pq.PqModel(2, Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(2.0, 0.0), Array(0.0, 2.0))))
+    val t = Pq.sdcTables(model)
+    assert(t(0)(0)(0) == 1.0 && t(0)(0)(1) == 0.0 && t(1)(1)(1) == 4.0)
+    val df = Seq(
+      (Seq(Option(0), Option(1)), Seq(Option(0), Option(1))), // dot = 1 + 4 = 5
+      (Seq(Option(0), Option(1)), Seq(Option(1), Option(0))), // dot = 0 + 0 = 0
+      (Seq(Option(0), Option(9)), Seq(Option(0), Option(0))), // out-of-range -> null
+      (Seq(Option(0), Option.empty[Int]), Seq(Option(0), Option(0)))) // null elem -> null
+      .toDF("a", "b")
+    val out = df.select(Pq.sdcDotColumn(col("a"), col("b"), model)).collect()
+    assert(out(0).getDouble(0) == 5.0)
+    assert(out(1).getDouble(0) == 0.0)
+    assert(out(2).isNullAt(0) && out(3).isNullAt(0))
+  }
+
   test("charEntropy: closed forms, empty/null, codegen") {
     val rows = Seq(
       (1L, "aaaa"), (2L, "ab"), (3L, "aabb"), (4L, "")).toDF("id", "t")
