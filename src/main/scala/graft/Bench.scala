@@ -120,6 +120,10 @@ object Bench {
       Seq("-cp", System.getProperty("java.class.path"), "graft.Bench") ++ args
     val pb = new ProcessBuilder(cmd.asJava)
     pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+    // an env-pinned heap (_JAVA_OPTIONS applies AFTER command-line flags)
+    // would override the -Xmx pin and re-trip the guard in the child
+    pb.environment().remove("_JAVA_OPTIONS")
+    pb.environment().remove("JAVA_TOOL_OPTIONS")
     pb.inheritIO()
     pb.start().waitFor()
   }

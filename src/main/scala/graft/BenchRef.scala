@@ -339,19 +339,26 @@ object BenchRef {
     * probe would only measure the page cache. -1.0 when probing fails.
     */
   lazy val diskProbeMbS: Double = try {
-    val f = java.io.File.createTempFile("graft_disk_probe", ".bin")
+    // probe the dir Spark actually spills to: SPARK_LOCAL_DIRS /
+    // spark.local.dir win over java.io.tmpdir (same precedence Spark uses)
+    val spillDir = sys.env.get("SPARK_LOCAL_DIRS").map(_.split(",").head)
+      .orElse(sys.props.get("spark.local.dir").map(_.split(",").head))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val f = java.io.File.createTempFile("graft_disk_probe", ".bin",
+      new java.io.File(spillDir))
     try {
       val mb = 1024 * 1024
       val totalMb = 256
       val buf = new Array[Byte](mb)
       new java.util.Random(42).nextBytes(buf)
       val out = new java.io.FileOutputStream(f)
-      val t0 = System.nanoTime()
-      var i = 0
-      while (i < totalMb) { out.write(buf); i += 1 }
-      out.getFD.sync()
-      out.close()
-      math.rint(totalMb / ((System.nanoTime() - t0) / 1e9) * 10) / 10
+      try {
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < totalMb) { out.write(buf); i += 1 }
+        out.getFD.sync()
+        math.rint(totalMb / ((System.nanoTime() - t0) / 1e9) * 10) / 10
+      } finally out.close()
     } finally { f.delete(); () }
   } catch { case _: Throwable => -1.0 }
 

@@ -35,8 +35,17 @@ object CheckUtils {
     case t: java.sql.Timestamp => lit(t)
     case d: java.time.LocalDate => lit(java.sql.Date.valueOf(d))
     // snakeyaml parses unquoted YAML date/timestamp scalars to java.util.Date
-    // (must match AFTER the sql.Date/Timestamp subclasses)
-    case d: java.util.Date => lit(new java.sql.Timestamp(d.getTime))
+    // built from the text's fields AT UTC (must match AFTER the
+    // sql.Date/Timestamp subclasses). Rebuild the literal from those UTC
+    // fields so the YAML text is interpreted NAIVELY — "2025-01-01" is a
+    // DATE literal and "2025-02-24 01:00:00" means 01:00 in the session
+    // zone (the reference's PyYAML-naive-datetime semantics), instead of
+    // shifting by the session/JVM timezone offset.
+    case d: java.util.Date =>
+      val utc = java.time.LocalDateTime.ofInstant(d.toInstant, java.time.ZoneOffset.UTC)
+      if (utc.toLocalTime == java.time.LocalTime.MIDNIGHT)
+        lit(java.sql.Date.valueOf(utc.toLocalDate))
+      else lit(java.sql.Timestamp.valueOf(utc))
     case n => lit(n)
   }
 

@@ -378,7 +378,9 @@ object CurationPipeline {
           .select(col("_drift_score"),
             (col("__n") >= minN && col("_drift_score") >= threshold)
               .as("_drift_detected"))
-        df.crossJoin(broadcast(scores))
+        // last drift_check wins: drop prior annotations so chaining two
+        // checks (or re-running) never yields ambiguous duplicate columns
+        df.drop("_drift_score", "_drift_detected").crossJoin(broadcast(scores))
       case "pq_encode" =>
         // product-quantization codes next to (or in place of) the float
         // vectors: trains codebooks on a capped driver sample at

@@ -512,7 +512,10 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .withColumn("__approx_cos",
         Pq.sdcDotColumn(col("__ca"), col("__cb"), model) / (col("__na") * col("__nb")))
-      .where(col("__approx_cos") >= threshold - margin)
+      // a NULL approximate cosine (e.g. a vector whose dim doesn't match the
+      // PQ model -> null codes) must NOT prune: the exact verify below is
+      // the decider, keeping the margin>=1 parity contract for such rows
+      .where(col("__approx_cos").isNull || col("__approx_cos") >= threshold - margin)
       .select(col("id_a"), col("id_b"), col("__cluster"))
     // exact verify: only candidate ids rejoin the float vectors
     val va = df.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("__va"))

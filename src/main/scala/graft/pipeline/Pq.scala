@@ -117,6 +117,27 @@ object Pq {
       GraftColumnBridge.expression(vec.cast("array<double>")), model))
   }
 
+  /** Per-block lookup table of query-subvector x centroid dot products —
+    * the ADC table every scoring path shares.
+    */
+  private def buildLut(query: Array[Double], model: PqModel): Array[Array[Double]] =
+    Array.tabulate(model.numBlocks) { b =>
+      model.codebooks(b).map { cent =>
+        var s = 0.0
+        var d = 0
+        while (d < cent.length) { s += cent(d) * query(b * model.blockDim + d); d += 1 }
+        s
+      }
+    }
+
+  private def buildLuts(queries: Seq[(Long, Array[Double])],
+                        model: PqModel): Array[Array[Array[Double]]] = {
+    val dim = model.blockDim * model.numBlocks
+    queries.foreach { case (_, qv) =>
+      require(qv.length == dim, s"query dim ${qv.length} != model dim $dim") }
+    queries.map { case (_, qv) => buildLut(qv, model) }.toArray
+  }
+
   /** ADC inner-product score of a FIXED query against a codes column: build
     * the per-block lookup table of query-subvector x centroid dot products
     * once on the driver, then each row sums `numBlocks` table reads.
@@ -125,15 +146,8 @@ object Pq {
     import org.apache.spark.sql.GraftColumnBridge
     require(query.length == model.blockDim * model.numBlocks,
       s"query dim ${query.length} != model dim ${model.blockDim * model.numBlocks}")
-    val lut = Array.tabulate(model.numBlocks) { b =>
-      model.codebooks(b).map { cent =>
-        var s = 0.0
-        var d = 0
-        while (d < cent.length) { s += cent(d) * query(b * model.blockDim + d); d += 1 }
-        s
-      }
-    }
-    GraftColumnBridge.column(PqAdcDot(GraftColumnBridge.expression(codes), lut))
+    GraftColumnBridge.column(PqAdcDot(GraftColumnBridge.expression(codes),
+      buildLut(query, model)))
   }
 
   /** Per-block code-code dot tables for symmetric (code vs code) scoring:
@@ -175,19 +189,7 @@ object Pq {
                 k: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     require(queries.nonEmpty, "no queries")
-    val dim = model.blockDim * model.numBlocks
-    queries.foreach { case (_, qv) =>
-      require(qv.length == dim, s"query dim ${qv.length} != model dim $dim") }
-    val luts: Array[Array[Array[Double]]] = queries.map { case (_, qv) =>
-      Array.tabulate(model.numBlocks) { b =>
-        model.codebooks(b).map { cent =>
-          var s = 0.0
-          var d = 0
-          while (d < cent.length) { s += cent(d) * qv(b * model.blockDim + d); d += 1 }
-          s
-        }
-      }
-    }.toArray
+    val luts = buildLuts(queries, model)
     val qids = queries.map(_._1)
     val scores = GraftColumnBridge.column(PqAdcDotMulti(
       GraftColumnBridge.expression(col(codesCol)), luts))
@@ -286,9 +288,6 @@ object Pq {
       .collect().map(_.getSeq[Double](0).toArray)
     val cells = Similarity.trainKMeans(sample, numCells, iterations, seed)
     val model = trainFromSample(sample, numBlocks, codebookSize, iterations, seed)
-    val dim = model.blockDim * model.numBlocks
-    queries.foreach { case (_, qv) =>
-      require(qv.length == dim, s"query dim ${qv.length} != model dim $dim") }
 
     // index build: ONE corpus projection -> (id, cell, codes); at rest this
     // is the whole index (cell = partition column, codes = 1 byte/block)
@@ -307,16 +306,7 @@ object Pq {
 
     // ADC over probed rows only: every query's LUT rides one expression,
     // rows outside a query's probe list are dropped before ranking
-    val luts: Array[Array[Array[Double]]] = queries.map { case (_, qv) =>
-      Array.tabulate(model.numBlocks) { b =>
-        model.codebooks(b).map { cent =>
-          var s = 0.0
-          var d = 0
-          while (d < cent.length) { s += cent(d) * qv(b * model.blockDim + d); d += 1 }
-          s
-        }
-      }
-    }.toArray
+    val luts = buildLuts(queries, model)
     val qids = queries.map(_._1)
     val scores = GraftColumnBridge.column(PqAdcDotMulti(
       GraftColumnBridge.expression(col("__codes")), luts))

@@ -37,10 +37,11 @@ final case class CheckArgs(args: Map[String, Any]) {
   def column(k: String = "column"): Column = {
     val v = str(k)
     // reference contract: the column argument may be an EXPRESSION
-    // ("try_element_at(col7, 'key1')", "array_min(col4)"); plain
-    // identifier paths keep col() so unusual-but-legal raw names
-    // ("my col") behave exactly as before
-    if (v.matches("[A-Za-z0-9_.`]+")) col(v) else expr(v)
+    // ("try_element_at(col7, 'key1')", "array_min(col4)"). Only strings
+    // containing a parenthesis (a function call) route through expr();
+    // everything else keeps col(), so raw names with hyphens/spaces and
+    // struct dot paths resolve exactly as before.
+    if (v.contains("(")) expr(v) else col(v)
   }
   def has(k: String): Boolean = args.contains(k)
 }

@@ -127,9 +127,8 @@ object ChecksSerializer {
       // with [[col3, col5], [col1]])
       val forEach: Option[Seq[Any]] = check.get("for_each_column").map {
         case s: Seq[_] => s.map {
+          // parseYaml's toScala already deep-converts java collections
           case inner: Seq[_] => inner.map(String.valueOf)
-          case inner: java.util.List[_] =>
-            scala.jdk.CollectionConverters.ListHasAsScala(inner).asScala.toSeq.map(String.valueOf)
           case one => String.valueOf(one)
         }
         case other => Seq(String.valueOf(other))

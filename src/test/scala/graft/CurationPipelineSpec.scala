@@ -278,6 +278,12 @@ class CurationPipelineSpec extends SparkSpec {
     val onBase = CurationPipeline(nums, Seq(Map("step" -> "drift_check",
       "baseline" -> Map("v" -> Map("mean" -> 11.0, "std" -> 0.82)))))
     assert(onBase.where(col("_drift_detected")).count() == 0)
+    // chaining two drift_checks must not duplicate columns: last one wins
+    val twice = CurationPipeline(nums, Seq(
+      Map("step" -> "drift_check", "baseline" -> Map("v" -> Map("mean" -> 100.0, "std" -> 1.0))),
+      Map("step" -> "drift_check", "baseline" -> Map("v" -> Map("mean" -> 11.0, "std" -> 0.82)))))
+    assert(twice.columns.count(_ == "_drift_detected") == 1)
+    assert(twice.where(col("_drift_detected")).count() == 0)
 
     // pq_encode: adds a codes column of num_blocks small ints
     val rnd = new java.util.Random(7)

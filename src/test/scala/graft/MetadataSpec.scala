@@ -107,6 +107,40 @@ class MetadataSpec extends SparkSpec {
     assert(skipped.selectExpr("_errors[0].skipped").as[Boolean].collect().forall(identity))
   }
 
+  test("column arguments: raw hyphenated names resolve via col, calls via expr") {
+    // "first-name" is a legal raw column name — it must NOT parse as the
+    // subtraction first - name (r9 expression-column support regression)
+    val hy = Seq((1, "x"), (2, null.asInstanceOf[String])).toDF("id", "first-name")
+    val out = DQEngine.applyChecksByMetadata(hy, Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "is_not_null",
+        "arguments" -> Map("column" -> "first-name")))))
+    assert(out.where(col("_errors").isNotNull).select("id").as[Int].collect().toSeq == Seq(2))
+    // function-call columns still route through expr
+    val arr = Seq((1, Seq(1, 2)), (2, Seq.empty[Int])).toDF("id", "xs")
+    val out2 = DQEngine.applyChecksByMetadata(arr, Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "is_not_null",
+        "arguments" -> Map("column" -> "try_element_at(xs, 1)")))))
+    assert(out2.where(col("_errors").isNotNull).select("id").as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("unquoted YAML date limits become naive DATE literals, not shifted instants") {
+    // snakeyaml parses 2019-01-01 to a java.util.Date at UTC midnight; the
+    // literal must be a DATE (timezone-free), so a row exactly at the bound
+    // passes in ANY session timezone
+    val parsed = ChecksSerializer.parseYaml("v: 2019-01-01").head("v")
+    assert(parsed.isInstanceOf[java.util.Date])
+    val d1 = spark.range(1).select(graft.core.CheckUtils.limitExpr(parsed).as("d"))
+    assert(d1.schema("d").dataType == org.apache.spark.sql.types.DateType)
+    assert(d1.head().get(0).toString == "2019-01-01")
+    // a time-of-day keeps timestamp semantics with the text's own fields
+    val ts = ChecksSerializer.parseYaml("v: 2019-01-01 01:30:00").head("v")
+    val d2 = spark.range(1).select(graft.core.CheckUtils.limitExpr(ts).as("t"))
+    assert(d2.schema("t").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(d2.head().get(0).toString.contains("01:30:00"), d2.head().get(0))
+  }
+
   test("variable substitution in metadata") {
     val checks = Seq(Map(
       "criticality" -> "error",
