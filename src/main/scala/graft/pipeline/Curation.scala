@@ -52,6 +52,20 @@ object Curation {
       .drop("__quota_rn")
   }
 
+  /** Cluster-balanced sampling (topic balancing): assign every row to its
+    * nearest embedding centroid (row-local, zero-shuffle) and keep up to
+    * `quota` rows per cluster in portable-hash order — the standard recipe
+    * for capping over-represented topics in a pretraining mix (cluster-
+    * proportional variants just post-weight the kept rows). Output keeps
+    * the `cluster` column for downstream mixing steps. ONE shuffle total
+    * (the per-cluster window); at 100 TB the quota bounds every partition's
+    * output and AQE handles cluster skew on the way in.
+    */
+  def clusterBalancedSample(df: DataFrame, vecCol: String, id: Column,
+                            centroids: Array[Array[Double]], quota: Int): DataFrame =
+    quotaSample(Embeddings.assignClusters(df, vecCol, centroids),
+      Seq("cluster"), id, quota)
+
   /** Deterministic stratified train/validation split: within every stratum
     * (the `groupCols` combination) exactly `ceil(valFraction * stratum_size)`
     * rows land in the `"val"` split, chosen by portable-hash order of `id`

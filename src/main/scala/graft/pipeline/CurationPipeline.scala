@@ -66,6 +66,8 @@ object CurationPipeline {
     "sample_quota" -> Set("group_cols", "quota"),
     "sample_weights" -> Set("group_col", "weights", "default_weight"),
     "sample_token_budget" -> Set("budget_tokens", "group_cols", "tokenizer", "model_json"),
+    "sample_cluster_quota" -> Set("vec_col", "quota", "num_centroids",
+      "train_rows", "seed"),
     "epoch_mix" -> Set("group_col", "weights", "default_weight"),
     "shard_assign" -> Set("num_shards"),
     "drift_check" -> Set("baseline", "model_location", "columns", "threshold",
@@ -299,6 +301,22 @@ object CurationPipeline {
       case "sample_hash" =>
         Curation.hashSample(df, col(idCol), num(m, "fraction").getOrElse(
           throw new IllegalArgumentException("sample_hash: 'fraction' is required")))
+      case "sample_cluster_quota" =>
+        // topic balancing: construction-time k-means on a capped driver
+        // sample (the dedup_semantic convention), then the deterministic
+        // per-cluster quota — adds a `cluster` column for downstream mixing
+        val vecCol = str(m, "vec_col").getOrElse(throw new IllegalArgumentException(
+          "sample_cluster_quota: 'vec_col' is required"))
+        val sample = df.select(col(vecCol).cast("array<double>"))
+          .where(col(vecCol).isNotNull)
+          .limit(num(m, "train_rows").getOrElse(10000.0).toInt)
+          .collect().map(_.getSeq[Double](0).toArray)
+        val centroids = Similarity.trainKMeans(sample,
+          num(m, "num_centroids").getOrElse(64.0).toInt,
+          seed = num(m, "seed").getOrElse(42.0).toLong)
+        Curation.clusterBalancedSample(df, vecCol, col(idCol), centroids,
+          num(m, "quota").getOrElse(throw new IllegalArgumentException(
+            "sample_cluster_quota: 'quota' is required")).toInt)
       case "sample_quota" =>
         Curation.quotaSample(df,
           strList(m, "group_cols").getOrElse(throw new IllegalArgumentException(

@@ -609,6 +609,32 @@ object PipelineQueries {
              |r AS (SELECT doc_id, row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn FROM h)
              |SELECT doc_id FROM r WHERE rn <= 200 ORDER BY doc_id""".stripMargin)),
 
+    // Cluster-balanced sampling gate (r9): fixed axis centroids make the
+    // assignment the closed-form argmax CASE; the per-cluster quota replays
+    // as the portable-hash row_number window (the pipe_curation_quota
+    // pattern applied to a DERIVED topic key instead of a stored column).
+    "pipe_cluster_balanced_sample" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 4).as("v4"))
+        Curation.clusterBalancedSample(emb, "v4", col("vec_id"),
+          Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0),
+            Array(0, 0, 1.0, 0), Array(0, 0, 0, 1.0)), quota = 60)
+          .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |a AS (SELECT vec_id,
+             |  CASE WHEN v[1] >= v[2] AND v[1] >= v[3] AND v[1] >= v[4] THEN 0
+             |       WHEN v[2] >= v[3] AND v[2] >= v[4] THEN 1
+             |       WHEN v[3] >= v[4] THEN 2 ELSE 3 END AS cluster,
+             |  (vec_id % 2147483648) * 2654435761 % 4294967296 AS hv
+             |FROM e),
+             |r AS (SELECT vec_id, cluster,
+             |  row_number() OVER (PARTITION BY cluster ORDER BY hv, vec_id) AS rn FROM a)
+             |SELECT vec_id, CAST(cluster AS INT) AS cluster FROM r
+             |WHERE rn <= 60 ORDER BY vec_id""".stripMargin)),
+
     // Declarative curation run: YAML config -> one plan. Every step's
     // semantics is independently oracle-gated elsewhere; this gate pins the
     // COMPOSITION (ordering, text threading through transforms, id survival

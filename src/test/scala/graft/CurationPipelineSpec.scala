@@ -326,6 +326,18 @@ class CurationPipelineSpec extends SparkSpec {
       ()
     }
 
+    // sample_cluster_quota: topic balancing caps each embedding cluster
+    val lop = (0 until 90).map(i => (i.toLong, "t", Seq(1.0, 0.01 * i % 1))) ++
+      (100 until 110).map(i => (i.toLong, "t", Seq(0.0, 1.0)))
+    val balanced = CurationPipeline(lop.toDF("doc_id", "text", "vec"), Seq(Map(
+      "step" -> "sample_cluster_quota", "vec_col" -> "vec",
+      "quota" -> 20, "num_centroids" -> 2, "train_rows" -> 100)))
+    val byCluster = balanced.groupBy("cluster").count()
+      .as[(Int, Long)].collect().toMap
+    assert(byCluster.values.forall(_ <= 20), byCluster)
+    assert(byCluster.values.sum == 30) // 90-cluster capped to 20, small one intact
+    assert(balanced.columns.contains("cluster"))
+
     // tokenize_wordpiece: count and encode modes with a serialized model
     val vocab = ('a' to 'z').flatMap(c => Seq(c.toString, "##" + c)).toSet ++
       Set("ab", "##cd")
