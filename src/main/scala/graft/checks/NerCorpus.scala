@@ -112,7 +112,10 @@ object NerCorpus {
     // belongs to LOC ("moved to Paris") and colliding them cost LOC recall
     Vector("According", "to", "Ms", "{S}", ",", "the", "deal", "closed", "."),
     Vector("{P}", "will", "present", "the", "results", "."),
-    Vector("{P}", "approved", "the", "budget", "request", "."))
+    Vector("{P}", "approved", "the", "budget", "request", "."),
+    Vector("The", "invoice", "was", "sent", "to", "Mrs", "{S}", "today", "."),
+    Vector("Our", "manager", ",", "{P}", ",", "resigned", "."),
+    Vector("Interview", "with", "{P}", "starts", "at", "noon", "."))
   private val orgTemplates: Vector[Vector[String]] = Vector(
     Vector("She", "works", "at", "{O}", "in", "the", "city", "."),
     Vector("{O}", "announced", "record", "earnings", "."),
@@ -226,7 +229,7 @@ object NerCorpus {
     * the synthetic train halves (~1/3 of person mentions), so the learned
     * weights balance list evidence against pure context/shape evidence.
     */
-  def trainingSentences(perTemplate: Int = 40): Vector[Sentence] =
+  def trainingSentences(perTemplate: Int = 55): Vector[Sentence] =
     build(trainGiven ++ half(syntheticTrainGiven, even = true),
       trainSur ++ half(syntheticTrainSur, even = true),
       trainOrg, trainPlace, perTemplate, withLower = true)

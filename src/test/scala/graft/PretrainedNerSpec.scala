@@ -22,7 +22,7 @@ class PretrainedNerSpec extends SparkSpec {
     val synth = NerCorpus.syntheticPersonSentences()
     val (sp, sr) = NerPretrainMain.score(eng, synth)
     val (_, gazR) = NerPretrainMain.score(gaz, synth)
-    assert(sp >= 0.9 && sr >= 0.5, s"synthetic P=$sp R=$sr")
+    assert(sp >= 0.9 && sr >= 0.7, s"synthetic P=$sp R=$sr")
     assert(gazR == 0.0, s"gazetteer recall on out-of-list names should be 0, got $gazR")
     // negatives: no false entities on capitalized business prose
     val (np, _) = NerPretrainMain.score(eng, NerCorpus.negativeEvalSentences)
