@@ -75,10 +75,10 @@ object CurationPipeline {
     "dedup_semantic_pq" -> Set("vec_col", "threshold", "margin", "num_centroids",
       "num_blocks", "codebook_size", "train_rows", "seed", "max_cluster_size"),
     "pq_encode" -> Set("vec_col", "codes_col", "num_blocks", "codebook_size",
-      "train_rows", "iterations", "seed"),
+      "train_rows", "iterations", "seed", "model_json", "model_location"),
     "knn_pq" -> Set("vec_col", "queries_path", "query_id_col", "query_vec_col",
       "k", "shortlist", "num_blocks", "codebook_size", "train_rows",
-      "iterations", "seed", "max_queries"),
+      "iterations", "seed", "max_queries", "model_json", "model_location"),
     "tokenize_wordpiece" -> Set("model_json", "mode", "output_col"))
 
   /** Parse a YAML (or JSON) step list and run it. */
@@ -401,17 +401,13 @@ object CurationPipeline {
         df.drop("_drift_score", "_drift_detected").crossJoin(broadcast(scores))
       case "pq_encode" =>
         // product-quantization codes next to (or in place of) the float
-        // vectors: trains codebooks on a capped driver sample at
-        // pipeline-construction time (the dedup_semantic convention), adds a
-        // row-local codegen'd codes column
+        // vectors: codebooks come from model_json / model_location
+        // (model-as-data, PqModelJson) or train on a capped driver sample
+        // at pipeline-construction time (the dedup_semantic convention);
+        // encoding is a row-local codegen'd column either way
         val vecCol = str(m, "vec_col").getOrElse(throw new IllegalArgumentException(
           "pq_encode: 'vec_col' is required"))
-        val model = Pq.train(df, vecCol,
-          numBlocks = num(m, "num_blocks").getOrElse(16.0).toInt,
-          codebookSize = num(m, "codebook_size").getOrElse(256.0).toInt,
-          trainRows = num(m, "train_rows").getOrElse(10000.0).toInt,
-          iterations = num(m, "iterations").getOrElse(10.0).toInt,
-          seed = num(m, "seed").getOrElse(42.0).toLong)
+        val model = pqModelFor(df, m, vecCol)
         df.withColumn(str(m, "codes_col").getOrElse("pq_codes"),
           Pq.encodeColumn(col(vecCol), model))
       case "knn_pq" =>
@@ -429,12 +425,7 @@ object CurationPipeline {
           .where(col(qvecCol).isNotNull)
           .limit(num(m, "max_queries").getOrElse(1000.0).toInt)
           .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-        val model = Pq.train(df, vecCol,
-          numBlocks = num(m, "num_blocks").getOrElse(16.0).toInt,
-          codebookSize = num(m, "codebook_size").getOrElse(256.0).toInt,
-          trainRows = num(m, "train_rows").getOrElse(10000.0).toInt,
-          iterations = num(m, "iterations").getOrElse(10.0).toInt,
-          seed = num(m, "seed").getOrElse(42.0).toLong)
+        val model = pqModelFor(df, m, vecCol)
         val k = num(m, "k").getOrElse(10.0).toInt
         val codes = df.select(col(idCol),
           Pq.encodeColumn(col(vecCol), model).as("__pq_codes"))
@@ -456,6 +447,19 @@ object CurationPipeline {
         }
     }
   }
+
+  /** PQ codebooks for a step: serialized model (inline JSON or URI) wins;
+    * otherwise train on a capped sample at construction time.
+    */
+  private def pqModelFor(df: DataFrame, m: Map[String, Any], vecCol: String): Pq.PqModel =
+    str(m, "model_json").map(PqModelJson.parse)
+      .orElse(str(m, "model_location").map(PqModelJson.load(df.sparkSession, _)))
+      .getOrElse(Pq.train(df, vecCol,
+        numBlocks = num(m, "num_blocks").getOrElse(16.0).toInt,
+        codebookSize = num(m, "codebook_size").getOrElse(256.0).toInt,
+        trainRows = num(m, "train_rows").getOrElse(10000.0).toInt,
+        iterations = num(m, "iterations").getOrElse(10.0).toInt,
+        seed = num(m, "seed").getOrElse(42.0).toLong))
 
   // ------------------------------------------------------------ param access
 

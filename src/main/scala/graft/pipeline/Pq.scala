@@ -337,6 +337,43 @@ object Pq {
   }
 }
 
+/** JSON (de)serialization for [[Pq.PqModel]] — the model-as-data convention
+  * every trained family follows (NER weights, tokenizers, n-gram LMs,
+  * IsolationForest records): train the codebooks ONCE on a sample job, save
+  * to any Hadoop-visible URI, and encode/search in later jobs or other
+  * clusters without retraining. Format:
+  * `{"block_dim": D, "codebooks": [[[...]]]}` (block x centroid x dim);
+  * numbers round-trip exactly (json4s renders doubles losslessly).
+  */
+object PqModelJson {
+  def render(model: Pq.PqModel): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("block_dim" -> model.blockDim) ~
+          ("codebooks" -> model.codebooks.map(_.map(_.toList).toList).toList)))
+  }
+
+  def parse(json: String): Pq.PqModel = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    val bd = (j \ "block_dim").extract[Int]
+    val cbs = (j \ "codebooks").extract[List[List[List[Double]]]]
+      .map(_.map(_.toArray).toArray).toArray
+    require(bd > 0, "block_dim must be positive")
+    require(cbs.nonEmpty && cbs.forall(b => b.nonEmpty && b.forall(_.length == bd)),
+      "every codebook centroid must have block_dim entries")
+    Pq.PqModel(bd, cbs)
+  }
+
+  def save(spark: org.apache.spark.sql.SparkSession, location: String,
+           model: Pq.PqModel): Unit =
+    graft.io.FsText.write(spark, location, render(model))
+
+  def load(spark: org.apache.spark.sql.SparkSession, location: String): Pq.PqModel =
+    parse(graft.io.FsText.read(spark, location))
+}
+
 /** Static kernels for the PQ expressions. */
 object PqOps {
   def encode(arr: ArrayData, model: Pq.PqModel): ArrayData = {

@@ -140,6 +140,45 @@ class PqSpec extends SparkSpec {
     assert(adcNull.isNullAt(0))
   }
 
+  test("PqModelJson: exact round trip; file load wires the pq_encode step") {
+    val data = clustered(200, 4)
+    val df = data.toDF("vec_id", "v")
+    val model = Pq.train(df, "v", numBlocks = 4, codebookSize = 8,
+      trainRows = 200, seed = 7)
+    // render -> parse is bit-exact
+    val rt = graft.pipeline.PqModelJson.parse(graft.pipeline.PqModelJson.render(model))
+    assert(rt.blockDim == model.blockDim)
+    (0 until model.numBlocks).foreach { b =>
+      model.codebooks(b).zip(rt.codebooks(b)).foreach { case (a, c) =>
+        assert(java.util.Arrays.equals(a, c)) }
+    }
+    // same codes from the round-tripped model
+    val c1 = df.select(Pq.encodeColumn(col("v"), model)).collect().map(_.getSeq[Int](0))
+    val c2 = df.select(Pq.encodeColumn(col("v"), rt)).collect().map(_.getSeq[Int](0))
+    assert(c1.toSeq == c2.toSeq)
+    // malformed models fail loudly
+    intercept[IllegalArgumentException] {
+      graft.pipeline.PqModelJson.parse("""{"block_dim": 2, "codebooks": [[[1.0]]]}""")
+    }
+    // saved model drives the declarative step without retraining
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqm")
+    try {
+      val loc = dir.resolve("pq.json").toUri.toString
+      graft.pipeline.PqModelJson.save(spark, loc, model)
+      val stepDf = data.toDF("doc_id", "vec").withColumn("text", lit("t"))
+      val coded = graft.pipeline.CurationPipeline(stepDf, Seq(Map(
+        "step" -> "pq_encode", "vec_col" -> "vec", "model_location" -> loc)))
+      val viaStep = coded.orderBy("doc_id").select("pq_codes")
+        .collect().map(_.getSeq[Int](0))
+      assert(viaStep.toSeq == c1.toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      ()
+    }
+  }
+
   test("PQ expressions stay inside whole-stage codegen") {
     val model = Pq.PqModel(2, Array(
       Array(Array(1.0, 0.0), Array(0.0, 1.0)),
