@@ -172,6 +172,29 @@ object GraftExtensions {
         graft.pipeline.WordPieceCount(a(0),
           graft.pipeline.WordPieceModelJson.parse(String.valueOf(a(1).eval())))
       }),
+    ("graft_pq_encode",
+      info("graft_pq_encode",
+        """graft_pq_encode(vec, model_json) - product-quantization codes """ +
+          """(array<int>, one per block) of a double-array column; NULL for """ +
+          """null/mis-sized input; model_json is a literal like """ +
+          """'{"block_dim": 2, "codebooks": [[[1.0,0.0],[0.0,1.0]]]}' (PqModelJson)"""),
+      args => {
+        val a = arity("graft_pq_encode", 2, args)
+        require(a(1).foldable, "graft_pq_encode: model_json must be a literal")
+        graft.pipeline.PqEncode(a(0),
+          graft.pipeline.PqModelJson.parse(String.valueOf(a(1).eval())))
+      }),
+    ("graft_pq_sdc_dot",
+      info("graft_pq_sdc_dot",
+        """graft_pq_sdc_dot(codes_a, codes_b, model_json) - symmetric-distance """ +
+          """approximate dot product of two PQ code arrays via per-block """ +
+          """code-code tables; NULL when either side is malformed"""),
+      args => {
+        val a = arity("graft_pq_sdc_dot", 3, args)
+        require(a(2).foldable, "graft_pq_sdc_dot: model_json must be a literal")
+        graft.pipeline.PqSdcDot(a(0), a(1), graft.pipeline.Pq.sdcTables(
+          graft.pipeline.PqModelJson.parse(String.valueOf(a(2).eval()))))
+      }),
     ("graft_langid",
       info("graft_langid",
         """graft_langid(text, model_json) - predicted language code under a trained """ +

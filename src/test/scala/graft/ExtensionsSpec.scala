@@ -98,6 +98,26 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("pq functions evaluate from plain SQL") {
+    Seq((1L, Seq(0.9, 0.1, 0.1, 0.9)), (2L, Seq(1.0, 2.0)))
+      .toDF("id", "v").createOrReplaceTempView("pqv")
+    val model =
+      """{"block_dim": 2, "codebooks": [[[1.0,0.0],[0.0,1.0]],
+        |[[1.0,0.0],[0.0,1.0]]]}""".stripMargin
+    val r = spark.sql(
+      s"""SELECT id, graft_pq_encode(v, '$model') AS codes FROM pqv ORDER BY id""")
+      .collect()
+    assert(r(0).getSeq[Int](1) == Seq(0, 1))
+    assert(r(1).isNullAt(1)) // wrong dim -> null
+    val dot = spark.sql(
+      s"""SELECT graft_pq_sdc_dot(array(0, 1), array(0, 1), '$model') AS s,
+         |  graft_pq_sdc_dot(array(0, 1), array(1, 0), '$model') AS z""".stripMargin).head()
+    assert(dot.getDouble(0) == 2.0 && dot.getDouble(1) == 0.0)
+    intercept[Exception] {
+      spark.sql("SELECT graft_pq_encode(v, cast(id AS STRING)) FROM pqv").collect()
+    }
+  }
+
   test("bpe and ner functions evaluate from plain SQL") {
     Seq((1L, "abc xabd plain"), (2L, "Dear James Smith, hello"), (3L, "nothing here"))
       .toDF("id", "text").createOrReplaceTempView("bnv")
