@@ -2,7 +2,11 @@ package graft.checks
 
 /** ISO code registries used by validity checks (reference loads these from
   * packaged resource files, dqx/check_funcs.py:1167 + text files under dqx/resources/).
-  * Public-standard data (ISO 3166-1, ISO 3166-2 subset, ISO 4217, ISO 639-1).
+  * Public-standard data (ISO 3166-1, ISO 3166-2 subset, ISO 4217 alphabetic +
+  * numeric, ISO 639-1 + 639-3). The bundled text registries
+  * (iso_3166_1_numeric, iso_3166_2, iso_4217_numeric, iso_639_3_alpha_3)
+  * are verbatim PUBLIC STANDARD DATA — code lists published by ISO, not
+  * code — mirrored so both engines validate against identical registries.
   */
 object IsoCodes {
 
