@@ -55,6 +55,51 @@ class BenchGuardSpec extends AnyFunSuite {
       a.startsWith("-agentlib") || a.startsWith("-javaagent")))
   }
 
+  test("env-pinned heap (_JAVA_OPTIONS) is scrubbed before re-exec, child runs clean") {
+    import scala.jdk.CollectionConverters._
+    // the heap arrives via _JAVA_OPTIONS (applied AFTER command-line flags),
+    // the way a driver environment can pin it: the parent violates, and the
+    // child would too unless re-exec scrubs the env var
+    val dir = java.nio.file.Files.createTempDirectory("graft_benchguard_env")
+    val out = dir.resolve("stdout.txt").toFile
+    val err = dir.resolve("stderr.txt").toFile
+    try {
+      val javaBin = new java.io.File(
+        new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val baseArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+          a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cmd = Seq(javaBin) ++ baseArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.directory(dir.toFile)
+      pb.environment().put("_JAVA_OPTIONS", "-Xmx32g")
+      pb.environment().put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+      pb.environment().put("SPARK_GRAFT_BENCH_ROWS", "0")
+      pb.environment().put("SPARK_GRAFT_BENCH_SUITES", "__no_such_suite__")
+      pb.environment().put("SPARK_GRAFT_CPUS", "4")
+      pb.redirectOutput(out)
+      pb.redirectError(err)
+      val proc = pb.start()
+      assert(proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+        { proc.destroyForcibly(); "bench child timed out" })
+      val stderrTxt = new String(java.nio.file.Files.readAllBytes(err.toPath))
+      assert(proc.exitValue() == 0, s"exit ${proc.exitValue()}\n$stderrTxt")
+      assert(stderrTxt.contains("re-executing in a child JVM pinned to -Xmx8g"), stderrTxt)
+      assert(!stderrTxt.contains("already re-execed once"), stderrTxt)
+      val art = new String(java.nio.file.Files.readAllBytes(dir.resolve("bench_out.json")))
+      val heapMb = """"heapMaxMb":(\d+)""".r.findFirstMatchIn(art).map(_.group(1).toLong)
+      assert(heapMb.exists(h => h > 4000 && h <= 16384), s"stamp heap $heapMb")
+      assert(!art.contains("protocol_violation"), art)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      ()
+    }
+  }
+
   test("big-heap parent self-normalizes: re-exec yields a parsed, 8g-stamped record (r8 follow-up)") {
     import scala.jdk.CollectionConverters._
     // Spawn the REAL graft.Bench at -Xmx32g (violating); it must re-exec
