@@ -1,0 +1,100 @@
+package graft.anomaly
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Everything an explanation can read for one scored row (reference
+  * anomaly/anomaly_llm_explainer.py ExplanationContext): the row's anomaly
+  * verdict and severity, the (possibly redacted) SHAP-style contribution
+  * map, and the segment values for segmented models.
+  */
+final case class AnomalyExplainContext(
+    checkName: String,
+    isAnomaly: Column,
+    severityPercentile: Column,
+    contributions: Column,
+    segment: Column,
+    redactColumns: Seq[String] = Seq.empty)
+
+/** Pluggable producer of the `_dq_info[].anomaly.ai_explanation` sub-struct
+  * (reference anomaly/anomaly_info_schema.py:18-27). The reference populates
+  * it with an LLM call through Databricks `ai_query` (anomaly_llm_explainer
+  * .py) — a serving-endpoint boundary this library keeps pluggable, the same
+  * FQCN-with-no-arg-constructor convention as [[graft.checks.NerEngine]]:
+  * pass `anomaly_explainer_class` in the check metadata to wire a custom
+  * implementation (e.g. one that calls a self-hosted model).
+  *
+  * `explain` returns ONE Column castable to
+  * [[graft.core.DQInfo.aiExplanationSchema]]; window expressions over the
+  * scored frame are allowed (group stats), driver actions are not.
+  */
+trait AnomalyExplainer extends Serializable {
+  def explain(ctx: AnomalyExplainContext): Column
+}
+
+/** Default: the sub-struct stays NULL (schema parity without LLM content). */
+final class NullAnomalyExplainer extends AnomalyExplainer {
+  override def explain(ctx: AnomalyExplainContext): Column =
+    lit(null).cast(graft.core.DQInfo.aiExplanationSchema)
+}
+
+/** The deterministic half of the reference's explanation (everything that is
+  * NOT LLM-generated, anomaly_llm_explainer.py:219-243, :401-470):
+  *
+  *  - `top_features`: the (segment-independent) pattern key — drop null and
+  *    redacted contribution entries, take the top-2 by |value| desc, sort the
+  *    NAMES asc, join with '+'; 'unknown' for empty/null maps;
+  *  - `group_size` / `group_avg_severity`: count and mean severity of the
+  *    anomalous rows sharing this row's (segment, pattern) group;
+  *  - `narrative` / `business_impact` / `action`: NULL (LLM content).
+  *
+  * Scale shape: the group stats are one window over a composite key that
+  * gives every CLEAN row its own partition (their output is null anyway), so
+  * the sort never concentrates the clean 99%+ into one reducer; the
+  * anomalous rows — the only populated groups — are few by construction.
+  * Still one extra full shuffle; the explainer is opt-in per check.
+  */
+final class TopFeaturesAnomalyExplainer extends AnomalyExplainer {
+  override def explain(ctx: AnomalyExplainContext): Column = {
+    val entries = {
+      val nonNull = filter(map_entries(ctx.contributions),
+        e => e.getField("value").isNotNull)
+      if (ctx.redactColumns.isEmpty) nonNull
+      else filter(nonNull, e => !e.getField("key").isin(ctx.redactColumns.map(c => c: Any): _*))
+    }
+    // top-2 by |value| desc (stable for ties, like the reference's
+    // comparator which returns 0 on equal |value|), then names asc
+    val ranked = array_sort(entries, (a, b) =>
+      when(abs(b.getField("value")) > abs(a.getField("value")), 1)
+        .when(abs(b.getField("value")) < abs(a.getField("value")), -1)
+        .otherwise(0))
+    val pattern = when(ctx.contributions.isNull || size(entries) === 0, lit("unknown"))
+      .otherwise(concat_ws("+", array_sort(transform(slice(ranked, 1, 2), _.getField("key")))))
+    val segKey = when(ctx.segment.isNull, lit(""))
+      .otherwise(to_json(ctx.segment))
+    val groupKey = when(ctx.isAnomaly, concat_ws("|", segKey, pattern))
+      // clean rows: unique key -> single-row window partitions, no hot reducer
+      .otherwise(concat(lit("__clean_"), monotonically_increasing_id().cast("string")))
+    val w = Window.partitionBy(groupKey)
+    val groupSize = count(when(ctx.isAnomaly, lit(1))).over(w)
+    val groupAvgSev = avg(when(ctx.isAnomaly, ctx.severityPercentile)).over(w)
+    when(ctx.isAnomaly, struct(
+      lit(null).cast("string").as("narrative"),
+      lit(null).cast("string").as("business_impact"),
+      pattern.as("top_features"),
+      lit(null).cast("string").as("action"),
+      groupSize.as("group_size"),
+      groupAvgSev.as("group_avg_severity")
+    )).cast(graft.core.DQInfo.aiExplanationSchema)
+  }
+}
+
+object AnomalyExplainer {
+  /** Reflective FQCN loading (`anomaly_explainer_class` metadata arg) — the
+    * CheckProvider/NerEngine convention.
+    */
+  def forName(fqcn: String): AnomalyExplainer =
+    Class.forName(fqcn).getDeclaredConstructor().newInstance()
+      .asInstanceOf[AnomalyExplainer]
+}

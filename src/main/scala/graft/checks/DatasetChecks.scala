@@ -52,14 +52,43 @@ object DatasetChecks {
 
   // -------------------------------------------------------------- foreign_key
 
+  /** "10MB"/"10485760"-style conf values -> bytes (Spark's own grammar). */
+  private def parseByteSize(s: String): Long =
+    org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+
   /** D3 (check_funcs.py:1919): FK existence against a reference dataset.
     * Reference side is deduped before the join (broadcast-friendly).
     * `negate`: key must NOT exist in the reference.
+    *
+    * Scale shape (`strategy`, default "auto"):
+    *  - "broadcast": the reference's own plan — dedup the ref and left-join
+    *    it onto the checked frame — with an explicit broadcast hint. Optimal
+    *    when the deduped ref fits an executor; the checked frame never
+    *    shuffles.
+    *  - "probe": slim keys-probe for UNBROADCASTABLE refs. The verdict
+    *    depends only on the KEY VALUE, so: (1) distinct the checked frame's
+    *    keys (a slim shuffle with map-side partial agg — bytes ~ key width,
+    *    not row width); (2) anti-join (semi for negate) those against the
+    *    deduped ref — both sides slim; (3) attach the violating-key marker
+    *    back by key with a SHUFFLE_HASH build on the (distinct, hence
+    *    non-multiplying) marker side. Sparse violations — the steady-state
+    *    DQ case — leave the marker side tiny, AQE upgrades the join-back to
+    *    broadcast, and the full-width frame NEVER shuffles; dense
+    *    violations degrade to one full-width hash-join shuffle WITHOUT the
+    *    sort a sort-merge join would pay.
+    *  - "join": the pre-r10 shape (plain left join, planner's choice) kept
+    *    for A/B comparison.
+    *  - "auto": "broadcast" when Catalyst's size estimate of the ref is
+    *    within autoBroadcastJoinThreshold (clamped to 10MB when the
+    *    threshold is disabled/-1), else "probe".
     */
   def foreignKey(columns: Seq[String], refColumns: Seq[String], refDf: DataFrame,
                  negate: Boolean = false, nullSafe: Boolean = false,
-                 rowFilter: Option[String] = None): DatasetCheck = {
+                 rowFilter: Option[String] = None,
+                 strategy: String = "auto"): DatasetCheck = {
     require(columns.length == refColumns.length, "columns and ref_columns must align")
+    require(Set("auto", "broadcast", "probe", "join").contains(strategy),
+      s"unknown foreign_key strategy: $strategy")
     val id = uniqueSuffix()
     val matchedCol = s"__dq_fk_matched_$id"
     val filterC = rowFilter.map(expr).getOrElse(lit(true))
@@ -69,15 +98,65 @@ object DatasetChecks {
       val marker = s"__dq_fk_present_$id"
       // explicit presence marker: ref-key nullness cannot indicate a match
       // under null_safe (a NULL ref key is a legitimate match target)
-      val ref = refDf.select(refColumns.zip(renamedRef).map { case (rc, nn) => col(rc).as(nn) }: _*)
+      val refDeduped = refDf.select(refColumns.zip(renamedRef).map { case (rc, nn) => col(rc).as(nn) }: _*)
         .distinct()
-        .withColumn(marker, lit(true))
       val joinCond =
         if (nullSafe) nullSafeJoinCondition(keyCols, renamedRef.map(col))
         else equalityJoinCondition(keyCols, renamedRef.map(col)) && keyCols.map(_.isNotNull).reduce(_ && _)
-      df.join(ref, joinCond, "left")
-        .withColumn(matchedCol, coalesce(col(marker), lit(false)))
-        .drop((renamedRef :+ marker): _*)
+
+      def directJoin(hintBroadcast: Boolean): DataFrame = {
+        val marked = refDeduped.withColumn(marker, lit(true))
+        val ref = if (hintBroadcast) broadcast(marked) else marked
+        df.join(ref, joinCond, "left")
+          .withColumn(matchedCol, coalesce(col(marker), lit(false)))
+          .drop((renamedRef :+ marker): _*)
+      }
+
+      def keysProbe(): DataFrame = {
+        // probe only keys that can violate: filtered rows and (non-null-safe)
+        // complete keys — null components can't fail the check anyway
+        val probeFilter =
+          if (nullSafe) filterC else filterC && keyCols.map(_.isNotNull).reduce(_ && _)
+        val probe = df.where(probeFilter).select(keyCols: _*).distinct()
+        // violating keys: absent from ref (present, for negate) — both sides
+        // of this join are slim key sets
+        val probeCond =
+          if (nullSafe) nullSafeJoinCondition(columns.map(probe(_)), renamedRef.map(col))
+          else equalityJoinCondition(columns.map(probe(_)), renamedRef.map(col))
+        val violKeys = probe.join(refDeduped, probeCond, if (negate) "left_semi" else "left_anti")
+        val violRenamed = columns.map(c => s"__dq_fk_v_${c}_$id")
+        val violM = violKeys.select(columns.zip(violRenamed).map { case (c, nn) => col(c).as(nn) }: _*)
+          .withColumn(marker, lit(true))
+        val backCond =
+          if (nullSafe) nullSafeJoinCondition(keyCols, violRenamed.map(col))
+          else equalityJoinCondition(keyCols, violRenamed.map(col))
+        // SHUFFLE_HASH build on the distinct marker side: no sort of the
+        // full-width stream; AQE converts to broadcast when violations are few
+        df.join(violM.hint("SHUFFLE_HASH"), backCond, "left")
+          .withColumn(matchedCol,
+            // marker present == violating key; matched is its inverse in the
+            // normal mode and its image in negate mode
+            if (negate) coalesce(col(marker), lit(false))
+            else !coalesce(col(marker), lit(false)))
+          .drop((violRenamed :+ marker): _*)
+      }
+
+      strategy match {
+        case "join" => directJoin(hintBroadcast = false)
+        case "broadcast" => directJoin(hintBroadcast = true)
+        case "probe" => keysProbe()
+        case _ => // auto
+          val threshold = {
+            val t = scala.util.Try(
+              df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")).toOption
+              .map(parseByteSize).getOrElse(10L * 1024 * 1024)
+            if (t <= 0) 10L * 1024 * 1024 else t
+          }
+          val refSize = scala.util.Try(
+            refDf.queryExecution.optimizedPlan.stats.sizeInBytes).toOption
+            .getOrElse(BigInt(Long.MaxValue))
+          if (refSize <= threshold) directJoin(hintBroadcast = true) else keysProbe()
+      }
     }
     val keysPresent = if (nullSafe) lit(true) else keyCols.map(_.isNotNull).reduce(_ && _)
     val violation =
@@ -936,7 +1015,10 @@ object DatasetChecks {
     */
   def hasNoRowAnomalies(columns: Seq[String], threshold: Double = 3.5,
                         rowFilter: Option[String] = None,
-                        checkName: String = "has_no_row_anomalies"): DatasetCheck = {
+                        checkName: String = "has_no_row_anomalies",
+                        enableContributions: Boolean = true,
+                        explainer: graft.anomaly.AnomalyExplainer = new graft.anomaly.NullAnomalyExplainer,
+                        redactColumns: Seq[String] = Seq.empty): DatasetCheck = {
     require(columns.nonEmpty, "columns must not be empty")
     val id = uniqueSuffix()
     val scoreCol = s"__dq_zscore_$id"
@@ -954,9 +1036,15 @@ object DatasetChecks {
       }
       val score = greatest((zs :+ lit(0.0)): _*)
       val zSum = zs.reduceOption(_ + _).getOrElse(lit(0.0))
-      val contributions = map(columns.zip(zs).flatMap { case (c, z) =>
-        Seq(lit(c), when(zSum > 0, z / zSum * 100.0).otherwise(lit(0.0)))
-      }: _*)
+      val contributions =
+        if (!enableContributions) lit(null).cast("map<string,double>")
+        else map(columns.zip(zs).flatMap { case (c, z) =>
+          Seq(lit(c), when(zSum > 0, z / zSum * 100.0).otherwise(lit(0.0)))
+        }: _*)
+      val isAnomaly = filterC && col(scoreCol) > threshold
+      val aiExplanation = explainer.explain(graft.anomaly.AnomalyExplainContext(
+        checkName, isAnomaly, lit(null).cast("double"), contributions,
+        lit(null).cast("map<string,string>"), redactColumns))
       df.withColumn(scoreCol, score)
         .withColumn(infoCol, graft.core.DQInfo.buildStruct(Map(
           "anomaly" -> struct(
@@ -965,12 +1053,13 @@ object DatasetChecks {
             lit(null).cast("double").as("severity_percentile"),
             // include the row filter so the info column agrees with _errors:
             // a filtered-out row must not report is_anomaly=true
-            (filterC && col(scoreCol) > threshold).as("is_anomaly"),
+            isAnomaly.as("is_anomaly"),
             lit(threshold).as("threshold"),
             lit("multivariate_zscore").as("model"),
             lit(null).cast("map<string,string>").as("segment"),
             contributions.as("contributions"),
-            lit(null).cast("double").as("confidence_std")
+            lit(null).cast("double").as("confidence_std"),
+            aiExplanation.as("ai_explanation")
           ).cast(graft.core.DQInfo.anomalySchema))))
     }
     DatasetCheck(applyFn,
@@ -993,8 +1082,13 @@ object DatasetChecks {
                                numTrees: Int = 100, subsampleSize: Int = 256,
                                trainRows: Int = 10000, seed: Long = 42L,
                                rowFilter: Option[String] = None,
-                               checkName: String = "has_no_row_anomalies"): DatasetCheck =
-    iforestCheck(columns, threshold, rowFilter, checkName, df => {
+                               checkName: String = "has_no_row_anomalies",
+                               enableContributions: Boolean = true,
+                               enableConfidenceStd: Boolean = false,
+                               explainer: graft.anomaly.AnomalyExplainer = new graft.anomaly.NullAnomalyExplainer,
+                               redactColumns: Seq[String] = Seq.empty): DatasetCheck =
+    iforestCheck(columns, threshold, rowFilter, checkName,
+      enableContributions, enableConfidenceStd, explainer, redactColumns, df => {
       import graft.anomaly.IsolationForest
       val features = array(columns.map(c => coalesce(col(c).cast("double"), lit(0.0))): _*)
       val base = rowFilter.map(df.filter).getOrElse(df)
@@ -1017,12 +1111,21 @@ object DatasetChecks {
   def hasNoRowAnomaliesPretrained(record: graft.anomaly.AnomalyModelRecord,
                                   threshold: Double = 99.0,
                                   rowFilter: Option[String] = None,
-                                  checkName: String = "has_no_row_anomalies"): DatasetCheck =
+                                  checkName: String = "has_no_row_anomalies",
+                                  enableContributions: Boolean = true,
+                                  enableConfidenceStd: Boolean = false,
+                                  explainer: graft.anomaly.AnomalyExplainer = new graft.anomaly.NullAnomalyExplainer,
+                                  redactColumns: Seq[String] = Seq.empty): DatasetCheck =
     iforestCheck(record.columns, threshold, rowFilter, checkName,
+      enableContributions, enableConfidenceStd, explainer, redactColumns,
       _ => (record.model, record.trainScoresSorted))
 
   private def iforestCheck(columns: Seq[String], threshold: Double,
                            rowFilter: Option[String], checkName: String,
+                           enableContributions: Boolean,
+                           enableConfidenceStd: Boolean,
+                           explainer: graft.anomaly.AnomalyExplainer,
+                           redactColumns: Seq[String],
                            modelOf: DataFrame => (graft.anomaly.IsolationForest.Model, Array[Double]))
       : DatasetCheck = {
     require(columns.nonEmpty, "columns must not be empty")
@@ -1053,8 +1156,25 @@ object DatasetChecks {
       val contribMap = map(columns.zipWithIndex.flatMap { case (c, i) =>
         Seq(lit(c), col(contribCol)(i))
       }: _*)
+      // enable_contributions=false skips the attribution forest walk entirely
+      // (reference check_funcs.py:169-175 "Set False to skip the SHAP cost");
+      // the default matches the reference 0.15.0 default (True)
+      val contributions =
+        if (!enableContributions) lit(null).cast("map<string,double>")
+        else when(isAnomaly, contribMap)
+      // ensemble disagreement, flagged rows only (extra forest walk); the
+      // reference default is OFF (enable_confidence_std=False)
+      val confidenceStd =
+        if (!enableConfidenceStd) lit(null).cast("double")
+        else when(isAnomaly, GraftColumnBridge.column(IForestScoreStd(
+          GraftColumnBridge.expression(features), model)))
+      val aiExplanation = explainer.explain(graft.anomaly.AnomalyExplainContext(
+        checkName, isAnomaly, col(sevCol), contributions,
+        lit(null).cast("map<string,string>"), redactColumns))
       scored.withColumn(sevCol, sev)
-        .withColumn(contribCol, when(isAnomaly, contribArr))
+        .withColumn(contribCol,
+          if (enableContributions) when(isAnomaly, contribArr)
+          else lit(null).cast("array<double>"))
         .withColumn(infoCol, graft.core.DQInfo.buildStruct(Map(
           "anomaly" -> struct(
             lit(checkName).as("check_name"),
@@ -1065,10 +1185,9 @@ object DatasetChecks {
             lit(threshold).as("threshold"),
             lit("isolation_forest").as("model"),
             lit(null).cast("map<string,string>").as("segment"),
-            when(isAnomaly, contribMap).as("contributions"),
-            // ensemble disagreement, flagged rows only (extra forest walk)
-            when(isAnomaly, GraftColumnBridge.column(IForestScoreStd(
-              GraftColumnBridge.expression(features), model))).as("confidence_std")
+            contributions.as("contributions"),
+            confidenceStd.as("confidence_std"),
+            aiExplanation.as("ai_explanation")
           ).cast(graft.core.DQInfo.anomalySchema))))
     }
     DatasetCheck(applyFn,

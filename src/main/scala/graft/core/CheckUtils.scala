@@ -34,19 +34,61 @@ object CheckUtils {
     case d: java.sql.Date => lit(d)
     case t: java.sql.Timestamp => lit(t)
     case d: java.time.LocalDate => lit(java.sql.Date.valueOf(d))
-    // snakeyaml parses unquoted YAML date/timestamp scalars to java.util.Date
-    // built from the text's fields AT UTC (must match AFTER the
-    // sql.Date/Timestamp subclasses). Rebuild the literal from those UTC
-    // fields so the YAML text is interpreted NAIVELY — "2025-01-01" is a
-    // DATE literal and "2025-02-24 01:00:00" means 01:00 in the session
-    // zone (the reference's PyYAML-naive-datetime semantics), instead of
-    // shifting by the session/JVM timezone offset.
+    // Legacy fallback for java.util.Date values from a STOCK snakeyaml
+    // loader (graft's own loader yields typed sql.Date/sql.Timestamp via
+    // [[parseYamlTimestampScalar]], matched above): snakeyaml builds the
+    // Date from the text's fields AT UTC, so rebuild the literal from the
+    // UTC fields to interpret the text NAIVELY. Two lossy corners are
+    // inherent to this path and only fixed by the typed loader: a
+    // tz-suffixed scalar arrives pre-shifted (the original wall time is
+    // gone), and an explicit "00:00:00" timestamp is indistinguishable
+    // from a date-only scalar (demoted to DATE here).
     case d: java.util.Date =>
       val utc = java.time.LocalDateTime.ofInstant(d.toInstant, java.time.ZoneOffset.UTC)
       if (utc.toLocalTime == java.time.LocalTime.MIDNIGHT)
         lit(java.sql.Date.valueOf(utc.toLocalDate))
       else lit(java.sql.Timestamp.valueOf(utc))
     case n => lit(n)
+  }
+
+  /** Typed construction of a YAML 1.1 `!!timestamp` scalar from its TEXT,
+    * replacing snakeyaml's lossy java.util.Date: date-only scalars become
+    * `java.sql.Date`; naive timestamps (incl. an explicit "00:00:00")
+    * become `java.sql.Timestamp` with the text's own wall-time fields
+    * (PyYAML-naive semantics, matching the reference's yaml.safe_load);
+    * tz-suffixed scalars (`Z` / `+05:00` / `-0530`) become the EXACT
+    * instant they denote (PyYAML applies the offset the same way).
+    */
+  def parseYamlTimestampScalar(text: String): AnyRef = {
+    val s = text.trim
+    val dateOnly = "^(\\d{4})-(\\d{1,2})-(\\d{1,2})$".r
+    val full = ("^(\\d{4})-(\\d{1,2})-(\\d{1,2})(?:[Tt]|[ \\t]+)" +
+      "(\\d{1,2}):(\\d{2}):(\\d{2})(?:\\.(\\d+))?" +
+      "(?:[ \\t]*(Z|[-+]\\d{1,2}(?::?\\d{2})?))?$").r
+    s match {
+      case dateOnly(y, m, d) =>
+        java.sql.Date.valueOf(java.time.LocalDate.of(y.toInt, m.toInt, d.toInt))
+      case full(y, mo, d, h, mi, sec, frac, tz) =>
+        val nanos = if (frac == null) 0 else frac.padTo(9, '0').take(9).toInt
+        val ldt = java.time.LocalDateTime.of(
+          y.toInt, mo.toInt, d.toInt, h.toInt, mi.toInt, sec.toInt, nanos)
+        if (tz == null) java.sql.Timestamp.valueOf(ldt)
+        else {
+          val offset =
+            if (tz == "Z") java.time.ZoneOffset.UTC
+            else {
+              val sign = if (tz.startsWith("-")) -1 else 1
+              val body = tz.substring(1).replace(":", "")
+              val (hh, mm) =
+                if (body.length <= 2) (body.toInt, 0)
+                else (body.dropRight(2).toInt, body.takeRight(2).toInt)
+              java.time.ZoneOffset.ofHoursMinutes(sign * hh, sign * mm)
+            }
+          java.sql.Timestamp.from(ldt.toInstant(offset))
+        }
+      case other =>
+        throw new IllegalArgumentException(s"Not a YAML timestamp scalar: '$other'")
+    }
   }
 
   /** String rendering of a limit for failure messages. */

@@ -35,9 +35,24 @@ object DQInfo {
     struct(parts: _*)
   }
 
+  /** AI-explanation sub-struct inside the anomaly info (reference
+    * anomaly/anomaly_info_schema.py:18-27): narrative / business_impact /
+    * action are LLM-generated (pluggable via `anomaly_explainer_class`,
+    * NULL under the default [[graft.anomaly.NullAnomalyExplainer]]);
+    * top_features and the group stats are deterministic.
+    */
+  val aiExplanationSchema: StructType = StructType(Seq(
+    StructField("narrative", StringType),
+    StructField("business_impact", StringType),
+    StructField("top_features", StringType),
+    StructField("action", StringType),
+    StructField("group_size", LongType),
+    StructField("group_avg_severity", DoubleType)
+  ))
+
   /** Anomaly info struct carried by has_no_row_anomalies results (reference
-    * anomaly/anomaly_info_schema.py:28-44; the LLM-generated ai_explanation
-    * sub-struct is out of OSS scope and stays NULL).
+    * anomaly/anomaly_info_schema.py:28-46, field-for-field incl. the nullable
+    * ai_explanation sub-struct added in reference 0.15.0).
     */
   val anomalySchema: StructType = StructType(Seq(
     StructField("check_name", StringType),
@@ -48,7 +63,8 @@ object DQInfo {
     StructField("model", StringType),
     StructField("segment", MapType(StringType, StringType)),
     StructField("contributions", MapType(StringType, DoubleType)),
-    StructField("confidence_std", DoubleType)
+    StructField("confidence_std", DoubleType),
+    StructField("ai_explanation", aiExplanationSchema)
   ))
   register("anomaly", anomalySchema)
 }

@@ -479,8 +479,14 @@ object Dedup {
     * corpus's quantization-error band (even for IDENTICAL vectors the SDC
     * approximate cosine is |q(v)|^2/|v|^2, not exactly 1) reproduces the
     * plain pair set bit-for-bit; smaller margins trade recall for pruning,
-    * the LSH convention. margin >= 1 disables pruning entirely and the
-    * output still costs only the candidate-verify joins.
+    * the LSH convention. Note the SDC approximate cosine is NOT bounded
+    * below by -1 for poorly-fit codebooks, so no finite margin can
+    * mathematically guarantee zero pruning through the band test alone;
+    * `margin >= threshold + 1` therefore SKIPS the prefilter entirely
+    * (every in-cell pair goes to the exact verify), which is the true
+    * "disable pruning" setting. Margins in (quant-band, threshold+1) are
+    * exact for any codebook whose approximation error stays within the
+    * band — the practical regime the spec's equivalence proof pins.
     */
   def pqSemanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          centroids: Array[Array[Double]], model: Pq.PqModel,
@@ -508,14 +514,19 @@ object Dedup {
       col("__codes").as("__ca"), col("__norm").as("__na"))
     val r = kept.select(col("__cluster"), col("__id").as("id_b"),
       col("__codes").as("__cb"), col("__norm").as("__nb"))
-    val candidates = l.join(r, Seq("__cluster"))
+    val paired = l.join(r, Seq("__cluster"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("__approx_cos",
-        Pq.sdcDotColumn(col("__ca"), col("__cb"), model) / (col("__na") * col("__nb")))
-      // a NULL approximate cosine (e.g. a vector whose dim doesn't match the
-      // PQ model -> null codes) must NOT prune: the exact verify below is
-      // the decider, keeping the margin>=1 parity contract for such rows
-      .where(col("__approx_cos").isNull || col("__approx_cos") >= threshold - margin)
+    // margin >= threshold + 1 is the "disable pruning" setting: the SDC
+    // approximate cosine has no lower bound for arbitrary codebooks, so the
+    // only way to guarantee no true pair is pruned is to not prefilter
+    val candidates = (if (margin >= threshold + 1.0) paired
+      else paired
+        .withColumn("__approx_cos",
+          Pq.sdcDotColumn(col("__ca"), col("__cb"), model) / (col("__na") * col("__nb")))
+        // a NULL approximate cosine (e.g. a vector whose dim doesn't match
+        // the PQ model -> null codes) must NOT prune: the exact verify below
+        // is the decider for such rows
+        .where(col("__approx_cos").isNull || col("__approx_cos") >= threshold - margin))
       .select(col("id_a"), col("id_b"), col("__cluster"))
     // exact verify: only candidate ids rejoin the float vectors
     val va = df.select(col(idCol).as("id_a"), col(vecCol).cast("array<double>").as("__va"))

@@ -186,7 +186,7 @@ object Pq {
     */
   def topKByAdc(corpusCodes: DataFrame, idCol: String, codesCol: String,
                 queries: Seq[(Long, Array[Double])], model: PqModel,
-                k: Int): DataFrame = {
+                k: Int, excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     require(queries.nonEmpty, "no queries")
     val luts = buildLuts(queries, model)
@@ -199,7 +199,11 @@ object Pq {
       .withColumn("query_id", element_at(
         array(qids.map(lit): _*), col("__graft_qidx") + 1))
     val w = Window.partitionBy("query_id").orderBy(col("adc_dot").desc, col("neighbor_id"))
-    scored.where(col("adc_dot").isNotNull)
+    // self-exclusion must happen BEFORE the rank cut, or a query present in
+    // the corpus consumes one of its own k slots
+    val base = if (excludeSelf) scored.where(col("query_id") =!= col("neighbor_id"))
+               else scored
+    base.where(col("adc_dot").isNotNull)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dot"))
@@ -220,7 +224,8 @@ object Pq {
     require(shortlist >= k, "shortlist must be at least k")
     val session = corpusVecs.sparkSession
     import session.implicits._
-    val cand = topKByAdc(corpusCodes, idCol, codesCol, queries, model, shortlist)
+    val cand = topKByAdc(corpusCodes, idCol, codesCol, queries, model, shortlist,
+        excludeSelf = true)
       .select(col("query_id"), col("neighbor_id"))
     val qdf = queries.map { case (qid, qv) => (qid, qv.toSeq) }.toDF("query_id", "__qv")
     val vecs = corpusVecs.select(col(idCol).cast("long").as("neighbor_id"),
@@ -316,6 +321,10 @@ object Pq {
       .where(array_contains(element_at(probedLit, col("__qidx") + 1), col("__cell")))
       .withColumn("query_id", element_at(array(qids.map(lit): _*), col("__qidx") + 1))
       .where(col("adc_dot").isNotNull)
+      // self-exclusion BEFORE the shortlist cut: a query id present in the
+      // corpus must not consume one of its own shortlist slots (with
+      // shortlist == k that silently returned k-1 neighbors)
+      .where(col("query_id") =!= col("neighbor_id"))
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc_dot").desc, col("neighbor_id"))
     val short = cand.withColumn("__r", row_number().over(wAdc))
       .where(col("__r") <= shortlist)

@@ -36,14 +36,36 @@ final case class CheckArgs(args: Map[String, Any]) {
   def any(k: String): Any = args.getOrElse(k, throw new IllegalArgumentException(s"Missing required argument: $k"))
   def column(k: String = "column"): Column = {
     val v = str(k)
-    // reference contract: the column argument may be an EXPRESSION
-    // ("try_element_at(col7, 'key1')", "array_min(col4)"). Only strings
-    // containing a parenthesis (a function call) route through expr();
-    // everything else keeps col(), so raw names with hyphens/spaces and
-    // struct dot paths resolve exactly as before.
-    if (v.contains("(")) expr(v) else col(v)
+    CheckArgs.resolveColumn(v)
   }
   def has(k: String): Boolean = args.contains(k)
+}
+
+object CheckArgs {
+  private val rawHyphenName = "^[A-Za-z0-9_.-]+$".r
+
+  /** The reference contract resolves a string `column` argument with
+    * `F.expr` unconditionally (rule.py column coercion), so expressions
+    * like "try_element_at(col7, 'key1')", "a + b" or "a::int" are legal
+    * column arguments. We route through `expr()` whenever the string
+    * PARSES as something other than a bare column reference; bare
+    * references (incl. dotted struct paths and backquoted names) and
+    * strings that do not parse at all keep `col()`. One deliberate,
+    * documented divergence: a paren-/space-free token that would parse as
+    * arithmetic over raw names ("a-b") stays a raw COLUMN NAME here —
+    * the reference would treat it as subtraction unless backquoted; write
+    * "a - b" (with spaces) to force the expression reading.
+    */
+  def resolveColumn(v: String): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    if (rawHyphenName.pattern.matcher(v).matches() && !v.contains("(")) col(v)
+    else scala.util.Try(CatalystSqlParser.parseExpression(v)) match {
+      case scala.util.Success(_: UnresolvedAttribute) => col(v)
+      case scala.util.Success(_) => expr(v)
+      case scala.util.Failure(_) => col(v)
+    }
+  }
 }
 
 /** Resolution context handed to dataset-check builders that need reference
@@ -209,7 +231,8 @@ object CheckRegistry {
   private val datasetBuilders: Map[String, (CheckArgs, ResolveCtx) => DatasetCheck] = Map(
     "is_unique" -> ((a, _) => isUnique(a.strSeq("columns"), a.bool("nulls_distinct", true), a.strOpt("row_filter"))),
     "foreign_key" -> ((a, ctx) => foreignKey(a.strSeq("columns"), a.strSeq("ref_columns"), ctx.ref(a),
-      a.bool("negate", false), a.bool("null_safe", false), a.strOpt("row_filter"))),
+      a.bool("negate", false), a.bool("null_safe", false), a.strOpt("row_filter"),
+      a.strOpt("strategy").getOrElse("auto"))),
     "sql_query" -> ((a, ctx) => sqlQuery(a.str("query"), a.strSeq("merge_columns"), a.str("condition_column"),
       a.bool("negate", false), a.strOpt("input_placeholder").getOrElse("input_view"), ctx.refDfs, a.strOpt("row_filter"))),
     "is_aggr_not_greater_than" -> ((a, _) => isAggrNotGreaterThan(a.str("column"), a.any("limit"),
@@ -249,15 +272,47 @@ object CheckRegistry {
       a.bool("exact", false), a.strOpt("row_filter"))),
     "has_valid_schema" -> ((a, _) => hasValidSchema(a.str("expected_schema"), a.bool("strict", false),
       a.strSeq("columns"), a.strSeq("exclude_columns"))),
-    "has_no_row_anomalies" -> ((a, ctx) => a.strOpt("method").getOrElse("zscore") match {
-      case "isolation_forest_pretrained" => hasNoRowAnomaliesPretrained(
-        graft.anomaly.ModelRegistry.load(ctx.spark, a.str("model_location")),
-        a.double("threshold", 99.0), a.strOpt("row_filter"))
-      case "isolation_forest" => hasNoRowAnomaliesIForest(a.strSeq("columns"),
-        a.double("threshold", 99.0), a.int("num_trees", 100), a.int("subsample_size", 256),
-        a.int("train_rows", 10000), a.long("seed", 42L), a.strOpt("row_filter"))
-      case _ => hasNoRowAnomalies(a.strSeq("columns"),
-        a.double("threshold", 3.5), a.strOpt("row_filter"))
+    "has_no_row_anomalies" -> ((a, ctx) => {
+      // reference 0.15.0 argument surface (anomaly/check_funcs.py:119-131):
+      // enable_contributions / enable_ai_explanation default True,
+      // enable_confidence_std defaults False; AI explanations REQUIRE
+      // contributions (disabled with the reference's warning semantics
+      // when contributions are off, check_funcs.py:81-93). max_groups is
+      // validated like the reference but only budgets LLM calls — a
+      // column-expression explainer makes no per-group calls, so it is a
+      // documented no-op here; ai_explanation_llm_model_config is accepted
+      // (Databricks serving-endpoint config) and unused by the default
+      // explainer.
+      val enableContributions = a.bool("enable_contributions", true)
+      val enableConfidenceStd = a.bool("enable_confidence_std", false)
+      val enableAiExplanation = a.bool("enable_ai_explanation", true) && enableContributions
+      val maxGroups = a.int("max_groups", 500)
+      require(maxGroups > 0, "max_groups must be a positive integer")
+      val redact = a.strSeq("redact_columns")
+      require(redact.forall(_.nonEmpty), "redact_columns must be non-empty column names")
+      val explainer: graft.anomaly.AnomalyExplainer =
+        if (enableAiExplanation)
+          a.strOpt("anomaly_explainer_class").map(graft.anomaly.AnomalyExplainer.forName)
+            .getOrElse(new graft.anomaly.NullAnomalyExplainer)
+        else new graft.anomaly.NullAnomalyExplainer
+      a.strOpt("method").getOrElse("zscore") match {
+        case "isolation_forest_pretrained" => hasNoRowAnomaliesPretrained(
+          graft.anomaly.ModelRegistry.load(ctx.spark, a.str("model_location")),
+          a.double("threshold", 99.0), a.strOpt("row_filter"),
+          enableContributions = enableContributions,
+          enableConfidenceStd = enableConfidenceStd,
+          explainer = explainer, redactColumns = redact)
+        case "isolation_forest" => hasNoRowAnomaliesIForest(a.strSeq("columns"),
+          a.double("threshold", 99.0), a.int("num_trees", 100), a.int("subsample_size", 256),
+          a.int("train_rows", 10000), a.long("seed", 42L), a.strOpt("row_filter"),
+          enableContributions = enableContributions,
+          enableConfidenceStd = enableConfidenceStd,
+          explainer = explainer, redactColumns = redact)
+        case _ => hasNoRowAnomalies(a.strSeq("columns"),
+          a.double("threshold", 3.5), a.strOpt("row_filter"),
+          enableContributions = enableContributions,
+          explainer = explainer, redactColumns = redact)
+      }
     }),
     "has_no_drift" -> ((a, ctx) => {
       // baseline inline ({"col": {"mean": m, "std": s}}) or from a stored

@@ -24,9 +24,29 @@ object ChecksSerializer {
   private val allowedTopKeys = Set("name", "criticality", "check", "filter", "user_metadata", "message_expr")
   private val allowedCheckKeys = Set("function", "arguments", "for_each_column")
 
+  /** YAML loader with a TYPED `!!timestamp` construct: date-only scalars
+    * load as `java.sql.Date`, naive timestamps (incl. explicit midnight) as
+    * `java.sql.Timestamp` in the text's own wall time, and tz-suffixed
+    * scalars as the exact instant — replacing snakeyaml's java.util.Date,
+    * which loses the original wall time for offset-suffixed inputs
+    * (PyYAML/safe_load parity; see CheckUtils.parseYamlTimestampScalar).
+    */
+  private def typedLoader(): Yaml = {
+    val ctor = new org.yaml.snakeyaml.constructor.SafeConstructor(
+      new org.yaml.snakeyaml.LoaderOptions) {
+      yamlConstructors.put(org.yaml.snakeyaml.nodes.Tag.TIMESTAMP,
+        new org.yaml.snakeyaml.constructor.AbstractConstruct {
+          override def construct(node: org.yaml.snakeyaml.nodes.Node): AnyRef =
+            graft.core.CheckUtils.parseYamlTimestampScalar(
+              node.asInstanceOf[org.yaml.snakeyaml.nodes.ScalarNode].getValue)
+        })
+    }
+    new Yaml(ctor)
+  }
+
   /** Parse YAML (or JSON — YAML superset) into check dicts. */
   def parseYaml(content: String): Seq[Map[String, Any]] = {
-    val yaml = new Yaml()
+    val yaml = typedLoader()
     val parsed = yaml.load[Any](content)
     toScala(parsed) match {
       case s: Seq[_] => s.map(_.asInstanceOf[Map[String, Any]])
@@ -56,7 +76,7 @@ object ChecksSerializer {
     * strings/numbers/booleans/lists/maps — quoted strings stay strings).
     */
   def encodeScalar(v: Any): String = new Yaml().dump(toJava(v)).stripLineEnd
-  def decodeScalar(s: String): Any = toScala(new Yaml().load[Any](s))
+  def decodeScalar(s: String): Any = toScala(typedLoader().load[Any](s))
 
   /** Structural validation against the allow-list schema. Returns error
     * strings; empty = valid (checks_validator.py:52-116).

@@ -44,6 +44,70 @@ class AnomalySpec extends SparkSpec {
     assert(a.getAs[Double]("score") > 0.5)
   }
 
+  test("anomaly struct matches the reference 0.15.0 schema incl. ai_explanation; null by default") {
+    // field-for-field parity with anomaly_info_schema.py:18-46
+    import org.apache.spark.sql.types._
+    val ai = graft.core.DQInfo.aiExplanationSchema
+    assert(ai.fields.map(f => (f.name, f.dataType)).toSeq == Seq(
+      ("narrative", StringType), ("business_impact", StringType),
+      ("top_features", StringType), ("action", StringType),
+      ("group_size", LongType), ("group_avg_severity", DoubleType)))
+    val an = graft.core.DQInfo.anomalySchema
+    assert(an.fieldNames.toSeq == Seq("check_name", "score", "severity_percentile",
+      "is_anomaly", "threshold", "model", "segment", "contributions",
+      "confidence_std", "ai_explanation"))
+    assert(an("ai_explanation").dataType == ai)
+    // default explainer leaves the sub-struct NULL, struct-typed
+    val df = Seq((1, 1.0), (2, 2.0), (3, 900.0)).toDF("id", "v")
+    val out = DQEngine.applyChecks(df, Seq(DQDatasetRule(
+      DatasetChecks.hasNoRowAnomalies(Seq("v"), threshold = 1.0),
+      "has_no_row_anomalies", Seq("v"))))
+    val aiCol = out.select(col("_dq_info")(0).getField("anomaly").getField("ai_explanation").as("x"))
+    assert(aiCol.schema("x").dataType == ai)
+    assert(aiCol.where(col("x").isNotNull).count() == 0)
+  }
+
+  test("TopFeaturesAnomalyExplainer: deterministic pattern + group stats, redaction, metadata path") {
+    val rnd = new java.util.Random(5)
+    val normal = (1 to 400).map(i => (i, 50.0 + rnd.nextGaussian(), 100.0 + rnd.nextGaussian(), 5.0))
+    // two planted anomalies sharing the same dominant feature -> same group
+    val planted = Seq((9001, 5000.0, 100.0, 5.0), (9002, 5200.0, 100.0, 5.0))
+    val df = (normal ++ planted).toDF("id", "a", "b", "c")
+    val out = DQEngine.applyChecksByMetadata(df, Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "has_no_row_anomalies",
+        "arguments" -> Map("columns" -> Seq("a", "b", "c"), "threshold" -> 8.0,
+          "anomaly_explainer_class" -> "graft.anomaly.TopFeaturesAnomalyExplainer",
+          "redact_columns" -> Seq("b"), "max_groups" -> 10)))))
+    val ex = out.where(col("id") >= 9001)
+      .select(col("_dq_info")(0).getField("anomaly").getField("ai_explanation").as("x"))
+      .collect().map(_.getStruct(0))
+    assert(ex.length == 2 && ex.forall(_ != null))
+    ex.foreach { s =>
+      // 'a' dominates; 'b' is redacted so the pattern pairs a with c
+      assert(s.getAs[String]("top_features") == "a+c", s.getAs[String]("top_features"))
+      assert(s.getAs[Long]("group_size") == 2L)
+      assert(s.getAs[String]("narrative") == null && s.getAs[String]("action") == null)
+    }
+    // clean rows: null sub-struct
+    assert(out.where(col("id") < 9001)
+      .select(col("_dq_info")(0).getField("anomaly").getField("ai_explanation").as("x"))
+      .where(col("x").isNotNull).count() == 0)
+    // enable_ai_explanation=false (or enable_contributions=false) -> null even
+    // with an explainer class (the reference's resolve rule)
+    val off = DQEngine.applyChecksByMetadata(df, Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "has_no_row_anomalies",
+        "arguments" -> Map("columns" -> Seq("a", "b", "c"), "threshold" -> 8.0,
+          "anomaly_explainer_class" -> "graft.anomaly.TopFeaturesAnomalyExplainer",
+          "enable_contributions" -> false)))))
+    assert(off.select(col("_dq_info")(0).getField("anomaly").getField("ai_explanation").as("x"))
+      .where(col("x").isNotNull).count() == 0)
+    // and contributions themselves are nulled when disabled
+    assert(off.select(col("_dq_info")(0).getField("anomaly").getField("contributions").as("m"))
+      .where(col("m").isNotNull).count() == 0)
+  }
+
   test("topContributors formats the reference's 'col (N%)' string: sort, ties, nulls, topN") {
     import graft.anomaly.Explain
     val df = Seq(1).toDF("id").select(col("id"),

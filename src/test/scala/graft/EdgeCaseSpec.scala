@@ -40,6 +40,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(nullSafe2 == Seq(1, 3)) // null no longer matches
   }
 
+  test("foreign_key strategies agree: join/broadcast/probe x negate x null_safe x filter") {
+    // r10 scale work: the slim keys-probe and explicit-broadcast shapes must
+    // produce byte-identical verdicts to the pre-r10 plain join
+    val df = Seq(
+      (1, Option.empty[String]), (2, Some("a")), (3, Some("zz")),
+      (4, Some("a")), (5, Some("q")), (6, Option.empty[String])).toDF("id", "k")
+    val ref = Seq(Option.empty[String], Some("a"), Some("a"), Some("b")).toDF("rk")
+    val strategies = Seq("join", "broadcast", "probe", "auto")
+    for (negate <- Seq(false, true); nullSafe <- Seq(false, true);
+         filter <- Seq(None, Some("id <= 5"))) {
+      val got = strategies.map { s =>
+        s -> errs(df, DQDatasetRule(
+          DatasetChecks.foreignKey(Seq("k"), Seq("rk"), ref,
+            negate = negate, nullSafe = nullSafe, rowFilter = filter, strategy = s),
+          "foreign_key", Seq("k"), filter = filter))
+      }
+      val base = got.head._2
+      got.tail.foreach { case (s, r) =>
+        assert(r == base, s"strategy=$s negate=$negate nullSafe=$nullSafe filter=$filter: $r != $base")
+      }
+    }
+    // spot-check absolute semantics in probe mode
+    val probeViol = errs(df, DQDatasetRule(
+      DatasetChecks.foreignKey(Seq("k"), Seq("rk"), ref, strategy = "probe"),
+      "foreign_key", Seq("k")))
+    assert(probeViol == Seq(3, 5)) // zz, q missing; nulls skipped
+    val probeNeg = errs(df, DQDatasetRule(
+      DatasetChecks.foreignKey(Seq("k"), Seq("rk"), ref, negate = true, strategy = "probe"),
+      "foreign_key", Seq("k")))
+    assert(probeNeg == Seq(2, 4)) // the "a" rows found in ref
+  }
+
   test("aggr compare row_filter is conditional aggregation + result gate") {
     val df = Seq((1, "g1", 10), (2, "g1", 100), (3, "g2", 10)).toDF("id", "g", "v")
     // dqx semantics: the rule filter goes INTO the aggregate (row_filter) AND

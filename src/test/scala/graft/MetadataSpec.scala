@@ -125,6 +125,26 @@ class MetadataSpec extends SparkSpec {
     assert(out2.where(col("_errors").isNotNull).select("id").as[Int].collect().toSeq == Seq(2))
   }
 
+  test("column arguments: paren-free expressions (arithmetic, :: cast) route through expr") {
+    // r10 ADVICE regression: the reference resolves string columns via
+    // F.expr unconditionally, so "a + b" and "a::int" are legal column
+    // arguments even without a function-call parenthesis
+    val out = DQEngine.applyChecksByMetadata(df, Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "is_not_greater_than",
+        "arguments" -> Map("column" -> "amount + id", "limit" -> 31)))))
+    val bad = out.where(col("_errors").isNotNull).select("amount").as[Int].collect()
+    assert(bad.toSeq == Seq(30)) // 30 + 2 = 32 > 31
+    val out2 = DQEngine.applyChecksByMetadata(df, Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "is_not_less_than",
+        "arguments" -> Map("column" -> "amount::long", "limit" -> 0)))))
+    val bad2 = out2.where(col("_errors").isNotNull).select("amount").as[Int].collect()
+    assert(bad2.toSeq == Seq(-5))
+    // a string that parses to a bare attribute still routes through col
+    assert(CheckArgs.resolveColumn("amount").toString == col("amount").toString)
+  }
+
   test("unquoted YAML date limits become naive DATE literals, not shifted instants") {
     // snakeyaml parses 2019-01-01 to a java.util.Date at UTC midnight; the
     // literal must be a DATE (timezone-free), so a row exactly at the bound
@@ -139,6 +159,31 @@ class MetadataSpec extends SparkSpec {
     val d2 = spark.range(1).select(graft.core.CheckUtils.limitExpr(ts).as("t"))
     assert(d2.schema("t").dataType == org.apache.spark.sql.types.TimestampType)
     assert(d2.head().get(0).toString.contains("01:30:00"), d2.head().get(0))
+  }
+
+  test("YAML timestamps: explicit midnight stays TIMESTAMP; tz offsets keep the instant") {
+    // r10 ADVICE regression (typed !!timestamp construct): an explicit
+    // 00:00:00 must NOT be demoted to a DATE literal...
+    val mid = ChecksSerializer.parseYaml("v: 2019-01-01 00:00:00").head("v")
+    assert(mid.isInstanceOf[java.sql.Timestamp], mid.getClass)
+    val d1 = spark.range(1).select(graft.core.CheckUtils.limitExpr(mid).as("t"))
+    assert(d1.schema("t").dataType == org.apache.spark.sql.types.TimestampType)
+    // ...and a tz-suffixed scalar denotes its EXACT instant (PyYAML applies
+    // the offset the same way): 01:00 at +05:00 is 2024-12-31T20:00:00Z
+    val tz = ChecksSerializer.parseYaml("v: 2025-01-01T01:00:00+05:00").head("v")
+    assert(tz.isInstanceOf[java.sql.Timestamp], tz.getClass)
+    assert(tz.asInstanceOf[java.sql.Timestamp].toInstant ==
+      java.time.Instant.parse("2024-12-31T20:00:00Z"))
+    // Z and compact-offset spellings parse too
+    assert(graft.core.CheckUtils.parseYamlTimestampScalar("2025-01-01T01:00:00Z")
+      .asInstanceOf[java.sql.Timestamp].toInstant ==
+      java.time.Instant.parse("2025-01-01T01:00:00Z"))
+    assert(graft.core.CheckUtils.parseYamlTimestampScalar("2025-01-01 01:00:00 -0530")
+      .asInstanceOf[java.sql.Timestamp].toInstant ==
+      java.time.Instant.parse("2025-01-01T06:30:00Z"))
+    // fractional seconds survive
+    assert(graft.core.CheckUtils.parseYamlTimestampScalar("2025-01-01 01:00:00.25")
+      .asInstanceOf[java.sql.Timestamp].getNanos == 250000000)
   }
 
   test("variable substitution in metadata") {

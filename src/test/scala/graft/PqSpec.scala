@@ -110,6 +110,28 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("self-match excluded BEFORE the shortlist cut: shortlist == k returns k neighbors") {
+    // r10 ADVICE regression (Pq.scala ivfPqTopK): with the query id present
+    // in the corpus and shortlist == k, the self row must not consume a
+    // shortlist slot and silently shrink the result to k-1
+    val data = clustered(120, 3)
+    val df = data.toDF("vec_id", "v")
+    val queries = data.take(2).map { case (id, v) => (id, v.toArray) }
+    val k = 5
+    val ivf = Pq.ivfPqTopK(df, "vec_id", "v", queries, k = k,
+      numCells = 3, nprobe = 3, numBlocks = 4, codebookSize = 8,
+      shortlist = k, trainRows = 120, seed = 7)
+      .groupBy("query_id").count().select("count").as[Long].collect()
+    assert(ivf.nonEmpty && ivf.forall(_ == k.toLong), s"ivfpq per-query counts: ${ivf.mkString(",")}")
+
+    val model = Pq.train(df, "v", numBlocks = 4, codebookSize = 8, seed = 7)
+    val codes = df.select(col("vec_id"), Pq.encodeColumn(col("v"), model).as("codes"))
+    val rr = Pq.topKByAdcRerank(codes, df, "vec_id", "codes", "v",
+      queries, model, k = k, shortlist = k)
+      .groupBy("query_id").count().select("count").as[Long].collect()
+    assert(rr.nonEmpty && rr.forall(_ == k.toLong), s"rerank per-query counts: ${rr.mkString(",")}")
+  }
+
   test("encode is deterministic, null-safe, and dimension-checked") {
     val model = Pq.PqModel(2, Array(
       Array(Array(1.0, 0.0), Array(0.0, 1.0)),

@@ -56,7 +56,8 @@ class ProfSpec extends SparkSpec {
     val planted = base.unionByName(Seq((9001, 1e6)).toDF("id", "v"))
     val checked = graft.engine.DQEngine.applyChecks(planted, Seq(
       graft.rules.DQDatasetRule(
-        graft.checks.DatasetChecks.hasNoRowAnomaliesIForest(Seq("v"), threshold = 99.0, seed = 3),
+        graft.checks.DatasetChecks.hasNoRowAnomaliesIForest(Seq("v"), threshold = 99.0, seed = 3,
+          enableConfidenceStd = true),
         "has_no_row_anomalies", Seq("v"))))
     val flagged = checked.where(col("_errors").isNotNull)
       .select(col("id"),
@@ -71,6 +72,14 @@ class ProfSpec extends SparkSpec {
       .select(col("_dq_info")(0).getField("anomaly").getField("confidence_std").as("cs"))
       .where(col("cs").isNotNull).count()
     assert(clean == 0)
+    // reference 0.15.0 default: enable_confidence_std=False -> always null
+    val defChecked = graft.engine.DQEngine.applyChecks(planted, Seq(
+      graft.rules.DQDatasetRule(
+        graft.checks.DatasetChecks.hasNoRowAnomaliesIForest(Seq("v"), threshold = 99.0, seed = 3),
+        "has_no_row_anomalies", Seq("v"))))
+    assert(defChecked
+      .select(col("_dq_info")(0).getField("anomaly").getField("confidence_std").as("cs"))
+      .where(col("cs").isNotNull).count() == 0)
   }
 
   test("streaming file read without schema infers one from existing files") {

@@ -94,6 +94,28 @@ class SemDedupSpec extends SparkSpec {
 
   private def data0Copy(a: Array[Double]): Seq[Double] = a.toSeq
 
+  test("pqSemanticDupPairs: margin >= threshold+1 skips the prefilter (unbounded SDC)") {
+    // r10 ADVICE regression: the SDC approximate cosine is NOT bounded below
+    // for a poorly-fit codebook, so no finite band can guarantee zero
+    // pruning. An adversarial codebook sends two near-identical vectors
+    // (exact cosine ~0.9998) to centroids with dot -25 -> approx cosine -25.
+    val df = Seq((1L, Seq(1.0, 0.01)), (2L, Seq(1.0, -0.01))).toDF("id", "v")
+    val cents = Array(Array(1.0, 0.0)) // one cell: both rows pair up
+    val bad = Pq.PqModel(2, Array(Array(Array(0.0, 5.0), Array(0.0, -5.0))))
+    // banded margin 1.0: approx -25 < 0.95 - 1.0 -> the pair is pruned
+    // (this is the actual band bound the doc now states)
+    val banded = Dedup.pqSemanticDupPairs(df, "id", "v", cents, bad,
+      threshold = 0.95, margin = 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded.isEmpty, banded)
+    // margin >= threshold + 1 skips the prefilter entirely -> exact verify
+    // is the only decider and the true pair survives any codebook
+    val skip = Dedup.pqSemanticDupPairs(df, "id", "v", cents, bad,
+      threshold = 0.95, margin = 1.96)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(skip == Set((1L, 2L)), skip)
+  }
+
   test("PqSdcDot: table lookups match brute dot; null conventions") {
     val model = Pq.PqModel(2, Array(
       Array(Array(1.0, 0.0), Array(0.0, 1.0)),
