@@ -239,7 +239,10 @@ object Bench {
     // reference-shaped synthetic suites at BASELINE.md row scale
     // (SPARK_GRAFT_BENCH_ROWS=100000000 for full parity; 0 disables)
     val rounds = BenchRef.defaultRounds
-    val refStats = if (refRows > 0) BenchRef.runStats(spark, refRows, rounds) else Seq.empty
+    val refStats0 = if (refRows > 0) BenchRef.runStats(spark, refRows, rounds) else Seq.empty
+    // isolated-median rows for the spill-heavy suites (fresh-JVM children;
+    // artifact convention, VERDICT r9 Next #8)
+    val refStats = refStats0 ++ (if (refRows > 0) BenchRef.isolatedStats(refRows) else Seq.empty)
     val refTimes = refStats.map(s => s.name -> s.secs)
 
     val all = suiteTimes ++ queryTimes ++ refTimes

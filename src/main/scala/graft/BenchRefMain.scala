@@ -9,6 +9,9 @@ object BenchRefMain {
   def main(args: Array[String]): Unit = {
     val rows = sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.toLong).getOrElse(BenchRef.DefaultRows)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // isolated-median children run BEFORE the parent session exists, so the
+    // parent's (up to 96g) heap is never resident beside a child's
+    val isoStats = BenchRef.isolatedStats(rows)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,7 +22,7 @@ object BenchRefMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val rounds = BenchRef.defaultRounds
-    val stats = BenchRef.runStats(spark, rows, rounds)
+    val stats = BenchRef.runStats(spark, rows, rounds) ++ isoStats
     val times = stats.map(s => s.name -> s.secs)
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum

@@ -19,7 +19,7 @@ object DQRunner {
 
   final case class RunConfig(
       input: InputConfig,
-      output: OutputConfig,
+      output: Option[OutputConfig] = None,
       quarantine: Option[OutputConfig] = None,
       checksLocation: Option[String] = None,
       checks: Seq[Map[String, Any]] = Seq.empty,
@@ -27,17 +27,35 @@ object DQRunner {
       metricsTable: Option[String] = None,
       extra: ExtraParams = ExtraParams())
 
+  object RunConfig {
+    /** Pre-r10 positional shape (output required) kept source-compatible. */
+    def apply(input: InputConfig, output: OutputConfig): RunConfig =
+      RunConfig(input, Some(output))
+  }
+
   /** Single-table E2E (engine.py:853-975). Streaming inputs run the checks
     * per micro-batch via foreachBatch — dataset checks (windows/joins/driver
     * actions) are scoped to each batch, matching the reference's explicit
     * per-micro-batch semantics (check_funcs.py:1835, :3091).
+    *
+    * Output configurations are INDEPENDENTLY optional (reference 0.15.0
+    * #1183/#1236): quarantine-only runs write just the invalid records,
+    * metrics-only runs persist the summary metrics with no data writes
+    * (the observation is triggered by a dedicated pass), and a config with
+    * none of output/quarantine/metrics fails fast. Metrics-only is
+    * batch-only, like the reference's explicit streaming error.
     */
   def applyChecksAndSaveInTable(spark: SparkSession, cfg: RunConfig): Seq[StreamingQuery] = {
+    require(cfg.output.isDefined || cfg.quarantine.isDefined || cfg.metricsTable.isDefined,
+      "at least one of output, quarantine, or metricsTable is required")
     val checkDicts =
       if (cfg.checks.nonEmpty) cfg.checks
       else cfg.checksLocation.map(l => ChecksStorageFactory.forLocation(l, spark).load(l))
         .getOrElse(throw new IllegalArgumentException("checks or checksLocation required"))
     val df = IO.readInputData(spark, cfg.input)
+    if (df.isStreaming && cfg.output.isEmpty && cfg.quarantine.isEmpty)
+      throw new IllegalArgumentException(
+        "metrics-only runs are batch-only: streaming requires an output or quarantine config")
     val rules = ChecksSerializer.deserialize(checkDicts, ResolveCtx(spark, cfg.refDfs))
 
     def process(batch: DataFrame): Unit = {
@@ -51,22 +69,30 @@ object DQRunner {
         if (cfg.metricsTable.isDefined)
           DQEngine.observeMetrics(checked, obs, extra, checkNames = rules.map(_.resolvedName))
         else checked
-      cfg.quarantine match {
-        case Some(qc) =>
+      (cfg.output, cfg.quarantine) match {
+        case (Some(oc), Some(qc)) =>
           // one materialization of the checked frame, two filtered writes
           val cached = observed.cache()
           try {
-            IO.saveDataFrame(DQEngine.getValid(cached, extra), cfg.output)
+            IO.saveDataFrame(DQEngine.getValid(cached, extra), oc)
             IO.saveDataFrame(DQEngine.getInvalid(cached, extra), qc)
           } finally cached.unpersist()
-        case None =>
-          IO.saveDataFrame(observed, cfg.output)
+        case (Some(oc), None) =>
+          IO.saveDataFrame(observed, oc)
+        case (None, Some(qc)) =>
+          // quarantine-only (reference #1183): write just the invalid records
+          IO.saveDataFrame(DQEngine.getInvalid(observed, extra), qc)
+        case (None, None) =>
+          // metrics-only (reference #1236): no data writes, but the batch
+          // observation needs an action to populate — a full row pass with
+          // no materialized output
+          observed.foreach(_ => ())
       }
       cfg.metricsTable.foreach { mt =>
         val info = MetricsRunInfo(
           runId = runId,
           inputLocation = Some(cfg.input.location),
-          outputLocation = Some(cfg.output.location),
+          outputLocation = cfg.output.map(_.location),
           quarantineLocation = cfg.quarantine.map(_.location),
           checksLocation = cfg.checksLocation,
           userMetadata = extra.userMetadata)
@@ -76,12 +102,13 @@ object DQRunner {
     }
 
     if (df.isStreaming) {
+      val streamCfg = cfg.output.orElse(cfg.quarantine).get // guarded above
       val q = df.writeStream
         .foreachBatch((batch: DataFrame, _: Long) => process(batch))
         .option("checkpointLocation",
-          cfg.output.checkpointLocation.getOrElse(
+          streamCfg.checkpointLocation.getOrElse(
             Files.createTempDirectory("dq_ckpt").toString))
-        .trigger(cfg.output.trigger match {
+        .trigger(streamCfg.trigger match {
           case Some("availableNow") => org.apache.spark.sql.streaming.Trigger.AvailableNow()
           case Some(t) if t.startsWith("processingTime=") =>
             org.apache.spark.sql.streaming.Trigger.ProcessingTime(t.stripPrefix("processingTime="))
@@ -120,7 +147,7 @@ object DQRunner {
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(checksFile)))
         Some(RunConfig(
           input = InputConfig(t),
-          output = OutputConfig(s"$t$outputSuffix", mode = "overwrite"),
+          output = Some(OutputConfig(s"$t$outputSuffix", mode = "overwrite")),
           quarantine = quarantineSuffix.map(q => OutputConfig(s"$t$q", mode = "overwrite")),
           checksLocation = Some(checksFile),
           extra = extra))

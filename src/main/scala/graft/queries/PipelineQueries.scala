@@ -394,6 +394,43 @@ object PipelineQueries {
              |  FROM scored) t
              |WHERE rank <= 5 ORDER BY 1, 2""".stripMargin)),
 
+    // SUBLINEAR IVF-PQ gate (r10): nprobe=2 STRICTLY BELOW numCells=8, exact
+    // by construction. The corpus is rebuilt as one-hot direction vectors
+    // (direction = vec_id % 8) scaled by powers of two (2^(vec_id % 3) — so
+    // dot, norms, and cosine are all EXACT floats and same-direction cosine
+    // is exactly 1.0 > 0.0 cross-direction). Scaling never changes the
+    // argmax over NORMALIZED centroids, so every member of a query's
+    // direction group lives in the query's own argmax cell — which is
+    // always probe #1 — hence the true top-k provably co-locates in the
+    // probed cells and the closed-form oracle (k lowest other ids of the
+    // same direction group) applies at ANY nprobe >= 1. The shortlist
+    // exceeds the corpus so only CELL PRUNING is exercised; ADC-cut recall
+    // is spec-tested (PqSpec).
+    "pipe_knn_ivfpq_sublinear" -> QueryDef(
+      (s, dir) => {
+        val dirCol = (col("vec_id") % 8).cast("int")
+        val scale = pow(lit(2.0), (col("vec_id") % 3).cast("double"))
+        val vec = array((0 until 8).map(i =>
+          when(dirCol === i, scale).otherwise(lit(0.0))): _*)
+        val corpus = t(s, dir, "embeddings").select(
+          col("vec_id").cast("long").as("vec_id"), vec.as("v"))
+        val queries = corpus.where(col("vec_id") < 8)
+          .select(col("vec_id"), col("v"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+          .sortBy(_._1)
+        Pq.ivfPqTopK(corpus, "vec_id", "v", queries, k = 5,
+          numCells = 8, nprobe = 2, numBlocks = 4, codebookSize = 8,
+          shortlist = 10000000, trainRows = 4000)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH c AS (SELECT vec_id, vec_id % 8 AS dir FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, dir FROM c WHERE vec_id < 8),
+             |n AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+             |        row_number() OVER (PARTITION BY q.query_id ORDER BY c.vec_id) AS rank
+             |      FROM q JOIN c ON c.dir = q.dir AND c.vec_id != q.query_id)
+             |SELECT query_id, rank, neighbor_id FROM n WHERE rank <= 5 ORDER BY 1, 2""".stripMargin)),
+
     // Product-quantization gate: FIXED literal codebooks (2 blocks x 2
     // centroids over the first 4 dims), so per-block argmin encoding and the
     // ADC lookup sum are pure closed-form arithmetic the oracle replays.

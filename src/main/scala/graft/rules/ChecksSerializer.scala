@@ -107,16 +107,78 @@ object ChecksSerializer {
     }
 
   /** Variable substitution in check metadata (reference utils.py:696-820):
-    * `${name}` placeholders in any string value, recursively.
+    * `${name}` AND the reference's whitespace-tolerant `{{ name }}`
+    * placeholders in any string value, recursively; dict KEYS are never
+    * substituted. Unresolved `{{ ... }}` placeholders are left verbatim
+    * with a warning (they may resolve at runtime, e.g. sql_query).
     */
   def substituteVariables(checks: Seq[Map[String, Any]], vars: Map[String, String]): Seq[Map[String, Any]] = {
+    val braced = java.util.regex.Pattern.compile("\\{\\{[ \\t]*([^{}]*?)[ \\t]*\\}\\}")
+    val unresolved = scala.collection.mutable.ListBuffer.empty[String]
     def sub(v: Any): Any = v match {
-      case s: String => vars.foldLeft(s) { case (acc, (k, value)) => acc.replace(s"$${$k}", value) }
+      case s: String =>
+        val dollar = vars.foldLeft(s) { case (acc, (k, value)) => acc.replace(s"$${$k}", value) }
+        val m = braced.matcher(dollar)
+        val out = new java.lang.StringBuilder
+        var last = 0
+        while (m.find()) {
+          out.append(dollar, last, m.start())
+          vars.get(m.group(1)) match {
+            case Some(value) => out.append(value)
+            case None => unresolved += m.group(1); out.append(m.group(0))
+          }
+          last = m.end()
+        }
+        out.append(dollar, last, dollar.length).toString
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].map { case (k, x) => k -> sub(x) }
       case xs: Seq[_] => xs.map(sub)
       case other => other
     }
-    checks.map(c => sub(c).asInstanceOf[Map[String, Any]])
+    val result = checks.map(c => sub(c).asInstanceOf[Map[String, Any]])
+    if (unresolved.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Unresolved placeholders found: ${unresolved.distinct.mkString(", ")}. " +
+          "They may be resolved at runtime for certain checks (e.g. sql_query).")
+    result
+  }
+
+  /** Typed variable resolution (reference utils.py:779-820 resolve_variables):
+    * values must be SCALARS — str / integral / floating / bool / BigDecimal /
+    * date / datetime / time — and are stringified with Python's `str()`
+    * conventions (True/False capitalization; "yyyy-MM-dd HH:mm:ss" datetimes
+    * with microseconds only when nonzero) before substitution. Collection
+    * values are rejected, like the reference's InvalidParameterError.
+    */
+  def resolveVariables(checks: Seq[Map[String, Any]], vars: Map[String, Any]): Seq[Map[String, Any]] =
+    if (vars.isEmpty) checks
+    else substituteVariables(checks, vars.map { case (k, v) => k -> scalarVariableText(k, v) })
+
+  def scalarVariableText(key: String, v: Any): String = {
+    def timeText(h: Int, mi: Int, s: Int, nanos: Int): String = {
+      val base = f"$h%02d:$mi%02d:$s%02d"
+      if (nanos == 0) base else f"$base.${nanos / 1000}%06d"
+    }
+    v match {
+      case s: String => s
+      case b: Boolean => if (b) "True" else "False" // Python str(bool)
+      case n @ (_: Int | _: Long | _: Short | _: Byte | _: java.math.BigInteger | _: BigInt) =>
+        n.toString
+      case d: java.math.BigDecimal => d.toPlainString
+      case d: BigDecimal => d.underlying.toPlainString
+      case f @ (_: Double | _: Float) => f.toString
+      case d: java.time.LocalDate => d.toString
+      case d: java.sql.Date => d.toString
+      case t: java.time.LocalTime => timeText(t.getHour, t.getMinute, t.getSecond, t.getNano)
+      case dt: java.time.LocalDateTime =>
+        s"${dt.toLocalDate} ${timeText(dt.getHour, dt.getMinute, dt.getSecond, dt.getNano)}"
+      case ts: java.sql.Timestamp =>
+        val dt = ts.toLocalDateTime
+        s"${dt.toLocalDate} ${timeText(dt.getHour, dt.getMinute, dt.getSecond, dt.getNano)}"
+      case other =>
+        throw new IllegalArgumentException(
+          s"Variable '$key' has unsupported type '${if (other == null) "null" else other.getClass.getSimpleName}'. " +
+            "Only scalar types are supported: str, int, float, bool, Decimal, date, datetime, time.")
+    }
   }
 
   /** Semantic validation beyond structure (reference
@@ -195,7 +257,7 @@ object ChecksSerializer {
   }
 
   /** Column names surfaced in the result struct, from the arguments. */
-  private def columnsOf(args: Map[String, Any]): Seq[String] = {
+  def columnsOf(args: Map[String, Any]): Seq[String] = {
     def asSeq(v: Any): Seq[String] = v match {
       case s: Seq[_] => s.map(String.valueOf)
       case l: java.util.List[_] => l.asScala.toSeq.map(String.valueOf)

@@ -186,6 +186,55 @@ class MetadataSpec extends SparkSpec {
       .asInstanceOf[java.sql.Timestamp].getNanos == 250000000)
   }
 
+  test("resolveVariables: {{ placeholder }} syntax, all eight scalar types, rejection") {
+    import ChecksSerializer.{resolveVariables, scalarVariableText}
+    // r10 parity sweep (reference utils.py:779-820, #1078): str / int / float /
+    // bool / Decimal / date / datetime / time, stringified like Python str()
+    assert(scalarVariableText("k", "txt") == "txt")
+    assert(scalarVariableText("k", 42) == "42")
+    assert(scalarVariableText("k", 42L) == "42")
+    assert(scalarVariableText("k", 0.5) == "0.5")
+    assert(scalarVariableText("k", true) == "True")
+    assert(scalarVariableText("k", false) == "False")
+    assert(scalarVariableText("k", new java.math.BigDecimal("1.50")) == "1.50")
+    assert(scalarVariableText("k", BigDecimal("0.00001")) == "0.00001") // no sci notation
+    assert(scalarVariableText("k", java.time.LocalDate.of(2025, 1, 2)) == "2025-01-02")
+    assert(scalarVariableText("k", java.time.LocalDateTime.of(2025, 1, 2, 3, 4, 5)) ==
+      "2025-01-02 03:04:05")
+    assert(scalarVariableText("k", java.time.LocalDateTime.of(2025, 1, 2, 3, 4, 5, 500000000)) ==
+      "2025-01-02 03:04:05.500000") // micros printed only when nonzero
+    assert(scalarVariableText("k", java.sql.Timestamp.valueOf("2025-01-02 03:04:05")) ==
+      "2025-01-02 03:04:05")
+    assert(scalarVariableText("k", java.time.LocalTime.of(12, 30, 0)) == "12:30:00")
+    intercept[IllegalArgumentException](scalarVariableText("k", Seq(1, 2)))
+    intercept[IllegalArgumentException](scalarVariableText("k", Map("a" -> 1)))
+
+    // whitespace-tolerant {{ key }} resolution; unresolved left verbatim;
+    // dict keys untouched
+    val checks = Seq(Map(
+      "criticality" -> "error",
+      "filter" -> "amount < {{max}}",
+      "check" -> Map("function" -> "is_in_range",
+        "arguments" -> Map("column" -> "{{ target_col }}", "min_limit" -> "{{min}}",
+          "max_limit" -> "{{ missing }}"))))
+    val r = resolveVariables(checks, Map("target_col" -> "amount", "min" -> 0, "max" -> 25))
+    val args = r.head("check").asInstanceOf[Map[String, Any]]("arguments").asInstanceOf[Map[String, Any]]
+    assert(args("column") == "amount")
+    assert(args("min_limit") == "0")
+    assert(args("max_limit") == "{{ missing }}") // unresolved stays verbatim
+    assert(r.head("filter") == "amount < 25")
+    // end-to-end through the engine (numeric limits substituted as strings
+    // route through expr, the reference contract)
+    val out = DQEngine.applyChecksByMetadata(df, resolveVariables(Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "is_in_range",
+        "arguments" -> Map("column" -> "{{ target_col }}", "min_limit" -> "{{min}}",
+          "max_limit" -> "{{ max }}")))),
+      Map("target_col" -> "amount", "min" -> 0, "max" -> 25)))
+    val bad = out.where(col("_errors").isNotNull).select("amount").as[Int].collect().sorted
+    assert(bad.toSeq == Seq(-5, 30))
+  }
+
   test("variable substitution in metadata") {
     val checks = Seq(Map(
       "criticality" -> "error",

@@ -26,7 +26,7 @@ class RunnerSpec extends SparkSpec {
     dropTableFully("dq_metrics_test")
     DQRunner.applyChecksAndSaveInTable(spark, DQRunner.RunConfig(
       input = InputConfig(in),
-      output = OutputConfig(out, mode = "overwrite"),
+      output = Some(OutputConfig(out, mode = "overwrite")),
       quarantine = Some(OutputConfig(quar, mode = "overwrite")),
       checks = checks,
       metricsTable = Some("dq_metrics_test")))
@@ -37,6 +37,37 @@ class RunnerSpec extends SparkSpec {
     val metrics = spark.read.table("dq_metrics_test")
     val m = metrics.select("metric_name", "metric_value").as[(String, String)].collect().toMap
     assert(m("input_row_count") == "3" && m("error_row_count") == "1")
+  }
+
+  test("quarantine-only and metrics-only runs (reference 0.15.0 #1183/#1236)") {
+    val in = tmp("dq_in_q")
+    Seq((1, "a", 10), (2, null, 20), (3, "c", -5)).toDF("id", "name", "amount")
+      .write.mode("overwrite").parquet(in)
+    val checks = Seq(
+      Map("criticality" -> "error",
+        "check" -> Map("function" -> "is_not_null", "arguments" -> Map("column" -> "name"))))
+    // quarantine-only: no output config, just the invalid records written
+    val quar = tmp("dq_quar_only")
+    DQRunner.applyChecksAndSaveInTable(spark, DQRunner.RunConfig(
+      input = InputConfig(in),
+      quarantine = Some(OutputConfig(quar, mode = "overwrite")),
+      checks = checks))
+    val bad = spark.read.parquet(quar)
+    assert(bad.count() == 1 && bad.columns.contains("_errors"))
+    // metrics-only: no data writes, metrics table populated
+    dropTableFully("dq_metrics_only_test")
+    DQRunner.applyChecksAndSaveInTable(spark, DQRunner.RunConfig(
+      input = InputConfig(in),
+      checks = checks,
+      metricsTable = Some("dq_metrics_only_test")))
+    val m = spark.read.table("dq_metrics_only_test")
+      .select("metric_name", "metric_value").as[(String, String)].collect().toMap
+    assert(m("input_row_count") == "3" && m("error_row_count") == "1")
+    // no sink at all -> explicit error
+    intercept[IllegalArgumentException] {
+      DQRunner.applyChecksAndSaveInTable(spark, DQRunner.RunConfig(
+        input = InputConfig(in), checks = checks))
+    }
   }
 
   test("file checks storage round-trips yaml") {
@@ -86,6 +117,46 @@ class RunnerSpec extends SparkSpec {
     import spark.implicits._
     val df2 = Seq((1, 5, "x", "y")).toDF("a", "b", "c", "d")
     assert(DQEngine.applyChecksByMetadata(df2, loaded).count() == 1)
+  }
+
+  test("unnamed checks: stored name + fingerprint byte-equal the apply-time values (ref #1193)") {
+    dropTableFully("dq_checks_tbl_unnamed")
+    val st = new TableChecksStorage(spark)
+    // no explicit name anywhere
+    val checks = Seq(
+      Map("criticality" -> "error",
+        "check" -> Map("function" -> "is_not_null", "arguments" -> Map("column" -> "a"))),
+      Map("criticality" -> "warn", "filter" -> "b > 0",
+        "check" -> Map("function" -> "is_in_range",
+          "arguments" -> Map("column" -> "b", "min_limit" -> 1, "max_limit" -> 10))))
+    st.saveChecks(checks, "dq_checks_tbl_unnamed")
+    val stored = spark.read.table("dq_checks_tbl_unnamed")
+      .select("name", "rule_fingerprint").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // storage writes the AUTOGENERATED names, not nulls
+    assert(stored.keySet == Set("a_is_not_null", "b_is_in_range"), stored.keySet)
+
+    // load -> apply: the result-column fingerprints must byte-equal storage's
+    val loaded = st.loadChecks("dq_checks_tbl_unnamed")
+    import spark.implicits._
+    val df = Seq((Option.empty[Int], 99)).toDF("a", "b") // both rules fire
+    val out = DQEngine.applyChecksByMetadata(df, loaded)
+    val fromErrors = out.selectExpr("explode(_errors) AS e")
+      .selectExpr("e.name", "e.rule_fingerprint").as[(String, String)].collect().toMap
+    val fromWarnings = out.selectExpr("explode(_warnings) AS e")
+      .selectExpr("e.name", "e.rule_fingerprint").as[(String, String)].collect().toMap
+    assert(fromErrors.keySet == Set("a_is_not_null"))
+    assert(fromWarnings.keySet == Set("b_is_in_range"))
+    assert(fromErrors("a_is_not_null") == stored("a_is_not_null"))
+    assert(fromWarnings("b_is_in_range") == stored("b_is_in_range"))
+    // and applying the ORIGINAL (never-stored) unnamed dicts yields the same
+    // fingerprints — storage round-trip is not required for the join to work
+    val outDirect = DQEngine.applyChecksByMetadata(df, checks)
+    val directFps = outDirect.selectExpr("explode(_errors) AS e")
+      .selectExpr("e.rule_fingerprint").as[String].collect().toSet ++
+      outDirect.selectExpr("explode(_warnings) AS e")
+        .selectExpr("e.rule_fingerprint").as[String].collect().toSet
+    assert(directFps == stored.values.toSet)
   }
 
   test("table checks storage: overwrite replaces only its run config") {

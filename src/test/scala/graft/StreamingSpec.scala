@@ -62,7 +62,7 @@ class StreamingSpec extends SparkSpec {
         "check" -> Map("function" -> "is_unique", "arguments" -> Map("columns" -> Seq("k")))))
     val handles = DQRunner.applyChecksAndSaveInTable(spark, DQRunner.RunConfig(
       input = InputConfig(in, isStreaming = true, schema = Some("k INT, v STRING, n INT")),
-      output = OutputConfig(out, mode = "append", trigger = Some("availableNow")),
+      output = Some(OutputConfig(out, mode = "append", trigger = Some("availableNow"))),
       quarantine = Some(OutputConfig(quar, mode = "append")),
       checks = checks))
     handles.foreach(_.awaitTermination(60000))
