@@ -79,6 +79,9 @@ object CurationPipeline {
     "knn_pq" -> Set("vec_col", "queries_path", "query_id_col", "query_vec_col",
       "k", "shortlist", "num_blocks", "codebook_size", "train_rows",
       "iterations", "seed", "max_queries", "model_json", "model_location"),
+    "knn_ivfpq" -> Set("vec_col", "queries_path", "query_id_col", "query_vec_col",
+      "k", "shortlist", "num_cells", "nprobe", "num_blocks", "codebook_size",
+      "train_rows", "iterations", "seed", "max_queries", "residual"),
     "tokenize_wordpiece" -> Set("model_json", "mode", "output_col"))
 
   /** Parse a YAML (or JSON) step list and run it. */
@@ -431,6 +434,32 @@ object CurationPipeline {
           Pq.encodeColumn(col(vecCol), model).as("__pq_codes"))
         Pq.topKByAdcRerank(codes, df, idCol, "__pq_codes", vecCol, queries, model,
           k, shortlist = num(m, "shortlist").getOrElse(math.max(100, 10 * k).toDouble).toInt)
+      case "knn_ivfpq" =>
+        // terminal search step, the cell-pruned scale path of knn_pq:
+        // coarse cells + PQ codes + ADC + exact rerank (residual: true is
+        // full IVFADC — codes quantize v - anchor(cell))
+        val vecCol = str(m, "vec_col").getOrElse(throw new IllegalArgumentException(
+          "knn_ivfpq: 'vec_col' is required"))
+        val queriesPath = str(m, "queries_path").getOrElse(throw new IllegalArgumentException(
+          "knn_ivfpq: 'queries_path' is required"))
+        val qidCol = str(m, "query_id_col").getOrElse("query_id")
+        val qvecCol = str(m, "query_vec_col").getOrElse(vecCol)
+        val queries = df.sparkSession.read.parquet(queriesPath)
+          .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+          .where(col(qvecCol).isNotNull)
+          .limit(num(m, "max_queries").getOrElse(1000.0).toInt)
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        val k = num(m, "k").getOrElse(10.0).toInt
+        Pq.ivfPqTopK(df, idCol, vecCol, queries, k,
+          numCells = num(m, "num_cells").getOrElse(64.0).toInt,
+          nprobe = num(m, "nprobe").getOrElse(8.0).toInt,
+          numBlocks = num(m, "num_blocks").getOrElse(16.0).toInt,
+          codebookSize = num(m, "codebook_size").getOrElse(256.0).toInt,
+          shortlist = num(m, "shortlist").getOrElse(math.max(100, 10 * k).toDouble).toInt,
+          trainRows = num(m, "train_rows").getOrElse(10000.0).toInt,
+          iterations = num(m, "iterations").getOrElse(10.0).toInt,
+          seed = num(m, "seed").getOrElse(42.0).toLong,
+          residual = m.get("residual").exists(v => String.valueOf(v).toBoolean))
       case "tokenize_wordpiece" =>
         // count (default) or encode with a serialized WordPiece model —
         // row-local, codegen'd, no shuffle

@@ -282,7 +282,7 @@ object Pq {
                 numCells: Int = 64, nprobe: Int = 8, numBlocks: Int = 16,
                 codebookSize: Int = 256, shortlist: Int = 100,
                 trainRows: Int = 10000, iterations: Int = 10,
-                seed: Long = 42L): DataFrame = {
+                seed: Long = 42L, residual: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     require(queries.nonEmpty, "no queries")
     require(shortlist >= k, "shortlist must be at least k")
@@ -292,16 +292,53 @@ object Pq {
       .where(col(vecCol).isNotNull).limit(trainRows)
       .collect().map(_.getSeq[Double](0).toArray)
     val cells = Similarity.trainKMeans(sample, numCells, iterations, seed)
-    val model = trainFromSample(sample, numBlocks, codebookSize, iterations, seed)
+    // residual=true is full IVFADC (Jégou et al. 2011 §V): the PQ codebooks
+    // quantize `v - anchor(cell)` — a much smaller ball than the raw space,
+    // so the same bit budget buys finer resolution. The reference point is
+    // the RAW-SPACE mean of the cell's sample members (the spherical coarse
+    // quantizer's centroids are unit vectors — direction-only — so they are
+    // NOT small-residual reference points; any per-cell constant keeps the
+    // decomposition exact: dot(q, v) ~ dot(q, anchor) + dot(q, residual~)).
+    val dim = sample.head.length
+    val anchors: Array[Array[Double]] =
+      if (!residual) Array.empty
+      else {
+        val sums = Array.fill(cells.length)(new Array[Double](dim))
+        val counts = new Array[Int](cells.length)
+        sample.foreach { v =>
+          val c = probeCells(cells, v, 1).head
+          counts(c) += 1
+          var i = 0
+          while (i < math.min(dim, v.length)) { sums(c)(i) += v(i); i += 1 }
+        }
+        Array.tabulate(cells.length)(c =>
+          if (counts(c) == 0) new Array[Double](dim) else sums(c).map(_ / counts(c)))
+      }
+    val pqSample =
+      if (!residual) sample
+      else sample.map { v =>
+        val a = anchors(probeCells(cells, v, 1).head)
+        if (a.length != v.length) v
+        else Array.tabulate(v.length)(i => v(i) - a(i))
+      }
+    val model = trainFromSample(pqSample, numBlocks, codebookSize, iterations, seed)
 
     // index build: ONE corpus projection -> (id, cell, codes); at rest this
     // is the whole index (cell = partition column, codes = 1 byte/block)
     val vec = col(vecCol).cast("array<double>")
-    val indexed = corpus.where(vec.isNotNull).select(
+    val withCell = corpus.where(vec.isNotNull).select(
       col(idCol).cast("long").as("neighbor_id"),
+      vec.as("__v"),
       element_at(GraftColumnBridge.column(NearestCentroids(
-        GraftColumnBridge.expression(vec), cells, 1)), 1).as("__cell"),
-      encodeColumn(vec, model).as("__codes"))
+        GraftColumnBridge.expression(vec), cells, 1)), 1).as("__cell"))
+    val codesCol =
+      if (residual)
+        GraftColumnBridge.column(PqEncodeResidual(
+          GraftColumnBridge.expression(col("__v")),
+          GraftColumnBridge.expression(col("__cell")), anchors, model))
+      else encodeColumn(col("__v"), model)
+    val indexed = withCell.select(col("neighbor_id"), col("__cell"),
+      codesCol.as("__codes"))
 
     // driver-side probe lists per query + the union of touched cells
     val probes = math.min(nprobe, cells.length)
@@ -315,11 +352,28 @@ object Pq {
     val qids = queries.map(_._1)
     val scores = GraftColumnBridge.column(PqAdcDotMulti(
       GraftColumnBridge.expression(col("__codes")), luts))
-    val cand = indexed
+    // residual mode: the per-(query, cell) dot(q, anchor) constant that
+    // completes the IVFADC decomposition, as a literal lookup (queries x
+    // numCells doubles — driver arithmetic, broadcast with the plan)
+    val qCellDotLit =
+      if (!residual) lit(null)
+      else array(queries.map { case (_, qv) =>
+        array(anchors.map { cent =>
+          val d = math.min(qv.length, cent.length)
+          var s = 0.0
+          var j = 0
+          while (j < d) { s += qv(j) * cent(j); j += 1 }
+          lit(s)
+        }: _*)
+      }: _*)
+    val cand0 = indexed
       .where(col("__cell").isin(touched: _*)) // cell pruning (partition prune at rest)
       .select(col("neighbor_id"), col("__cell"), posexplode(scores).as(Seq("__qidx", "adc_dot")))
       .where(array_contains(element_at(probedLit, col("__qidx") + 1), col("__cell")))
       .withColumn("query_id", element_at(array(qids.map(lit): _*), col("__qidx") + 1))
+    val cand = (if (!residual) cand0
+      else cand0.withColumn("adc_dot",
+        col("adc_dot") + element_at(element_at(qCellDotLit, col("__qidx") + 1), col("__cell") + 1)))
       .where(col("adc_dot").isNotNull)
       // self-exclusion BEFORE the shortlist cut: a query id present in the
       // corpus must not consume one of its own shortlist slots (with
@@ -386,6 +440,29 @@ object PqModelJson {
 /** Static kernels for the PQ expressions. */
 object PqOps {
   def encode(arr: ArrayData, model: Pq.PqModel): ArrayData = {
+    val v = readVec(arr, model)
+    if (v == null) return null
+    encodeVec(v, model)
+  }
+
+  /** Residual encoding (IVFADC, Jégou et al. 2011 §V): encode
+    * `v - centroids(cell)` so the codebooks only need to cover the small
+    * per-cell residual ball instead of the whole space. NULL on mis-sized
+    * input, null elements, an out-of-range cell, or a centroid whose dim
+    * disagrees with the vector.
+    */
+  def encodeResidual(arr: ArrayData, cell: Int,
+                     centroids: Array[Array[Double]], model: Pq.PqModel): ArrayData = {
+    val v = readVec(arr, model)
+    if (v == null || cell < 0 || cell >= centroids.length) return null
+    val cent = centroids(cell)
+    if (cent.length != v.length) return null
+    var i = 0
+    while (i < v.length) { v(i) -= cent(i); i += 1 }
+    encodeVec(v, model)
+  }
+
+  private def readVec(arr: ArrayData, model: Pq.PqModel): Array[Double] = {
     val n = arr.numElements()
     if (n != model.blockDim * model.numBlocks) return null
     val v = new Array[Double](n)
@@ -395,6 +472,10 @@ object PqOps {
       v(i) = arr.getDouble(i)
       i += 1
     }
+    v
+  }
+
+  private def encodeVec(v: Array[Double], model: Pq.PqModel): ArrayData = {
     val codes = new Array[Int](model.numBlocks)
     var b = 0
     while (b < model.numBlocks) {
@@ -497,6 +578,44 @@ case class PqEncode(child: Expression, model: Pq.PqModel) extends UnaryExpressio
   }
 
   override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/** Residual PQ codes (IVFADC): encode `vec - centroids(cell)` row-locally —
+  * the index-build kernel of the residual IVF-PQ layout. NULL conventions
+  * follow [[PqEncode]] (plus out-of-range cell / centroid-dim mismatch).
+  */
+case class PqEncodeResidual(vec: Expression, cell: Expression,
+                            centroids: Array[Array[Double]], model: Pq.PqModel)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = cell
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any, c: Any): Any =
+    PqOps.encodeResidual(v.asInstanceOf[ArrayData], c.asInstanceOf[Int], centroids, model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refM = ctx.addReferenceObj("pqModel", model, classOf[Pq.PqModel].getName)
+    val refC = ctx.addReferenceObj("pqCells", centroids, "double[][]")
+    val genV = vec.genCode(ctx)
+    val genC = cell.genCode(ctx)
+    val res = ctx.freshName("pqResCodes")
+    ev.copy(code =
+      code"""
+        ${genV.code}
+        ${genC.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${genV.isNull} && !${genC.isNull}) {
+          org.apache.spark.sql.catalyst.util.ArrayData $res =
+            graft.pipeline.PqOps.encodeResidual(${genV.value}, ${genC.value}, $refC, $refM);
+          if ($res != null) { ${ev.isNull} = false; ${ev.value} = $res; }
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncodeResidual =
+    copy(vec = l, cell = r)
 }
 
 /** Every query's ADC dot product per row (array<double>, query-major LUTs). */

@@ -326,6 +326,37 @@ class CurationPipelineSpec extends SparkSpec {
       ()
     }
 
+    // knn_ivfpq (r10): the cell-pruned search step, residual (IVFADC) mode —
+    // exhaustive setting must equal the exact rerank answer
+    val qdir2 = java.nio.file.Files.createTempDirectory("graft_knnivfpq")
+    try {
+      val qpath2 = qdir2.toString + "/queries"
+      emb.where(col("doc_id") === 3)
+        .select(col("doc_id").as("query_id"), col("vec"))
+        .write.mode("overwrite").parquet(qpath2)
+      val knn2 = CurationPipeline(emb, Seq(Map("step" -> "knn_ivfpq",
+        "vec_col" -> "vec", "queries_path" -> qpath2, "k" -> 5,
+        "num_cells" -> 4, "nprobe" -> 4, "num_blocks" -> 4,
+        "codebook_size" -> 8, "train_rows" -> 200, "shortlist" -> 200,
+        "query_vec_col" -> "vec", "residual" -> true)))
+        .orderBy("rank").select("neighbor_id").as[Long].collect()
+      assert(knn2.length == 5 && !knn2.contains(3L))
+      val vecs2 = emb.select("doc_id", "vec").as[(Long, Seq[Double])].collect().toMap
+      def cos2(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val exact5 = vecs2.filter(_._1 != 3L)
+        .map { case (id, v) => (id, cos2(v, vecs2(3L))) }
+        .toSeq.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      assert(knn2.toSeq == exact5, s"ivfpq exhaustive ${knn2.toSeq} != exact $exact5")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(qdir2).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      ()
+    }
+
     // sample_cluster_quota: topic balancing caps each embedding cluster
     val lop = (0 until 90).map(i => (i.toLong, "t", Seq(1.0, 0.01 * i % 1))) ++
       (100 until 110).map(i => (i.toLong, "t", Seq(0.0, 1.0)))

@@ -110,6 +110,90 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("residual IVFADC: exact decomposition, recall beats raw-space PQ at tight codebooks") {
+    // clusters FAR from the origin with small intra-cluster spread: raw-space
+    // codebooks (k=2 per block!) must cover the whole space, residual
+    // codebooks only the small per-cell ball — the textbook IVFADC win
+    val rnd = new java.util.Random(19)
+    val anchors = Array.fill(4)(Array.fill(8)(rnd.nextGaussian() * 100))
+    val data = (0 until 400).map { i =>
+      val a = anchors(i % 4)
+      (i.toLong, a.map(_ + rnd.nextGaussian() * 1.0).toSeq)
+    }
+    val df = data.toDF("vec_id", "v")
+    val queries = data.take(4).map { case (id, v) => (id, v.toArray) }
+
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val corpus = data.map { case (id, v) => (id, v.toArray) }
+    val exact = queries.map { case (qid, qv) =>
+      qid -> corpus.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosine(v, qv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    }.toMap
+    // THE IVFADC claim (Jégou et al. 2011 §V): quantizing residuals instead
+    // of raw vectors shrinks the ADC dot-estimation error — measure it
+    // directly. Same bit budget both sides (4 blocks x 4 centroids).
+    def assignCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
+      val normed = cents.map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum); if (n == 0) c else c.map(_ / n) }
+      normed.zipWithIndex.map { case (c, i) =>
+        (v.zip(c).map { case (a, b) => a * b }.sum, i) }
+        .maxBy { case (s, i) => (s, -i) }._2
+    }
+    val all = data.map(_._2.toArray).toArray
+    val cells4 = Similarity.trainKMeans(all, 4, seed = 7)
+    val rawModel = Pq.train(df, "v", numBlocks = 4, codebookSize = 4, trainRows = 400, seed = 7)
+    // raw-space per-cell anchors (cell means), the residual reference points
+    val members = all.groupBy(v => assignCell(v, cells4))
+    val cellAnchors = Array.tabulate(cells4.length)(c =>
+      members.get(c).map(vs => vs.transpose.map(_.sum / vs.length))
+        .getOrElse(new Array[Double](8)))
+    val resSample = all.map { v =>
+      val a = cellAnchors(assignCell(v, cells4)); v.indices.map(i => v(i) - a(i)).toArray }
+    val resModel = Pq.PqModel(2, Array.tabulate(4) { b =>
+      // train per-block on residual subvectors through the public API
+      val sub = resSample.map(v => v.slice(b * 2, b * 2 + 2).toSeq).toSeq
+      Pq.train(sub.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "sv"),
+        "sv", numBlocks = 1, codebookSize = 4, trainRows = 400, seed = 7 + b)
+        .codebooks.head
+    })
+    val q = queries.head._2
+    import org.apache.spark.sql.GraftColumnBridge
+    val cellCol = element_at(GraftColumnBridge.column(graft.pipeline.NearestCentroids(
+      GraftColumnBridge.expression(col("v").cast("array<double>")), cells4, 1)), 1)
+    val qCellDot = array(cellAnchors.map(c =>
+      lit(q.zip(c).map { case (a, b) => a * b }.sum)): _*)
+    val rows = df.select(col("vec_id"),
+      (Pq.adcDotColumn(GraftColumnBridge.column(graft.pipeline.PqEncodeResidual(
+        GraftColumnBridge.expression(col("v").cast("array<double>")),
+        GraftColumnBridge.expression(cellCol), cellAnchors, resModel)), q, resModel)
+        + element_at(qCellDot, cellCol + 1)).as("res_est"),
+      Pq.adcDotColumn(Pq.encodeColumn(col("v"), rawModel), q, rawModel).as("raw_est"))
+      .collect()
+    val trueDot = corpus.map { case (id, v) =>
+      id -> v.zip(q).map { case (a, b) => a * b }.sum }.toMap
+    val (resErr, rawErr) = rows.foldLeft((0.0, 0.0)) { case ((re, ra), r) =>
+      val t = trueDot(r.getLong(0))
+      (re + math.abs(r.getDouble(1) - t), ra + math.abs(r.getDouble(2) - t))
+    }
+    assert(resErr < rawErr * 0.5,
+      f"residual ADC error ${resErr / rows.length}%.2f not well below raw ${rawErr / rows.length}%.2f")
+    // exhaustive setting stays exact in residual mode too (the rerank is the
+    // last word; the dot decomposition loses nothing)
+    val full = Pq.ivfPqTopK(df, "vec_id", "v", queries, k = 10,
+      numCells = 4, nprobe = 4, numBlocks = 4, codebookSize = 8,
+      shortlist = 1000, trainRows = 400, seed = 7, residual = true)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    queries.foreach { case (qid, _) =>
+      assert(full(qid) == exact(qid).toSeq, s"query $qid residual full-probe mismatch")
+    }
+  }
+
   test("self-match excluded BEFORE the shortlist cut: shortlist == k returns k neighbors") {
     // r10 ADVICE regression (Pq.scala ivfPqTopK): with the query id present
     // in the corpus and shortlist == k, the self row must not consume a
