@@ -200,6 +200,11 @@ object BenchRef {
         pb.environment().put("SPARK_GRAFT_BENCH_ISOLATED_CHILD", "1")
         pb.environment().put("SPARK_GRAFT_BENCH_NO_ARTIFACTS", "1")
         pb.environment().put("SPARK_GRAFT_BENCH_ROWS", rows.toString)
+        // an env-pinned heap would override the inherited -Xmx (env JVM
+        // options apply AFTER command-line flags) — same scrub as the
+        // Bench protocol re-exec
+        pb.environment().remove("_JAVA_OPTIONS")
+        pb.environment().remove("JAVA_TOOL_OPTIONS")
         pb.redirectErrorStream(false)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val p = pb.start()

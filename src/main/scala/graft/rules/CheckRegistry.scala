@@ -288,6 +288,22 @@ object CheckRegistry {
       val enableAiExplanation = a.bool("enable_ai_explanation", true) && enableContributions
       val maxGroups = a.int("max_groups", 500)
       require(maxGroups > 0, "max_groups must be a positive integer")
+      // dict form validated against the reference's LLMModelConfig field set
+      // so typos surface early (check_funcs.py:30-50); the values are
+      // serving-endpoint config a custom explainer may read
+      a.args.get("ai_explanation_llm_model_config").foreach {
+        case m: Map[_, _] =>
+          val allowed = Set("model_name", "api_key", "api_base",
+            "max_tokens", "temperature", "timeout", "max_retries")
+          val unknown = m.keySet.map(String.valueOf) -- allowed
+          require(unknown.isEmpty,
+            s"ai_explanation_llm_model_config has unknown keys: ${unknown.toSeq.sorted.mkString(", ")}. " +
+              s"Allowed keys: ${allowed.toSeq.sorted.mkString(", ")}.")
+        case other => throw new IllegalArgumentException(
+          "ai_explanation_llm_model_config must be a mapping with keys " +
+            "{model_name, api_key, api_base, max_tokens, temperature, timeout, max_retries}; " +
+            s"got $other")
+      }
       val redact = a.strSeq("redact_columns")
       require(redact.forall(_.nonEmpty), "redact_columns must be non-empty column names")
       val explainer: graft.anomaly.AnomalyExplainer =

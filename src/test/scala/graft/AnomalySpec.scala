@@ -108,6 +108,33 @@ class AnomalySpec extends SparkSpec {
       .where(col("m").isNotNull).count() == 0)
   }
 
+  test("ai_explanation_llm_model_config dict keys are validated (typos surface early)") {
+    val df = Seq((1, 1.0)).toDF("id", "v")
+    def build(cfg: Any): Unit = {
+      DQEngine.applyChecksByMetadata(df, Seq(Map(
+        "criticality" -> "error",
+        "check" -> Map("function" -> "has_no_row_anomalies",
+          "arguments" -> Map("columns" -> Seq("v"), "threshold" -> 100.0,
+            "ai_explanation_llm_model_config" -> cfg)))))
+      ()
+    }
+    // all reference LLMModelConfig fields accepted
+    build(Map("model_name" -> "ep", "api_key" -> "", "api_base" -> "",
+      "max_tokens" -> 500, "temperature" -> 0.0, "timeout" -> 30.0, "max_retries" -> 3))
+    // unknown key -> the reference's early error
+    val e = intercept[IllegalArgumentException](build(Map("model" -> "typo")))
+    assert(e.getMessage.contains("unknown keys"))
+    // non-mapping -> rejected
+    intercept[IllegalArgumentException](build("not-a-map"))
+    // max_groups must be positive
+    intercept[IllegalArgumentException] {
+      DQEngine.applyChecksByMetadata(df, Seq(Map(
+        "criticality" -> "error",
+        "check" -> Map("function" -> "has_no_row_anomalies",
+          "arguments" -> Map("columns" -> Seq("v"), "max_groups" -> 0)))))
+    }
+  }
+
   test("topContributors formats the reference's 'col (N%)' string: sort, ties, nulls, topN") {
     import graft.anomaly.Explain
     val df = Seq(1).toDF("id").select(col("id"),
