@@ -159,7 +159,8 @@ object BenchRef {
     */
   final case class SuiteStat(name: String, secs: Double, roundsSec: Seq[Double],
                              heapUsedMb: Long, gcTotalMs: Long,
-                             isolated: Boolean = false)
+                             isolated: Boolean = false,
+                             diskMbS: Double = -1.0)
 
   /** The three spill-heavy honest suites whose isolated medians the artifact
     * carries per round (VERDICT r9 Next #8): in-sequence numbers on these mix
@@ -214,12 +215,19 @@ object BenchRef {
         if (rc != 0) {
           System.err.println(s"isolated child for $base exited $rc; skipping")
           Seq.empty
-        } else kv.findAllMatchIn(out).collect {
-          case mm if mm.group(1) == s"ref${m}m_$base" ||
-                     mm.group(1) == s"ref${m}m_countparity_$base" =>
-            val v = mm.group(2).toDouble
-            SuiteStat(s"${mm.group(1)}__isolated", v, Seq(v), 0, 0, isolated = true)
-        }.toSeq
+        } else {
+          // the child's OWN disk state (spill-bound suites track disk; one
+          // parent-level probe cannot attribute per-child windows)
+          val childDisk = """"disk_mb_s":(-?\d+(?:\.\d+)?)""".r
+            .findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
+          kv.findAllMatchIn(out).collect {
+            case mm if mm.group(1) == s"ref${m}m_$base" ||
+                       mm.group(1) == s"ref${m}m_countparity_$base" =>
+              val v = mm.group(2).toDouble
+              SuiteStat(s"${mm.group(1)}__isolated", v, Seq(v), 0, 0,
+                isolated = true, diskMbS = childDisk)
+          }.toSeq
+        }
       } catch {
         case e: Throwable =>
           System.err.println(s"isolated child for $base failed: $e")
@@ -443,8 +451,9 @@ object BenchRef {
     val suites = stats.map { s =>
       val rs = s.roundsSec.map(v => f"$v%.4f").mkString("[", ",", "]")
       val iso = if (s.isolated) ""","isolated":true""" else ""
+      val disk = if (s.diskMbS >= 0) f""","disk_mb_s":${s.diskMbS}%.1f""" else ""
       s"""{"name":"${s.name}","secs":${f"${s.secs}%.4f"},"roundsSec":$rs,""" +
-        s""""heapUsedMb":${s.heapUsedMb},"gcTotalMs":${s.gcTotalMs}$iso}"""
+        s""""heapUsedMb":${s.heapUsedMb},"gcTotalMs":${s.gcTotalMs}$iso$disk}"""
     }.mkString("[", ",", "]")
     f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","stamp":$stamp,"suites":$suites}"""
   }

@@ -26,7 +26,10 @@ object BenchRefMain {
     val times = stats.map(s => s.name -> s.secs)
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    val line = f"""{"metric":"ref_total","value":$total%.4f,"unit":"sec","queries":$qs,"rows":$rows}"""
+    // disk_mb_s in the contract line lets the PARENT of an isolation child
+    // stamp each child's own disk state onto its isolated rows
+    val line = f"""{"metric":"ref_total","value":$total%.4f,"unit":"sec","queries":$qs,""" +
+      f""""rows":$rows,"disk_mb_s":${BenchRef.diskProbeMbS}%.1f}"""
     println(line)
     BenchRef.writeArtifacts(
       BenchRef.artifactJson("graft.BenchRefMain", times, stats, "synthetic", rows, rounds))

@@ -59,6 +59,9 @@ object CurationPipeline {
     "dedup_minhash" -> Set("shingle_size", "num_hashes", "bands", "threshold", "quality_col"),
     "dedup_semantic" -> Set("vec_col", "threshold", "num_centroids", "train_rows",
       "seed", "max_cluster_size"),
+    "dedup_semantic_against_reference" -> Set("vec_col", "ref_path", "ref_id_col",
+      "ref_vec_col", "threshold", "num_centroids", "train_rows", "seed",
+      "max_cell_size"),
     "decontaminate_semantic" -> Set("vec_col", "eval_path", "eval_vec_col", "threshold"),
     "near_dedup_against_reference" -> Set("ref_path", "ref_id_col", "ref_text_col",
       "shingle_size", "num_hashes", "bands", "threshold"),
@@ -248,6 +251,27 @@ object CurationPipeline {
         Dedup.dedupSemantic(df, idCol, vecCol, centroids,
           threshold = num(m, "threshold").getOrElse(0.95),
           maxClusterSize = num(m, "max_cluster_size").getOrElse(100000.0).toInt)
+      case "dedup_semantic_against_reference" =>
+        // incremental SemDeDup: drop rows semantically present in a prior
+        // corpus snapshot (parquet with id + vec columns); cells trained on
+        // a capped CORPUS sample, candidates cross-side only
+        val vecCol = str(m, "vec_col").getOrElse(throw new IllegalArgumentException(
+          "dedup_semantic_against_reference: 'vec_col' is required"))
+        val refPath = str(m, "ref_path").getOrElse(throw new IllegalArgumentException(
+          "dedup_semantic_against_reference: 'ref_path' is required"))
+        val refIdCol = str(m, "ref_id_col").getOrElse(idCol)
+        val refVecCol = str(m, "ref_vec_col").getOrElse(vecCol)
+        val trainRows = num(m, "train_rows").getOrElse(10000.0).toInt
+        val sample = df.select(col(vecCol).cast("array<double>"))
+          .where(col(vecCol).isNotNull).limit(trainRows)
+          .collect().map(_.getSeq[Double](0).toArray)
+        val centroids = Similarity.trainKMeans(sample,
+          num(m, "num_centroids").getOrElse(64.0).toInt,
+          seed = num(m, "seed").getOrElse(42.0).toLong)
+        Dedup.dropSemanticDupsAgainstReference(df, idCol, vecCol,
+          df.sparkSession.read.parquet(refPath), refIdCol, refVecCol, centroids,
+          threshold = num(m, "threshold").getOrElse(0.95),
+          maxCellSize = num(m, "max_cell_size").getOrElse(100000.0).toInt)
       case "dedup_semantic_pq" =>
         // SemDeDup with PQ-compressed candidate joins: in-cell pairs carry
         // codes (~32x smaller than vectors), SDC-prefilter, exact verify

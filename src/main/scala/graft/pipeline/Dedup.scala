@@ -552,6 +552,65 @@ object Dedup {
 
   // ------------------------------------- incremental dedup vs a prior corpus
 
+  /** Cross-snapshot SEMANTIC near-dup pairs: corpus rows whose embedding is
+    * within cosine `threshold` of ANY reference-corpus embedding (today's
+    * crawl vs yesterday's index — the embedding-space member of the
+    * incremental family next to [[dedupAgainstReference]] (exact keys) and
+    * [[nearDupPairsAgainstReference]] (shingle LSH); it catches the
+    * paraphrase-level re-crawls neither of those can).
+    *
+    * Scale shape mirrors [[semanticDupPairs]]: both sides assign a coarse
+    * cell ROW-LOCALLY (codegen'd [[NearestCentroids]], centroids broadcast
+    * as a reference object), candidates come EXCLUSIVELY from cross-side
+    * cell collisions — neither snapshot's internal pair space exists in the
+    * plan — and the exact cosine is the decider. `maxCellSize` caps the
+    * REFERENCE side per cell (the persisted index is where a hot cell
+    * lives); rows of an over-full ref cell are skipped like
+    * `maxClusterSize`. Output: (id, ref_id, cell, cosine), one row per
+    * qualifying cross pair (a row already present in the ref pairs with
+    * itself at cosine 1.0).
+    */
+  def semanticDupPairsAgainstReference(df: DataFrame, idCol: String, vecCol: String,
+                                       ref: DataFrame, refIdCol: String, refVecCol: String,
+                                       centroids: Array[Array[Double]],
+                                       threshold: Double = 0.95,
+                                       maxCellSize: Int = 100000): DataFrame = {
+    PipelineGuards.requireBatch(df, "semanticDupPairsAgainstReference")
+    require(centroids.nonEmpty, "semanticDupPairsAgainstReference needs at least one centroid")
+    import org.apache.spark.sql.GraftColumnBridge
+    def withCell(frame: DataFrame, id: String, vec: String,
+                 idAs: String, vecAs: String): DataFrame = {
+      val v = col(vec).cast("array<double>")
+      frame.select(col(id).as(idAs), v.as(vecAs),
+        GraftColumnBridge.column(NearestCentroids(
+          GraftColumnBridge.expression(v), centroids, 1))(0).as("__cell"))
+    }
+    val left = withCell(df, idCol, vecCol, "id", "__va")
+    val right = withCell(ref, refIdCol, refVecCol, "ref_id", "__vb")
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__cell")))
+      .where(col("__n") <= maxCellSize)
+      .drop("__n")
+    left.join(right, Seq("__cell"))
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id"), col("ref_id"), col("__cell").as("cell"), col("cosine"))
+  }
+
+  /** Removal policy over [[semanticDupPairsAgainstReference]]: keep only
+    * corpus rows with NO reference neighbor at/above the threshold (the
+    * continuous-crawl "semantically new today" filter).
+    */
+  def dropSemanticDupsAgainstReference(df: DataFrame, idCol: String, vecCol: String,
+                                       ref: DataFrame, refIdCol: String, refVecCol: String,
+                                       centroids: Array[Array[Double]],
+                                       threshold: Double = 0.95,
+                                       maxCellSize: Int = 100000): DataFrame = {
+    val drop = semanticDupPairsAgainstReference(df, idCol, vecCol,
+      ref, refIdCol, refVecCol, centroids, threshold, maxCellSize)
+      .select(col("id").as("__drop_id")).distinct()
+    df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Cross-snapshot dedup: drop rows whose `key` already exists in a
     * reference corpus (today's crawl minus everything in yesterday's corpus).
     * Result is EXACT — identical to `df WHERE key NOT IN (ref keys)` — but the

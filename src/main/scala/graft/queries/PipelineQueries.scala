@@ -1369,7 +1369,9 @@ object PipelineQueries {
   ) :+ qualityScoreQuery :+ corpusStatsQuery :+ bpeCountQuery :+ bpeApplyQuery :+
     streamingNearDupQuery :+ lmBigramsQuery :+ lmPerplexityQuery :+
     stripMarkupQuery :+ stratifiedSplitQuery :+ semanticDedupQuery :+
-    semanticDedupRemoveQuery :+ pqSemanticDedupQuery :+ charEntropyQuery :+ readabilityQuery :+
+    semanticDedupRemoveQuery :+ pqSemanticDedupQuery :+
+    semanticDedupIncrementalQuery :+ semanticDedupIncrementalDropQuery :+
+    charEntropyQuery :+ readabilityQuery :+
     tfIdfKeywordsQuery :+ embeddingClustersQuery :+
     dsirTrainQuery :+ dsirScoreQuery :+ dsirResampleQuery) ++
     unigramQueries ++ langIdQueries
@@ -1847,6 +1849,67 @@ object PipelineQueries {
              |FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
              |WHERE list_cosine_similarity(x.v, y.v) >= 0.9965
              |ORDER BY 1, 2""".stripMargin))
+
+  /** Incremental SEMANTIC dedup gates (r10): today's corpus (all embeddings)
+    * vs yesterday's index (vec_id % 3 = 0). Same fixed identity centroids and
+    * probed mid-gap threshold as pipe_semantic_dedup — the cross-side pair
+    * cosines are a SUBSET of the in-corpus pair set (ref rows are corpus
+    * rows) plus exact-1.0 self pairs, so the 0.9965 boundary clearance holds.
+    */
+  private def semanticDedupIncrementalQuery: (String, QueryDef) =
+    "pipe_semantic_dedup_incremental" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 4).as("v4"))
+        val ref = emb.where(col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("rid"), col("v4").as("rv"))
+        Dedup.semanticDupPairsAgainstReference(emb, "vec_id", "v4",
+          ref, "rid", "rv",
+          Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0),
+            Array(0, 0, 1.0, 0), Array(0, 0, 0, 1.0)),
+          threshold = 0.9965)
+          .select(col("id"), col("ref_id"), col("cell").cast("int").as("cell"))
+          .orderBy("id", "ref_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |a AS (SELECT vec_id, v,
+             |  CASE WHEN v[1] >= v[2] AND v[1] >= v[3] AND v[1] >= v[4] THEN 0
+             |       WHEN v[2] >= v[3] AND v[2] >= v[4] THEN 1
+             |       WHEN v[3] >= v[4] THEN 2 ELSE 3 END AS cell
+             |FROM e)
+             |SELECT x.vec_id AS id, r.vec_id AS ref_id, CAST(x.cell AS INT) AS cell
+             |FROM a x JOIN a r ON x.cell = r.cell AND r.vec_id % 3 = 0
+             |WHERE list_cosine_similarity(x.v, r.v) >= 0.9965
+             |ORDER BY 1, 2""".stripMargin))
+
+  /** Removal-policy gate: kept = corpus rows with no over-threshold ref
+    * neighbor (ref members always drop — they pair with themselves at 1.0).
+    */
+  private def semanticDedupIncrementalDropQuery: (String, QueryDef) =
+    "pipe_semantic_dedup_incremental_drop" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 4).as("v4"))
+        val ref = emb.where(col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("rid"), col("v4").as("rv"))
+        Dedup.dropSemanticDupsAgainstReference(emb, "vec_id", "v4",
+          ref, "rid", "rv",
+          Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0),
+            Array(0, 0, 1.0, 0), Array(0, 0, 0, 1.0)),
+          threshold = 0.9965)
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |a AS (SELECT vec_id, v,
+             |  CASE WHEN v[1] >= v[2] AND v[1] >= v[3] AND v[1] >= v[4] THEN 0
+             |       WHEN v[2] >= v[3] AND v[2] >= v[4] THEN 1
+             |       WHEN v[3] >= v[4] THEN 2 ELSE 3 END AS cell
+             |FROM e),
+             |drop AS (SELECT DISTINCT x.vec_id AS id
+             |  FROM a x JOIN a r ON x.cell = r.cell AND r.vec_id % 3 = 0
+             |  WHERE list_cosine_similarity(x.v, r.v) >= 0.9965)
+             |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT id FROM drop)
+             |ORDER BY vec_id""".stripMargin))
 
   /** PQ-SDC semantic dedup gate (r9): the full pipeline — normalize the
     * 4-dim slice in-plan (so the SDC approximate cosine is the INTEGER

@@ -357,6 +357,28 @@ class CurationPipelineSpec extends SparkSpec {
       ()
     }
 
+    // dedup_semantic_against_reference (r10): rows semantically present in a
+    // prior snapshot drop; in-corpus-only duplicates survive
+    val refDir = java.nio.file.Files.createTempDirectory("graft_semref")
+    try {
+      val refPath = refDir.toString + "/ref"
+      Seq((10L, Seq(0.0, 2.0)), (11L, Seq(0.0, 2.0))).toDF("doc_id", "vec")
+        .write.mode("overwrite").parquet(refPath)
+      val cur = Seq(
+        (1L, "t", Seq(10.0, 0.1)), (2L, "t", Seq(10.0, 0.1)), (10L, "t", Seq(0.0, 2.0)))
+        .toDF("doc_id", "text", "vec")
+      val keptInc = CurationPipeline(cur, Seq(Map(
+        "step" -> "dedup_semantic_against_reference", "vec_col" -> "vec",
+        "ref_path" -> refPath, "threshold" -> 0.99, "num_centroids" -> 2,
+        "train_rows" -> 10))).select("doc_id").as[Long].collect().toSet
+      assert(keptInc == Set(1L, 2L), keptInc)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(refDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      ()
+    }
+
     // sample_cluster_quota: topic balancing caps each embedding cluster
     val lop = (0 until 90).map(i => (i.toLong, "t", Seq(1.0, 0.01 * i % 1))) ++
       (100 until 110).map(i => (i.toLong, "t", Seq(0.0, 1.0)))

@@ -72,6 +72,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(probeNeg == Seq(2, 4)) // the "a" rows found in ref
   }
 
+  test("foreign_key probe plan: no sort-merge join-back; count prunes the probe subtree") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.SparkPlan
+    // big-enough frames that the planner would otherwise SMJ
+    val df = spark.range(0L, 50000L, 1L, 8)
+      .selectExpr("id", "CAST(id % 1000 AS STRING) AS k")
+    val ref = spark.range(0L, 20000L, 1L, 8).selectExpr("CAST(id AS STRING) AS rk")
+    val checked = DQEngine.applyChecks(df, Seq(DQDatasetRule(
+      DatasetChecks.foreignKey(Seq("k"), Seq("rk"), ref, strategy = "probe"),
+      "foreign_key", Seq("k"))))
+    // (a) the verdict-reading plan has NO SortMergeJoin: the probe/anti join
+    // runs on slim key sets and the join-back is hash- or broadcast-built —
+    // the full-width frame is never sorted
+    def collectPlans(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(collectPlans)) ++ p.subqueries.flatMap(collectPlans)
+    val executed = checked.where(col("_errors").isNotNull).queryExecution.executedPlan
+    val smj = collectPlans(executed).collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"probe plan contains SortMergeJoin:\n$executed")
+    // (b) when the verdicts go unread (count-parity protocol) Catalyst
+    // eliminates the row-preserving join-back AND the probe subtree with it
+    val counted = checked.select(count(lit(1))).queryExecution.optimizedPlan
+    val joins = counted.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"count plan did not eliminate the probe joins:\n$counted")
+  }
+
   test("aggr compare row_filter is conditional aggregation + result gate") {
     val df = Seq((1, "g1", 10), (2, "g1", 100), (3, "g2", 10)).toDF("id", "g", "v")
     // dqx semantics: the rule filter goes INTO the aggregate (row_filter) AND

@@ -116,6 +116,31 @@ class SemDedupSpec extends SparkSpec {
     assert(skip == Set((1L, 2L)), skip)
   }
 
+  test("semanticDupPairsAgainstReference: cross-side pairs only, ref-cell cap, drop policy") {
+    // corpus: two near-identical NEW rows (1, 2) + one row shared with the
+    // ref (10); ref: rows 10 and 11 (e2-ish)
+    val df = Seq(
+      (1L, Seq(10.0, 0.1)), (2L, Seq(10.0, 0.1)), (10L, Seq(0.0, 2.0))).toDF("id", "v")
+    val ref = Seq((10L, Seq(0.0, 2.0)), (11L, Seq(0.0, 2.0))).toDF("rid", "rv")
+    val pairs = Dedup.semanticDupPairsAgainstReference(df, "id", "v", ref, "rid", "rv",
+      Array(e1, e2), threshold = 0.99)
+      .select("id", "ref_id").as[(Long, Long)].collect().toSet
+    // rows 1-2 duplicate EACH OTHER but have no ref neighbor -> NOT emitted
+    // (cross-side only); row 10 pairs with both ref copies incl. itself
+    assert(pairs == Set((10L, 10L), (10L, 11L)), pairs)
+    // drop policy: only semantically-new rows survive
+    val kept = Dedup.dropSemanticDupsAgainstReference(df, "id", "v", ref, "rid", "rv",
+      Array(e1, e2), threshold = 0.99)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), kept)
+    // ref-cell skew cap: an over-full reference cell is skipped entirely
+    val bigRef = (100 until 120).map(i => (i.toLong, Seq(0.0, 2.0))).toDF("rid", "rv")
+    val capped = Dedup.semanticDupPairsAgainstReference(df, "id", "v", bigRef, "rid", "rv",
+      Array(e1, e2), threshold = 0.99, maxCellSize = 10)
+      .count()
+    assert(capped == 0L)
+  }
+
   test("PqSdcDot: table lookups match brute dot; null conventions") {
     val model = Pq.PqModel(2, Array(
       Array(Array(1.0, 0.0), Array(0.0, 1.0)),
