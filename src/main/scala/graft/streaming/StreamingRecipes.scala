@@ -101,6 +101,26 @@ object StreamingRecipes {
       sink(Dedup.dropNearDupsAgainstIndex(batch, idCol, textCol, index, threshold), batchId)
     }
 
+  /** SEMANTIC analog of [[dropNearDupsAgainstReferencePerBatch]] (r10): each
+    * micro-batch keeps only rows whose embedding is NOT within cosine
+    * `threshold` of any reference-corpus embedding. The coarse cells come
+    * from a caller-supplied quantizer (train once on a reference sample via
+    * [[graft.pipeline.Similarity.trainKMeans]]); per batch the cost is the
+    * batch's row-local cell assignment plus the cross-side in-cell cosine
+    * join against the (small, cacheable) reference projection — the batch
+    * never self-joins.
+    */
+  def dropSemanticDupsAgainstReferencePerBatch(stream: DataFrame, idCol: String, vecCol: String,
+                                               ref: DataFrame, refIdCol: String, refVecCol: String,
+                                               centroids: Array[Array[Double]],
+                                               threshold: Double = 0.95,
+                                               maxCellSize: Int = 100000)
+                                              (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(Dedup.dropSemanticDupsAgainstReference(batch, idCol, vecCol,
+        ref, refIdCol, refVecCol, centroids, threshold, maxCellSize), batchId)
+    }
+
   /** Cross-batch CANONICAL-URL dedup ids for a continuous crawl: each row is
     * keyed by [[graft.pipeline.UrlAnalysis.canonicalUrl]] (row-local, rides
     * the stream's scan) and only the FIRST id ever seen per canonical page

@@ -118,6 +118,29 @@ class StreamChecksSpec extends SparkSpec {
     assert(seen.sortBy(identity).toSeq == Seq((0L, 2L), (1L, 3L)))
   }
 
+  test("foreachBatch recipe: SEMANTIC dedup against a static reference corpus") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ref = Seq((900L, Seq(0.0, 2.0))).toDF("rid", "rv")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val stream = in.toDF().toDF("doc_id", "vec")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.StreamingRecipes
+      .dropSemanticDupsAgainstReferencePerBatch(stream, "doc_id", "vec",
+        ref, "rid", "rv", Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+        threshold = 0.99) { (batch, id) =>
+        seen ++= batch.collect().map(r => (id, r.getLong(0)))
+      }.start()
+    // doc 1 is semantically the ref row (cosine 1.0) -> dropped; doc 2 novel
+    in.addData((1L, Seq(0.0, 5.0)), (2L, Seq(10.0, 0.1)))
+    q.processAllAvailable()
+    // no cross-batch learning: a near-copy of doc 2 still passes in batch 1
+    in.addData((3L, Seq(10.0, 0.1)), (4L, Seq(0.0, 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.sortBy(identity).toSeq == Seq((0L, 2L), (1L, 3L)))
+  }
+
   test("cross-batch keep-first dedup via firstSeenRows state") {
     import StreamChecks.KeyedRow
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
