@@ -150,6 +150,14 @@ object Bench {
         }
       sys.exit(rc)
     }
+    val refRows = sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.toLong).getOrElse(BenchRef.DefaultRows)
+
+    // isolated-median children run BEFORE the parent SparkSession exists —
+    // the same protocol BenchRefMain documents — so their numbers are
+    // comparable across both entry points: no parent heap resident beside a
+    // child, no parent page-cache footprint (ADVICE r10 #1)
+    val isolatedRefStats = if (refRows > 0) BenchRef.isolatedStats(refRows) else Seq.empty
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -159,8 +167,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val refRows = sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.toLong).getOrElse(BenchRef.DefaultRows)
     protocolViolation(refRows, Runtime.getRuntime.maxMemory()).foreach(v =>
       System.err.println(s"BENCH PROTOCOL VIOLATION (run will be stamped): $v"))
 
@@ -240,9 +246,10 @@ object Bench {
     // (SPARK_GRAFT_BENCH_ROWS=100000000 for full parity; 0 disables)
     val rounds = BenchRef.defaultRounds
     val refStats0 = if (refRows > 0) BenchRef.runStats(spark, refRows, rounds) else Seq.empty
-    // isolated-median rows for the spill-heavy suites (fresh-JVM children;
-    // artifact convention, VERDICT r9 Next #8)
-    val refStats = refStats0 ++ (if (refRows > 0) BenchRef.isolatedStats(refRows) else Seq.empty)
+    // isolated-median rows for the spill-heavy suites were measured up front,
+    // before this SparkSession existed (fresh-JVM children; artifact
+    // convention, VERDICT r9 Next #8, protocol fix ADVICE r10 #1)
+    val refStats = refStats0 ++ isolatedRefStats
     val refTimes = refStats.map(s => s.name -> s.secs)
 
     val all = suiteTimes ++ queryTimes ++ refTimes

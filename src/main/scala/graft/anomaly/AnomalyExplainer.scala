@@ -90,6 +90,44 @@ final class TopFeaturesAnomalyExplainer extends AnomalyExplainer {
   }
 }
 
+/** A fully-populated, LLM-free example of the `anomaly_explainer_class`
+  * seam (VERDICT r10 Next #7): renders deterministic `narrative` /
+  * `business_impact` / `action` text from the same top-features pattern and
+  * group statistics [[TopFeaturesAnomalyExplainer]] computes — a working
+  * OSS default that exercises every `ai_explanation` field end-to-end
+  * without a serving endpoint. Wire with
+  * `anomaly_explainer_class: graft.anomaly.TemplateAnomalyExplainer`.
+  * Pure column expressions on top of the base struct: no extra shuffle
+  * beyond the base group-stats window, no driver actions.
+  */
+final class TemplateAnomalyExplainer extends AnomalyExplainer {
+  override def explain(ctx: AnomalyExplainContext): Column = {
+    val base = new TopFeaturesAnomalyExplainer().explain(ctx)
+    val tf = base.getField("top_features")
+    val gs = base.getField("group_size")
+    // models without a severity percentile (z-score) leave it null; concat
+    // is null-intolerant, so the text degrades to "n/a" instead of nulling
+    val sevTxt = coalesce(format_number(base.getField("group_avg_severity"), 1), lit("n/a"))
+    when(base.isNotNull, struct(
+      concat(lit("Record flagged anomalous; strongest contributing features: "),
+        tf, lit(". It is one of "), gs.cast("string"),
+        lit(" records sharing this pattern (average severity percentile "),
+        sevTxt, lit(")."))
+        .as("narrative"),
+      concat(lit("Values deviate from the learned distribution on "), tf,
+        lit("; downstream aggregates and models reading these columns may be skewed."))
+        .as("business_impact"),
+      tf.as("top_features"),
+      concat(lit("Inspect "), tf,
+        lit(" for upstream data-entry or pipeline faults; if the pattern is "
+          + "legitimate, re-baseline the anomaly model on recent data."))
+        .as("action"),
+      gs.as("group_size"),
+      base.getField("group_avg_severity").as("group_avg_severity")
+    )).cast(graft.core.DQInfo.aiExplanationSchema)
+  }
+}
+
 object AnomalyExplainer {
   /** Reflective FQCN loading (`anomaly_explainer_class` metadata arg) — the
     * CheckProvider/NerEngine convention.

@@ -26,35 +26,98 @@ object DatasetChecks {
 
   // ---------------------------------------------------------------- is_unique
 
-  /** D2 (check_funcs.py:1822): duplicate detection over a (composite) key via a
-    * partition-pruned window count. `nullsDistinct`: rows with any NULL key
-    * component never count as duplicates (SQL UNIQUE NULLS DISTINCT semantics).
+  /** D2 (check_funcs.py:1822): duplicate detection over a (composite) key.
+    * `nullsDistinct`: rows with any NULL key component never count as
+    * duplicates (SQL UNIQUE NULLS DISTINCT semantics).
+    *
+    * Scale shape (`strategy`, default "auto" = "window"):
+    *  - "window": the reference's own plan (check_funcs.py:1874) — a
+    *    per-key window count: ONE full-width sort-shuffle per check,
+    *    nothing else.
+    *  - "probe": the verdict depends only on the KEY VALUE and its count,
+    *    so (1) groupBy(key).count on the filtered frame — a SLIM shuffle
+    *    with map-side partial aggregation; (2) keep only count>1 keys (the
+    *    dup-key set, distinct by construction); (3) attach the count back
+    *    by key with a SHUFFLE_HASH build on the dup-key side (AQE upgrades
+    *    to broadcast when duplicates are sparse). Count-parity unchanged:
+    *    the join-back is row-preserving on a distinct build side, so an
+    *    unread verdict eliminates the whole probe subtree.
+    *  - "auto": "window". The r11 UniqueProbe A/B (10M@8g + 100M@96g
+    *    isolated cells) measured: probe wins only the no-spill dense
+    *    mid-size regime (8.3 s vs 12.5 s at 10M); window wins sparse
+    *    mostly-unique keys at 10M (7.8 s vs 14.8 s — the dup aggregation
+    *    is a full-cardinality slim shuffle that buys nothing) AND the
+    *    dense 100M spill regime (304 s vs 339 s — the probe pays the
+    *    full-width join-back shuffle PLUS the agg shuffle PLUS a frame
+    *    recompute, which together outweigh the saved sort). Unlike
+    *    foreign_key — where the probe replaced an unbroadcastable
+    *    full-width SMJ and won 2x — is_unique's window baseline is
+    *    already a single exchange, so the probe has no structural edge to
+    *    exploit. Kept as an explicit option for mid-size dense-duplicate
+    *    workloads.
     */
   def isUnique(columns: Seq[String], nullsDistinct: Boolean = true,
-               rowFilter: Option[String] = None): DatasetCheck = {
+               rowFilter: Option[String] = None,
+               strategy: String = "auto"): DatasetCheck = {
+    require(Set("auto", "window", "probe").contains(strategy),
+      s"is_unique strategy must be auto|window|probe, got '$strategy'")
     val id = uniqueSuffix()
     val cntCol = s"__dq_unique_count_$id"
     val filterC = rowFilter.map(expr).getOrElse(lit(true))
     val keyCols = columns.map(col)
-    val applyFn = (df: DataFrame) => {
+    val keysNotNull = keyCols.map(_.isNotNull).reduce(_ && _)
+
+    def windowPlan(df: DataFrame): DataFrame = {
       val w = Window.partitionBy(keyCols: _*)
       df.withColumn(cntCol, sum(when(filterC, lit(1)).otherwise(lit(0))).over(w))
     }
-    val keysNotNull = keyCols.map(_.isNotNull).reduce(_ && _)
-    val dupCond = col(cntCol) > 1 && filterC && (if (nullsDistinct) keysNotNull else lit(true))
+
+    def probePlan(df: DataFrame, aggSource: DataFrame): DataFrame = {
+      val dupRenamed = columns.map(c => s"__dq_unique_k_${c}_$id")
+      // nullsDistinct: null-key rows can never flag, so drop them before the
+      // aggregation; otherwise nulls group together (one dup group per the
+      // window plan's hash partitioning of nulls)
+      val base0 = aggSource.where(filterC)
+      val base = if (nullsDistinct) base0.where(keysNotNull) else base0
+      val dups = base
+        .groupBy(columns.zip(dupRenamed).map { case (c, nn) => col(c).as(nn) }: _*)
+        .agg(count(lit(1)).as(cntCol))
+        .where(col(cntCol) > 1)
+      val backCond =
+        if (nullsDistinct) equalityJoinCondition(keyCols, dupRenamed.map(col))
+        else nullSafeJoinCondition(keyCols, dupRenamed.map(col))
+      df.join(dups.hint("SHUFFLE_HASH"), backCond, "left").drop(dupRenamed: _*)
+    }
+
+    val applyFn = (df: DataFrame) => strategy match {
+      case "probe" => probePlan(df, df)
+      case _       => windowPlan(df)
+    }
+    // engine path: aggregate over the pristine frame so stacked probes grow
+    // the plan linearly instead of doubling it (DatasetCheck scaladoc)
+    val applyWithBase: Option[(DataFrame, DataFrame) => DataFrame] =
+      if (strategy == "probe") Some((df, base) => probePlan(df, base)) else None
+    // probe join-back leaves cntCol null on unique keys — same verdict as the
+    // window's literal count because the flag needs > 1
+    val dupCond = coalesce(col(cntCol), lit(0L)) > 1 && filterC &&
+      (if (nullsDistinct) keysNotNull else lit(true))
     val keyText = concat_ws(", ", keyCols.map(valueText): _*)
     DatasetCheck(applyFn,
       makeCondition(dupCond,
         concat(lit(s"Value '"), keyText,
           lit(s"' in column '${columns.mkString(", ")}' is not unique, found "),
-          col(cntCol).cast("string"), lit(" duplicates"))))
+          col(cntCol).cast("string"), lit(" duplicates"))),
+      applyWithBase = applyWithBase)
   }
 
   // -------------------------------------------------------------- foreign_key
 
-  /** "10MB"/"10485760"-style conf values -> bytes (Spark's own grammar). */
+  /** "10MB"/"10485760"-style conf values -> bytes (Spark's own grammar);
+    * "-1" (threshold disabled) is a plain long JavaUtils rejects.
+    */
   private def parseByteSize(s: String): Long =
-    org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+    scala.util.Try(s.trim.toLong).getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s))
 
   /** D3 (check_funcs.py:1919): FK existence against a reference dataset.
     * Reference side is deduped before the join (broadcast-friendly).
@@ -79,8 +142,9 @@ object DatasetChecks {
     *  - "join": the pre-r10 shape (plain left join, planner's choice) kept
     *    for A/B comparison.
     *  - "auto": "broadcast" when Catalyst's size estimate of the ref is
-    *    within autoBroadcastJoinThreshold (clamped to 10MB when the
-    *    threshold is disabled/-1), else "probe".
+    *    within autoBroadcastJoinThreshold (10MB default when the conf is
+    *    unset), else "probe". A threshold the user explicitly DISABLED
+    *    (<= 0) always picks "probe" — never an overriding broadcast hint.
     */
   def foreignKey(columns: Seq[String], refColumns: Seq[String], refDf: DataFrame,
                  negate: Boolean = false, nullSafe: Boolean = false,
@@ -93,7 +157,7 @@ object DatasetChecks {
     val matchedCol = s"__dq_fk_matched_$id"
     val filterC = rowFilter.map(expr).getOrElse(lit(true))
     val keyCols = columns.map(col)
-    val applyFn = (df: DataFrame) => {
+    def applyImpl(df: DataFrame, aggSource: DataFrame): DataFrame = {
       val renamedRef = refColumns.map(rc => s"__dq_fk_ref_${rc}_$id")
       val marker = s"__dq_fk_present_$id"
       // explicit presence marker: ref-key nullness cannot indicate a match
@@ -117,7 +181,10 @@ object DatasetChecks {
         // complete keys — null components can't fail the check anyway
         val probeFilter =
           if (nullSafe) filterC else filterC && keyCols.map(_.isNotNull).reduce(_ && _)
-        val probe = df.where(probeFilter).select(keyCols: _*).distinct()
+        // keys come from the pristine frame when the engine provides it:
+        // stacked probes otherwise double the plan per check (see
+        // DatasetCheck.applyWithBase scaladoc)
+        val probe = aggSource.where(probeFilter).select(keyCols: _*).distinct()
         // violating keys: absent from ref (present, for negate) — both sides
         // of this join are slim key sets
         val probeCond =
@@ -146,16 +213,18 @@ object DatasetChecks {
         case "broadcast" => directJoin(hintBroadcast = true)
         case "probe" => keysProbe()
         case _ => // auto
-          val threshold = {
-            val t = scala.util.Try(
-              df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")).toOption
-              .map(parseByteSize).getOrElse(10L * 1024 * 1024)
-            if (t <= 0) 10L * 1024 * 1024 else t
-          }
+          // a user-disabled threshold (<= 0) is a deliberate "no broadcast
+          // joins" decision — honor it with the probe instead of forcing a
+          // broadcast hint (ADVICE r10 #2); an unset conf keeps the 10MB
+          // Spark default
+          val threshold = scala.util.Try(
+            df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")).toOption
+            .map(parseByteSize).getOrElse(10L * 1024 * 1024)
           val refSize = scala.util.Try(
             refDf.queryExecution.optimizedPlan.stats.sizeInBytes).toOption
             .getOrElse(BigInt(Long.MaxValue))
-          if (refSize <= threshold) directJoin(hintBroadcast = true) else keysProbe()
+          if (threshold > 0 && refSize <= threshold) directJoin(hintBroadcast = true)
+          else keysProbe()
       }
     }
     val keysPresent = if (nullSafe) lit(true) else keyCols.map(_.isNotNull).reduce(_ && _)
@@ -163,10 +232,11 @@ object DatasetChecks {
       if (negate) filterC && keysPresent && col(matchedCol)
       else filterC && keysPresent && !col(matchedCol)
     val keyText = concat_ws(", ", keyCols.map(valueText): _*)
-    DatasetCheck(applyFn,
+    DatasetCheck(df => applyImpl(df, df),
       makeCondition(violation,
         concat(lit(s"Value '"), keyText, lit(s"' in column '${columns.mkString(", ")}' "),
-          lit(if (negate) "found in reference" else "not found in reference"))))
+          lit(if (negate) "found in reference" else "not found in reference"))),
+      applyWithBase = Some((df, base) => applyImpl(df, base)))
   }
 
   // --------------------------------------------------- aggregate compare core
@@ -207,7 +277,22 @@ object DatasetChecks {
         percentile(c, lit(params.getOrElse("percentile", 0.5).toString.toDouble))
       case "approx_percentile" =>
         percentile_approx(c, lit(params.getOrElse("percentile", 0.5).toString.toDouble), lit(10000))
-      case other => expr(s"$other(${c.toString})") // non-curated by-name fallback (check_funcs.py:4101)
+      case other =>
+        // non-curated by-name fallback (check_funcs.py:4101). The rendered
+        // SQL must PARSE before it hits the analyzer: a complex input column
+        // whose toString isn't valid SQL (e.g. a resolved lambda) would
+        // otherwise surface as an opaque ParseException deep in the engine's
+        // skip-don't-fail probe
+        val rendered = s"$other(${c.toString})"
+        scala.util.Try(
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(rendered)
+        ) match {
+          case scala.util.Success(_) => expr(rendered)
+          case scala.util.Failure(e) => throw new IllegalArgumentException(
+            s"aggregate function '$other' is not in the curated registry and its by-name SQL " +
+              s"rendering '$rendered' does not parse (${e.getMessage.linesIterator.next()}); " +
+              "use a curated aggregate or a plain column reference", e)
+        }
     }
 
   /** Shared machinery for D5-D8 (check_funcs.py:4234-4403). Adds a metric
@@ -313,6 +398,12 @@ object DatasetChecks {
     * per (groupBy, grain), compares each bucket to the rolling mean/stddev of
     * the previous `lookback` buckets, flags |cur-mean| > sigma*stddev. Rows of
     * the offending bucket fail. `warmup` buckets are required before flagging.
+    *
+    * Grain limit: with no `group_by` the rolling rank runs through a
+    * single-partition window over the BUCKET rows (one row per time grain —
+    * bounded by the series length, not the data size; the reference's shape,
+    * check_funcs.py:2374). Series beyond ~10M grains should add a group_by
+    * or coarser `timeInterval`.
     */
   def hasNoAggrOutliers(column: String, timeColumn: String, aggrType: String = "count",
                         sigma: Double = 3.0, lookback: Int = 10, warmup: Int = 3,
@@ -790,7 +881,10 @@ object DatasetChecks {
         to_json(struct(
           col(missingCol).as("row_missing"),
           col(extraCol).as("row_extra"),
-          col(changedCol).as("changed")))))
+          col(changedCol).as("changed")))),
+      // check_missing_records APPENDS ref-only marker rows: later probes
+      // must not trust pristine-frame row parity (DatasetCheck scaladoc)
+      rowPreserving = !checkMissingRecords)
   }
 
   // ------------------------------------------------------------ time windows
@@ -839,6 +933,11 @@ object DatasetChecks {
     * Occupied windows per group are ranked; a gap exists when the next occupied
     * window starts more than one window-length after the current. Rows in the
     * bucket immediately before a gap fail.
+    *
+    * Grain limit: with no `group_by` the occupied-window ranking runs
+    * through a single-partition window over one row per OCCUPIED bucket —
+    * bounded by the series length. Beyond ~10M occupied windows, add a
+    * group_by or widen `windowMinutes`.
     */
   def hasNoGapsPerTimeWindow(column: String, windowMinutes: Int,
                              groupBy: Seq[String] = Seq.empty,

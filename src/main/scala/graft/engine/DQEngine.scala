@@ -50,6 +50,9 @@ object DQEngine {
     // Sequential fold of dataset-check applies; row checks are plan-time only.
     var current = df
     var appliedDatasetChecks = 0
+    // true while every applied check kept the pristine frame's exact row
+    // multiset, so later probes may aggregate over `df` instead of `current`
+    var baseRowParity = true
     val infoCols = scala.collection.mutable.ArrayBuffer[String]()
     // Budgeted logical-plan node count: returns true once the tree exceeds
     // `cap` WITHOUT walking further — an exponentially-grown plan must never
@@ -105,7 +108,19 @@ object DQEngine {
         Try {
           val next = r.check.madSpec.filter(sp => batchKeys(sp.loCol)) match {
             case Some(sp) => attachBand(current, sp) // batched MAD band
-            case None => r.check.applyFn(current)
+            case None =>
+              // prefer the pristine-base form (linear plan growth for
+              // self-join probes; see DatasetCheck scaladoc), falling back
+              // to the chained form when the base-bound build fails
+              // analysis (e.g. row_filter on a previous check's column) or
+              // a previous check broke row parity with the pristine frame
+              r.check.applyWithBase.filter(_ => baseRowParity).flatMap { f =>
+                Try {
+                  val n = f(current, df)
+                  n.select(r.check.condition)
+                  n
+                }.toOption
+              }.getOrElse(r.check.applyFn(current))
           }
           next.select(r.check.condition) // force analysis of the condition
           r.messageExpr.foreach(me => next.select(expr(me)))
@@ -114,6 +129,7 @@ object DQEngine {
           case Success(next) =>
             current = next
             appliedDatasetChecks += 1
+            if (!r.check.rowPreserving) baseRowParity = false
             maybeCheckpoint()
             r.check.infoColName.foreach(infoCols += _)
             Compiled(r, r.check.condition, None)

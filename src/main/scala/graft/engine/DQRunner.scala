@@ -97,7 +97,7 @@ object DQRunner {
           checksLocation = cfg.checksLocation,
           userMetadata = extra.userMetadata)
         Metrics.buildMetricsRows(spark, obs.get, info, extra)
-          .write.mode("append").saveAsTable(mt)
+          .write.mode("append").saveAsTable(graft.io.IO.quoteTableName(mt))
       }
     }
 
@@ -144,11 +144,16 @@ object DQRunner {
       .toSeq
     val cfgs = tables.flatMap { t =>
       val checksFile = s"$checksDir/${t.replace('.', '_')}.yml"
+      // catalog names are RAW (no backticks; `t` is the bare table name):
+      // quote so hyphenated / special-character table names survive the
+      // round trip (reference 0.15.0 "Allow special characters in catalog
+      // and schema names"); the suffix lands INSIDE the quotes
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(checksFile)))
         Some(RunConfig(
-          input = InputConfig(t),
-          output = Some(OutputConfig(s"$t$outputSuffix", mode = "overwrite")),
-          quarantine = quarantineSuffix.map(q => OutputConfig(s"$t$q", mode = "overwrite")),
+          input = InputConfig(graft.io.IO.quotePart(t)),
+          output = Some(OutputConfig(graft.io.IO.quotePart(t + outputSuffix), mode = "overwrite")),
+          quarantine = quarantineSuffix.map(q =>
+            OutputConfig(graft.io.IO.quotePart(t + q), mode = "overwrite")),
           checksLocation = Some(checksFile),
           extra = extra))
       else None

@@ -26,11 +26,47 @@ final case class OutputConfig(
 
 object IO {
 
-  /** 2-3-level dotted name = table; anything with a path separator or URI
-    * scheme = path (io.py:15-17 regexes).
+  /** 1-3-level dotted name = table; anything with a path separator or URI
+    * scheme = path (io.py:15-17 regexes). Each part may be backquoted to
+    * carry special characters — hyphens, spaces — in catalog/schema/table
+    * names (reference 0.15.0 "Allow special characters in catalog and
+    * schema names", io.py:17).
     */
-  def isTableLocation(location: String): Boolean =
-    location.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+){0,2}") && !location.contains("/")
+  def isTableLocation(location: String): Boolean = {
+    val part = "(?:`[^`]+`|[A-Za-z0-9_]+)"
+    location.matches(s"$part(?:\\.$part){0,2}")
+  }
+
+  /** Split a dotted table name on dots OUTSIDE backquotes. */
+  private def splitTableParts(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false
+    s.foreach {
+      case '`' => inQ = !inQ; sb += '`'
+      case '.' if !inQ => parts += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    parts += sb.toString
+    parts.toSeq
+  }
+
+  /** Backtick-quote one identifier part when it needs it (embedded backticks
+    * escape by doubling, Spark's own grammar).
+    */
+  def quotePart(p: String): String =
+    if (p.matches("[A-Za-z0-9_]+")) p else "`" + p.replace("`", "``") + "`"
+
+  /** Normalize a dotted table name so raw special-character parts parse:
+    * already-backquoted parts pass through, plain parts stay plain, and a
+    * part with special characters gets backquoted. Lets callers hand
+    * `my-catalog.schema.tbl` or `` `my-catalog`.schema.tbl `` to any
+    * read.table/saveAsTable boundary interchangeably.
+    */
+  def quoteTableName(location: String): String =
+    splitTableParts(location).map { p =>
+      if (p.length >= 2 && p.startsWith("`") && p.endsWith("`")) p else quotePart(p)
+    }.mkString(".")
 
   /** read_input_data (io.py:20-85): table or path, batch or streaming.
     *
@@ -44,7 +80,7 @@ object IO {
     */
   def readInputData(spark: SparkSession, cfg: InputConfig): DataFrame = {
     if (cfg.isStreaming) {
-      if (isTableLocation(cfg.location)) spark.readStream.table(cfg.location)
+      if (isTableLocation(cfg.location)) spark.readStream.table(quoteTableName(cfg.location))
       else {
         val r = spark.readStream.format(cfg.format).options(cfg.options)
         val withSchema = cfg.schema.map(r.schema).getOrElse {
@@ -55,7 +91,7 @@ object IO {
         withSchema.load(cfg.location)
       }
     } else {
-      if (isTableLocation(cfg.location)) spark.read.table(cfg.location)
+      if (isTableLocation(cfg.location)) spark.read.table(quoteTableName(cfg.location))
       else {
         val r = spark.read.format(cfg.format).options(cfg.options)
         cfg.schema.map(r.schema).getOrElse(r).load(cfg.location)
@@ -79,13 +115,13 @@ object IO {
           w.trigger(Trigger.ProcessingTime(t.stripPrefix("processingTime=")))
         case _ => w
       }
-      val q = if (isTableLocation(cfg.location)) w.toTable(cfg.location)
+      val q = if (isTableLocation(cfg.location)) w.toTable(quoteTableName(cfg.location))
               else w.start(cfg.location)
       Some(q)
     } else {
       val w = df.write.format(cfg.format).mode(cfg.mode).options(cfg.options)
       val wp = if (cfg.partitionBy.nonEmpty) w.partitionBy(cfg.partitionBy: _*) else w
-      if (isTableLocation(cfg.location)) wp.saveAsTable(cfg.location)
+      if (isTableLocation(cfg.location)) wp.saveAsTable(quoteTableName(cfg.location))
       else wp.save(cfg.location)
       None
     }

@@ -283,11 +283,36 @@ object Pq {
                 codebookSize: Int = 256, shortlist: Int = 100,
                 trainRows: Int = 10000, iterations: Int = 10,
                 seed: Long = 42L, residual: Boolean = false): DataFrame = {
+    val (model, indexed) = ivfPqBuildIndex(corpus, idCol, vecCol, numCells,
+      numBlocks, codebookSize, trainRows, iterations, seed, residual)
+    ivfPqQueryPhase(indexed, model, queries, k, nprobe, shortlist)
+  }
+
+  /** The trained coarse+product quantizers of one IVF-PQ index build:
+    * everything a LATER job needs to query an index written at rest —
+    * `cells` (coarse centroids for probe selection), `anchors` (residual
+    * reference points, empty when `residual=false`), and the PQ codebooks.
+    * Serialize with [[IvfPqIndexModelJson]].
+    */
+  final case class IvfPqIndexModel(cells: Array[Array[Double]],
+                                   anchors: Array[Array[Double]],
+                                   pq: PqModel, residual: Boolean)
+
+  /** Build-once half of the 100 TB ANN story: ONE corpus pass emits
+    * `(neighbor_id, cell, codes, vector)` — write it
+    * `partitionBy("cell")` to parquet and the query half
+    * ([[ivfPqTopKIndexed]]) prunes untouched cells AT THE STORAGE LAYER
+    * (`cell` is then a partition column, so the `isin(touched)` filter
+    * becomes a partition filter: scanned files ~ nprobe/numCells of the
+    * corpus; PqSpec pins this with scan-node metrics). The model returns
+    * alongside so query jobs never retrain.
+    */
+  def ivfPqBuildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      numCells: Int = 64, numBlocks: Int = 16,
+                      codebookSize: Int = 256,
+                      trainRows: Int = 10000, iterations: Int = 10,
+                      seed: Long = 42L, residual: Boolean = false): (IvfPqIndexModel, DataFrame) = {
     import org.apache.spark.sql.GraftColumnBridge
-    require(queries.nonEmpty, "no queries")
-    require(shortlist >= k, "shortlist must be at least k")
-    val session = corpus.sparkSession
-    import session.implicits._
     val sample = corpus.select(col(vecCol).cast("array<double>"))
       .where(col(vecCol).isNotNull).limit(trainRows)
       .collect().map(_.getSeq[Double](0).toArray)
@@ -323,22 +348,53 @@ object Pq {
       }
     val model = trainFromSample(pqSample, numBlocks, codebookSize, iterations, seed)
 
-    // index build: ONE corpus projection -> (id, cell, codes); at rest this
-    // is the whole index (cell = partition column, codes = 1 byte/block)
+    // index build: ONE corpus projection -> (id, cell, codes, vector); at
+    // rest this is the whole index (cell = partition column, codes =
+    // 1 byte/block, vector kept for the exact rerank)
     val vec = col(vecCol).cast("array<double>")
     val withCell = corpus.where(vec.isNotNull).select(
       col(idCol).cast("long").as("neighbor_id"),
-      vec.as("__v"),
+      vec.as("vector"),
       element_at(GraftColumnBridge.column(NearestCentroids(
-        GraftColumnBridge.expression(vec), cells, 1)), 1).as("__cell"))
+        GraftColumnBridge.expression(vec), cells, 1)), 1).as("cell"))
     val codesCol =
       if (residual)
         GraftColumnBridge.column(PqEncodeResidual(
-          GraftColumnBridge.expression(col("__v")),
-          GraftColumnBridge.expression(col("__cell")), anchors, model))
-      else encodeColumn(col("__v"), model)
-    val indexed = withCell.select(col("neighbor_id"), col("__cell"),
-      codesCol.as("__codes"))
+          GraftColumnBridge.expression(col("vector")),
+          GraftColumnBridge.expression(col("cell")), anchors, model))
+      else encodeColumn(col("vector"), model)
+    (IvfPqIndexModel(cells, anchors, model, residual),
+      withCell.select(col("neighbor_id"), col("cell"),
+        codesCol.as("codes"), col("vector")))
+  }
+
+  /** Query half over a PREBUILT index frame `(neighbor_id, cell, codes,
+    * vector)` — typically `spark.read.parquet(indexPath)` of an
+    * [[ivfPqBuildIndex]] output written `partitionBy("cell")`, with the
+    * model loaded via [[IvfPqIndexModelJson]]. Only the `nprobe` nearest
+    * cells per query are read: on a cell-partitioned table the filter is a
+    * partition filter, so untouched partitions are never scanned.
+    */
+  def ivfPqTopKIndexed(index: DataFrame, model: IvfPqIndexModel,
+                       queries: Seq[(Long, Array[Double])], k: Int,
+                       nprobe: Int = 8, shortlist: Int = 100): DataFrame = {
+    Seq("neighbor_id", "cell", "codes", "vector").foreach(c =>
+      require(index.columns.contains(c), s"index frame must carry column '$c'"))
+    ivfPqQueryPhase(index, model, queries, k, nprobe, shortlist)
+  }
+
+  private def ivfPqQueryPhase(indexed: DataFrame, indexModel: IvfPqIndexModel,
+                              queries: Seq[(Long, Array[Double])], k: Int,
+                              nprobe: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    require(queries.nonEmpty, "no queries")
+    require(shortlist >= k, "shortlist must be at least k")
+    val session = indexed.sparkSession
+    import session.implicits._
+    val cells = indexModel.cells
+    val anchors = indexModel.anchors
+    val model = indexModel.pq
+    val residual = indexModel.residual
 
     // driver-side probe lists per query + the union of touched cells
     val probes = math.min(nprobe, cells.length)
@@ -351,7 +407,7 @@ object Pq {
     val luts = buildLuts(queries, model)
     val qids = queries.map(_._1)
     val scores = GraftColumnBridge.column(PqAdcDotMulti(
-      GraftColumnBridge.expression(col("__codes")), luts))
+      GraftColumnBridge.expression(col("codes")), luts))
     // residual mode: the per-(query, cell) dot(q, anchor) constant that
     // completes the IVFADC decomposition, as a literal lookup (queries x
     // numCells doubles — driver arithmetic, broadcast with the plan)
@@ -366,14 +422,15 @@ object Pq {
           lit(s)
         }: _*)
       }: _*)
-    val cand0 = indexed
-      .where(col("__cell").isin(touched: _*)) // cell pruning (partition prune at rest)
-      .select(col("neighbor_id"), col("__cell"), posexplode(scores).as(Seq("__qidx", "adc_dot")))
-      .where(array_contains(element_at(probedLit, col("__qidx") + 1), col("__cell")))
+    val pruned = indexed
+      .where(col("cell").isin(touched: _*)) // cell pruning (partition prune at rest)
+    val cand0 = pruned
+      .select(col("neighbor_id"), col("cell"), posexplode(scores).as(Seq("__qidx", "adc_dot")))
+      .where(array_contains(element_at(probedLit, col("__qidx") + 1), col("cell")))
       .withColumn("query_id", element_at(array(qids.map(lit): _*), col("__qidx") + 1))
     val cand = (if (!residual) cand0
       else cand0.withColumn("adc_dot",
-        col("adc_dot") + element_at(element_at(qCellDotLit, col("__qidx") + 1), col("__cell") + 1)))
+        col("adc_dot") + element_at(element_at(qCellDotLit, col("__qidx") + 1), col("cell") + 1)))
       .where(col("adc_dot").isNotNull)
       // self-exclusion BEFORE the shortlist cut: a query id present in the
       // corpus must not consume one of its own shortlist slots (with
@@ -384,10 +441,12 @@ object Pq {
       .where(col("__r") <= shortlist)
       .select("query_id", "neighbor_id")
 
-    // exact cosine rerank on the shortlist only
+    // exact cosine rerank on the shortlist only; vectors come from the
+    // index frame, so a cell-partitioned table serves them from the SAME
+    // pruned partitions (shortlist members live in touched cells)
     val qdf = queries.map { case (qid, qv) => (qid, qv.toSeq) }.toDF("query_id", "__qv")
-    val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("__cv"))
+    val vecs = pruned.select(col("neighbor_id"),
+      col("vector").cast("array<double>").as("__cv"))
     val wCos = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     short.join(vecs, Seq("neighbor_id"))
       .join(broadcast(qdf), Seq("query_id"))
@@ -434,6 +493,46 @@ object PqModelJson {
     graft.io.FsText.write(spark, location, render(model))
 
   def load(spark: org.apache.spark.sql.SparkSession, location: String): Pq.PqModel =
+    parse(graft.io.FsText.read(spark, location))
+}
+
+/** JSON (de)serialization for [[Pq.IvfPqIndexModel]] — same model-as-data
+  * convention as [[PqModelJson]]: build the index once, save the model next
+  * to the cell-partitioned index table, and query from any later job
+  * without retraining.
+  */
+object IvfPqIndexModelJson {
+  def render(m: Pq.IvfPqIndexModel): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("residual" -> m.residual) ~
+          ("cells" -> m.cells.map(_.toList).toList) ~
+          ("anchors" -> m.anchors.map(_.toList).toList) ~
+          ("block_dim" -> m.pq.blockDim) ~
+          ("codebooks" -> m.pq.codebooks.map(_.map(_.toList).toList).toList)))
+  }
+
+  def parse(json: String): Pq.IvfPqIndexModel = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    val cells = (j \ "cells").extract[List[List[Double]]].map(_.toArray).toArray
+    require(cells.nonEmpty, "cells must be non-empty")
+    val anchors = (j \ "anchors").extract[List[List[Double]]].map(_.toArray).toArray
+    val bd = (j \ "block_dim").extract[Int]
+    val cbs = (j \ "codebooks").extract[List[List[List[Double]]]]
+      .map(_.map(_.toArray).toArray).toArray
+    require(bd > 0 && cbs.nonEmpty && cbs.forall(b => b.nonEmpty && b.forall(_.length == bd)),
+      "every codebook centroid must have block_dim entries")
+    Pq.IvfPqIndexModel(cells, anchors, Pq.PqModel(bd, cbs),
+      (j \ "residual").extract[Boolean])
+  }
+
+  def save(spark: org.apache.spark.sql.SparkSession, location: String,
+           m: Pq.IvfPqIndexModel): Unit =
+    graft.io.FsText.write(spark, location, render(m))
+
+  def load(spark: org.apache.spark.sql.SparkSession, location: String): Pq.IvfPqIndexModel =
     parse(graft.io.FsText.read(spark, location))
 }
 

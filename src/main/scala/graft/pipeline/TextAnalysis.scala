@@ -359,11 +359,13 @@ object TextAnalysis {
     * deterministic ordering (score desc, term asc). Output
     * (`idCol`, rank, term, tf, df); docs with no tokens emit no rows.
     *
-    * Scale shape: three shuffles, none corpus-wide in the term dimension —
-    * the (doc, term) tf aggregation (partial-agg), a term-partition window
-    * for document frequency (derived from the tf frame, NOT a second corpus
-    * scan), and the per-doc top-k window. N rides in as a broadcast 1-row
-    * aggregate.
+    * Scale shape: the (doc, term) tf aggregation (partial-agg), document
+    * frequency as a `groupBy(term)` + join-back — NOT a term-partition
+    * window: stop-word terms make the window's hot partitions un-splittable,
+    * while the join's agg side partial-aggregates to one row per term per
+    * partition and AQE's skew-join splits any hot term on the probe side —
+    * then the per-doc top-k window (doc-keyed, naturally balanced). N rides
+    * in as a broadcast 1-row aggregate.
     */
   def tfIdfKeywords(df: DataFrame, idCol: String, text: Column, k: Int = 3): DataFrame = {
     PipelineGuards.requireBatch(df, "tfIdfKeywords")
@@ -371,7 +373,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val tf = df.select(col(idCol), explode(wsTokens(text)).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val withDf = tf.join(termDf, Seq("term"))
     val n = broadcast(df.agg(count(lit(1)).as("__n")))
     val scored = withDf.crossJoin(n)
       .withColumn("__score", col("tf") * log(col("__n").cast("double") / col("df")))

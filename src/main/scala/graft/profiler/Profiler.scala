@@ -18,6 +18,14 @@ final case class ProfilerOptions(
     sampleFraction: Double = 0.3,
     sampleSeed: Long = 42L,
     limit: Int = 1000000,
+    // stratified sampling (reference #1240, profiler.py:335-414): when
+    // sampleByColumn is set the profile is drawn per-stratum — uniformly at
+    // sampleFraction over the ordered distinct values (bounded by
+    // sampleByValuesLimit), or with explicit per-stratum fractions via
+    // sampleByFractions (strata absent from the map are excluded)
+    sampleByColumn: Option[String] = None,
+    sampleByFractions: Option[Map[Any, Double]] = None,
+    sampleByValuesLimit: Option[Int] = None,
     distinctRatioMax: Double = 0.05, // low-cardinality threshold for is_in rules
     maxInListSize: Int = 32,
     sigmas: Double = 3.0, // outlier band for min/max rules
@@ -56,6 +64,25 @@ object Profiler {
       else None
     }.sortBy(-_._2)
   }
+
+  /** The reference's `_sample` option dispatch (profiler.py:335-358):
+    * sample_by_column set -> stratified (per-stratum dict or uniform over
+    * the bounded, ordered distinct values); else plain Bernoulli sample.
+    * A fractions DICT without sample_by_column is rejected, like the
+    * reference's InvalidConfigError.
+    */
+  def sampleInput(df: DataFrame, opts: ProfilerOptions): DataFrame =
+    opts.sampleByColumn match {
+      case Some(c) => opts.sampleByFractions match {
+        case Some(fr) => stratifiedSample(df, c, fr, opts.sampleSeed)
+        case None => stratifiedSampleUniform(df, c, opts.sampleFraction,
+          opts.sampleSeed, opts.sampleByValuesLimit)
+      }
+      case None =>
+        require(opts.sampleByFractions.isEmpty,
+          "sample_fraction must be of type float when sample_by_column is not set.")
+        df.sample(withReplacement = false, opts.sampleFraction, opts.sampleSeed)
+    }
 
   /** Stratified sample with explicit per-stratum fractions
     * (profiler.py:361-414; strata absent from the map are excluded).
@@ -118,8 +145,7 @@ object Profiler {
   def summarize(df: DataFrame, columns: Seq[String] = Seq.empty,
                 opts: ProfilerOptions = ProfilerOptions()): Map[String, Map[String, Any]] = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
-    val sampled = df.sample(withReplacement = false, opts.sampleFraction, opts.sampleSeed)
-      .limit(opts.limit)
+    val sampled = sampleInput(df, opts).limit(opts.limit)
     val fields = df.schema.fields.filter(f => cols.contains(f.name))
     val aggs: Seq[Column] = fields.flatMap { f =>
       val c = col(f.name)
@@ -208,8 +234,7 @@ object Profiler {
   def profile(df: DataFrame, columns: Seq[String] = Seq.empty,
               opts: ProfilerOptions = ProfilerOptions()): (Map[String, Map[String, Any]], Seq[DQProfile]) = {
     val stats = summarize(df, columns, opts)
-    val sampled = df.sample(withReplacement = false, opts.sampleFraction, opts.sampleSeed)
-      .limit(opts.limit)
+    val sampled = sampleInput(df, opts).limit(opts.limit)
     val fieldsByName = df.schema.fields.map(f => f.name -> f).toMap
 
     def stat(name: String, key: String): Option[Any] =

@@ -32,6 +32,17 @@ object DatasetCheckQueries {
              |                           GROUP BY l_orderkey, k2 HAVING count(*) > 1)
              |ORDER BY 1, 2""".stripMargin)),
 
+    "ds_is_unique_probe" -> QueryDef(
+      // the slim dup-key probe strategy (r11): same verdicts as the window
+      // plan, gated against the same oracle
+      (s, dir) => failing(t(s, dir, "lineitem"),
+        ds(D.isUnique(Seq("l_orderkey"), strategy = "probe"), "is_unique", "l_orderkey"),
+        Seq("l_orderkey", "l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL
+             |                     GROUP BY 1 HAVING count(*) > 1)
+             |ORDER BY 1, 2""".stripMargin)),
+
     "ds_foreign_key" -> QueryDef(
       (s, dir) => {
         val ref = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")

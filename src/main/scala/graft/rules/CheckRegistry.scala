@@ -54,14 +54,21 @@ object CheckArgs {
     * documented divergence: a paren-/space-free token that would parse as
     * arithmetic over raw names ("a-b") stays a raw COLUMN NAME here —
     * the reference would treat it as subtraction unless backquoted; write
-    * "a - b" (with spaces) to force the expression reading.
+    * "a - b" (with spaces) to force the expression reading. Second
+    * divergence (ADVICE r10 #4): a name containing a space ("amount usd")
+    * parses as an Alias over a bare attribute — aliasing a check's INPUT
+    * column is meaningless, so Alias(UnresolvedAttribute) keeps the raw
+    * column-name reading via col() rather than silently resolving the
+    * prefix column the reference's unconditional F.expr would pick.
     */
   def resolveColumn(v: String): Column = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
     if (rawHyphenName.pattern.matcher(v).matches() && !v.contains("(")) col(v)
     else scala.util.Try(CatalystSqlParser.parseExpression(v)) match {
       case scala.util.Success(_: UnresolvedAttribute) => col(v)
+      case scala.util.Success(Alias(_: UnresolvedAttribute, _)) => col(v)
       case scala.util.Success(_) => expr(v)
       case scala.util.Failure(_) => col(v)
     }
@@ -229,7 +236,8 @@ object CheckRegistry {
 
   import DatasetChecks._
   private val datasetBuilders: Map[String, (CheckArgs, ResolveCtx) => DatasetCheck] = Map(
-    "is_unique" -> ((a, _) => isUnique(a.strSeq("columns"), a.bool("nulls_distinct", true), a.strOpt("row_filter"))),
+    "is_unique" -> ((a, _) => isUnique(a.strSeq("columns"), a.bool("nulls_distinct", true),
+      a.strOpt("row_filter"), a.strOpt("strategy").getOrElse("auto"))),
     "foreign_key" -> ((a, ctx) => foreignKey(a.strSeq("columns"), a.strSeq("ref_columns"), ctx.ref(a),
       a.bool("negate", false), a.bool("null_safe", false), a.strOpt("row_filter"),
       a.strOpt("strategy").getOrElse("auto"))),
@@ -285,7 +293,14 @@ object CheckRegistry {
       // explainer.
       val enableContributions = a.bool("enable_contributions", true)
       val enableConfidenceStd = a.bool("enable_confidence_std", false)
-      val enableAiExplanation = a.bool("enable_ai_explanation", true) && enableContributions
+      val aiExplanationRequested = a.bool("enable_ai_explanation", true)
+      if (aiExplanationRequested && !enableContributions)
+        // the reference logs this downgrade (_resolve_ai_explanation_flag,
+        // anomaly/check_funcs.py:81-93) rather than silently disabling
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "enable_ai_explanation=True requires enable_contributions=True; " +
+            "disabling AI explanations because contributions are disabled.")
+      val enableAiExplanation = aiExplanationRequested && enableContributions
       val maxGroups = a.int("max_groups", 500)
       require(maxGroups > 0, "max_groups must be a positive integer")
       // dict form validated against the reference's LLMModelConfig field set

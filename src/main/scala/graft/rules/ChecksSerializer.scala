@@ -153,6 +153,42 @@ object ChecksSerializer {
     if (vars.isEmpty) checks
     else substituteVariables(checks, vars.map { case (k, v) => k -> scalarVariableText(k, v) })
 
+  /** Python `repr(float)` conventions (ADVICE r10 #5): fixed-point when the
+    * decimal exponent is in [-4, 16), else scientific with a lowercase 'e',
+    * an explicit sign and >= 2 exponent digits — so substituted SQL matches
+    * what the reference's `str()` interpolation emits ("1e+20" not "1.0E20",
+    * "1e-05" not "1.0E-5"). Digits come from Java's shortest-unique
+    * Double.toString; only the FORMATTING is re-done Python-style.
+    */
+  private[graft] def pyFloatRepr(d: Double): String = {
+    if (d.isNaN) return "nan"
+    if (d == Double.PositiveInfinity) return "inf"
+    if (d == Double.NegativeInfinity) return "-inf"
+    val sign = if (d < 0.0 || (d == 0.0 && 1.0 / d < 0.0)) "-" else ""
+    val (mant, e) = java.lang.Double.toString(math.abs(d)).split("E") match {
+      case Array(m)     => (m, 0)
+      case Array(m, ex) => (m, ex.toInt)
+    }
+    val dot = mant.indexOf('.')
+    val digits = mant.replace(".", "")
+    val lead = digits.takeWhile(_ == '0').length
+    val sig0 = digits.drop(lead).reverse.dropWhile(_ == '0').reverse
+    if (sig0.isEmpty) return sign + "0.0"
+    // exponent of the first significant digit: d = 0.sig * 10^(dot - lead + e)
+    val exp10 = dot - lead - 1 + e
+    if (exp10 >= 16 || exp10 < -4) {
+      val m2 = if (sig0.length == 1) sig0 else s"${sig0.head}.${sig0.tail}"
+      val es = if (exp10 < 0) f"-${-exp10}%02d" else f"+$exp10%02d"
+      s"$sign${m2}e$es"
+    } else if (exp10 >= 0) {
+      val ints = if (sig0.length > exp10 + 1) sig0.take(exp10 + 1) else sig0.padTo(exp10 + 1, '0')
+      val frac = if (sig0.length > exp10 + 1) sig0.drop(exp10 + 1) else ""
+      s"$sign$ints.${if (frac.isEmpty) "0" else frac}"
+    } else {
+      s"${sign}0." + ("0" * (-exp10 - 1)) + sig0
+    }
+  }
+
   def scalarVariableText(key: String, v: Any): String = {
     def timeText(h: Int, mi: Int, s: Int, nanos: Int): String = {
       val base = f"$h%02d:$mi%02d:$s%02d"
@@ -165,7 +201,10 @@ object ChecksSerializer {
         n.toString
       case d: java.math.BigDecimal => d.toPlainString
       case d: BigDecimal => d.underlying.toPlainString
-      case f @ (_: Double | _: Float) => f.toString
+      case d: Double => pyFloatRepr(d)
+      // a Float's shortest decimal form re-parsed as Double keeps the value
+      // the user wrote (1e-5f -> "1e-05", not "9.999999747378752e-06")
+      case f: Float => pyFloatRepr(f.toString.toDouble)
       case d: java.time.LocalDate => d.toString
       case d: java.sql.Date => d.toString
       case t: java.time.LocalTime => timeText(t.getHour, t.getMinute, t.getSecond, t.getNano)

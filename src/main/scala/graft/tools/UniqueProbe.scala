@@ -1,32 +1,58 @@
 package graft.tools
 
 import graft.BenchRef
-import graft.core.CheckUtils._
+import graft.checks.DatasetChecks
 import graft.engine.DQEngine
-import graft.rules.{DQDatasetRule, DatasetCheck}
+import graft.rules.DQDatasetRule
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** One-off A/B (VERDICT r6 "Next #2"): foreach_is_unique plan variants at the
-  * 8g spill boundary. Five per-column is_unique checks over the 10M string
-  * fixture, each variant consumed through the honest result-reading action:
+/** A/B (VERDICT r10 "Next #1", superseding the r6/r7 local-variant probe):
+  * `DatasetChecks.isUnique` strategy variants at the honest protocol
+  * (full verdict materialization via BenchRef.touch).
   *
-  *  - window:    the shipped per-column `Window.partitionBy(col)` count
-  *               (reference parity, check_funcs.py:1874) — 5 chained full-row
-  *               sort shuffles;
-  *  - twostage:  `groupBy(col).count` (hash agg, partial combine), keep only
-  *               count>1 groups, LEFT join back — AQE picks broadcast when the
-  *               duplicate-key set is small (real-data case: near-zero extra
-  *               cost) or shuffle join when it is not (this fixture: every key
-  *               is a duplicate);
-  *  - twostage_hash: same with a SHUFFLE_HASH hint on the agg side (skips the
-  *               SMJ sorts that make twostage degenerate to the window cost).
+  * Shapes under test (DatasetChecks.isUnique `strategy`):
+  *  - window: the reference's plan (check_funcs.py:1874) — per-key window
+  *            count; 5 chained FULL-WIDTH sort shuffles;
+  *  - probe:  slim dup-key probe — groupBy(key).count (map-side partial
+  *            agg) -> count>1 keys -> SHUFFLE_HASH join-back of the count
+  *            marker (AQE upgrades to broadcast when duplicates are
+  *            sparse; no sort of the full-width stream either way).
+  *
+  * Fixtures (each x both strategies):
+  *  - foreach_unique_dense:  the bench's 100M shape — 5 single-column
+  *    is_unique rules on stringDf (rows/5e6-way duplication, EVERY key a
+  *    duplicate: the probe's worst case, the dup-key set is all 5M keys);
+  *  - foreach_unique_sparse: mostly-unique keys with 0.1% planted dup
+  *    pairs — the steady-state DQ case (probe's best case: the dup-key
+  *    set broadcasts).
+  *
+  * Run directly for quick in-JVM medians, or via BenchRefMain-style
+  * fresh-JVM children per cell with SPARK_GRAFT_UNIQUE_CELL=<name> for
+  * isolated medians (the FkProbe r10 protocol).
   */
 object UniqueProbe {
+  def cells(spark: SparkSession, rows: Long): Seq[(String, () => DataFrame)] = {
+    def sparseDf: DataFrame =
+      spark.range(0L, rows, 1L, BenchRef.Partitions).select(
+        (0 until 5).map(i => concat(lit(s"s$i"),
+          when(col("id") % 1000 === 999, col("id") - 1).otherwise(col("id")).cast("string"))
+          .as(s"col${i + 1}")): _*)
+    def suite(df: => DataFrame, strategy: String): DataFrame =
+      DQEngine.applyChecks(df, (1 to 5).map(i => DQDatasetRule(
+        DatasetChecks.isUnique(Seq(s"col$i"), nullsDistinct = false, strategy = strategy),
+        "is_unique", Seq(s"col$i"), criticality = graft.core.Criticality.Warn)))
+    Seq(
+      "dense_window"  -> (() => suite(BenchRef.stringDf(spark, rows), "window")),
+      "dense_probe"   -> (() => suite(BenchRef.stringDf(spark, rows), "probe")),
+      "sparse_window" -> (() => suite(sparseDf, "window")),
+      "sparse_probe"  -> (() => suite(sparseDf, "probe")))
+  }
+
   def main(args: Array[String]): Unit = {
     val rows = sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.toLong).getOrElse(10000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val onlyCell = sys.env.get("SPARK_GRAFT_UNIQUE_CELL")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,43 +62,7 @@ object UniqueProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def isUniqueWindow(c: String): DatasetCheck = {
-      val id = uniqueSuffix()
-      val cntCol = s"__dq_unique_count_$id"
-      val applyFn = (df: DataFrame) =>
-        df.withColumn(cntCol, count(lit(1)).over(Window.partitionBy(col(c))))
-      DatasetCheck(applyFn,
-        makeCondition(col(cntCol) > 1,
-          concat(lit("Value '"), valueText(col(c)), lit(s"' in column '$c' is not unique, found "),
-            col(cntCol).cast("string"), lit(" duplicates"))))
-    }
-
-    def isUniqueTwoStage(c: String, hashHint: Boolean): DatasetCheck = {
-      val id = uniqueSuffix()
-      val cntCol = s"__dq_unique_count_$id"
-      val keyAlias = s"__dq_unique_key_$id"
-      val applyFn = (df: DataFrame) => {
-        val dups0 = df.groupBy(col(c).as(keyAlias))
-          .agg(count(lit(1)).as(cntCol))
-          .where(col(cntCol) > 1)
-        val dups = if (hashHint) dups0.hint("SHUFFLE_HASH") else dups0
-        df.join(dups, col(c) === col(keyAlias), "left").drop(keyAlias)
-      }
-      DatasetCheck(applyFn,
-        makeCondition(col(cntCol) > 1,
-          concat(lit("Value '"), valueText(col(c)), lit(s"' in column '$c' is not unique, found "),
-            col(cntCol).cast("string"), lit(" duplicates"))))
-    }
-
-    def suite(mk: String => DatasetCheck): DataFrame = {
-      val sdf = BenchRef.stringDf(spark, rows)
-      val rules = (1 to 5).map(i => DQDatasetRule(mk(s"col$i"), "is_unique", Seq(s"col$i"),
-        criticality = graft.core.Criticality.Warn))
-      DQEngine.applyChecks(sdf, rules)
-    }
-
     def run(name: String)(f: => DataFrame): Unit = {
-      // warmup + median of 3, suite-isolated like BenchRef.benchNamed
       def once(): Double = {
         spark.sharedState.cacheManager.clearCache(); System.gc()
         val t0 = System.nanoTime()
@@ -84,26 +74,11 @@ object UniqueProbe {
       println(f"$name: median=${ts(1)}%.2f s rounds=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
 
-    // also probe the real-data shape: mostly-unique keys (0.1% dup pairs)
-    def mostlyUniqueDf: DataFrame =
-      spark.range(0L, rows, 1L, BenchRef.Partitions).select(
-        (0 until 5).map(i => concat(lit(s"s$i"),
-          when(col("id") % 1000 === 999, col("id") - 1).otherwise(col("id")).cast("string"))
-          .as(s"col${i + 1}")): _*)
-    def suiteOn(df: => DataFrame, mk: String => DatasetCheck): DataFrame = {
-      val rules = (1 to 5).map(i => DQDatasetRule(mk(s"col$i"), "is_unique", Seq(s"col$i"),
-        criticality = graft.core.Criticality.Warn))
-      DQEngine.applyChecks(df, rules)
-    }
-
-    println(s"rows=$rows heapMaxMb=${Runtime.getRuntime.maxMemory() / 1024 / 1024}")
-    println("== fixture: stringDf (every key duplicated) ==")
-    run("window")(suite(isUniqueWindow))
-    run("twostage")(suite(isUniqueTwoStage(_, hashHint = false)))
-    run("twostage_hash")(suite(isUniqueTwoStage(_, hashHint = true)))
-    println("== fixture: mostly-unique (0.1% dup pairs) ==")
-    run("mu_window")(suiteOn(mostlyUniqueDf, isUniqueWindow))
-    run("mu_twostage")(suiteOn(mostlyUniqueDf, isUniqueTwoStage(_, hashHint = false)))
+    println(s"rows=$rows heapMaxMb=${Runtime.getRuntime.maxMemory() / 1024 / 1024} " +
+      f"disk_mb_s=${BenchRef.diskProbeMbS}%.1f cell=${onlyCell.getOrElse("ALL")}")
+    cells(spark, rows)
+      .filter { case (n, _) => onlyCell.forall(_ == n) }
+      .foreach { case (n, f) => run(n)(f()) }
     spark.stop()
   }
 }

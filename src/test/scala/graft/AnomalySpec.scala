@@ -108,6 +108,46 @@ class AnomalySpec extends SparkSpec {
       .where(col("m").isNotNull).count() == 0)
   }
 
+  test("TemplateAnomalyExplainer: every ai_explanation field populated, LLM-free") {
+    val rnd = new java.util.Random(5)
+    val normal = (1 to 400).map(i => (i, 50.0 + rnd.nextGaussian(), 100.0 + rnd.nextGaussian(), 5.0))
+    val planted = Seq((9001, 5000.0, 100.0, 5.0), (9002, 5200.0, 100.0, 5.0))
+    val df = (normal ++ planted).toDF("id", "a", "b", "c")
+    val out = DQEngine.applyChecksByMetadata(df, Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "has_no_row_anomalies",
+        "arguments" -> Map("columns" -> Seq("a", "b", "c"), "threshold" -> 8.0,
+          "anomaly_explainer_class" -> "graft.anomaly.TemplateAnomalyExplainer")))))
+    val ex = out.where(col("id") >= 9001)
+      .select(col("_dq_info")(0).getField("anomaly").getField("ai_explanation").as("x"))
+      .collect().map(_.getStruct(0))
+    assert(ex.length == 2 && ex.forall(_ != null))
+    ex.foreach { s =>
+      val tf = s.getAs[String]("top_features")
+      assert(tf != null && tf.nonEmpty && tf != "unknown", tf)
+      assert(s.getAs[Long]("group_size") == 2L)
+      // deterministic template text references the pattern in every field
+      assert(s.getAs[String]("narrative").contains(tf))
+      assert(s.getAs[String]("narrative").contains("one of 2 records"))
+      assert(s.getAs[String]("business_impact").contains(tf))
+      assert(s.getAs[String]("action").contains(tf))
+    }
+    // clean rows stay null
+    assert(out.where(col("id") < 9001)
+      .select(col("_dq_info")(0).getField("anomaly").getField("ai_explanation").as("x"))
+      .where(col("x").isNotNull).count() == 0)
+    // determinism: a second run produces identical text
+    val again = DQEngine.applyChecksByMetadata(df, Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "has_no_row_anomalies",
+        "arguments" -> Map("columns" -> Seq("a", "b", "c"), "threshold" -> 8.0,
+          "anomaly_explainer_class" -> "graft.anomaly.TemplateAnomalyExplainer")))))
+      .where(col("id") >= 9001)
+      .select(col("_dq_info")(0).getField("anomaly").getField("ai_explanation").getField("narrative"))
+      .as[String].collect().sorted
+    assert(again.toSeq == ex.map(_.getAs[String]("narrative")).sorted.toSeq)
+  }
+
   test("ai_explanation_llm_model_config dict keys are validated (typos surface early)") {
     val df = Seq((1, 1.0)).toDF("id", "v")
     def build(cfg: Any): Unit = {

@@ -25,6 +25,48 @@ class EdgeCaseSpec extends SparkSpec {
     assert(grouped == Seq(1, 2, 3, 4))
   }
 
+  test("is_unique strategies agree: window/probe x nulls_distinct x filter x composite") {
+    // r11 scale work: the slim dup-key probe must produce byte-identical
+    // verdicts AND messages to the reference-parity window plan
+    val df = Seq(
+      (1, Option.empty[String], "a"), (2, None, "a"), (3, Some("x"), "b"),
+      (4, Some("x"), "b"), (5, Some("y"), "b"), (6, Some("x"), "c")).toDF("id", "k", "g")
+    def msgs(rule: DQRule): Seq[String] =
+      DQEngine.applyChecks(df, Seq(rule)).where(col("_errors").isNotNull)
+        .selectExpr("id", "_errors[0].message AS m").as[(Int, String)]
+        .collect().toSeq.sortBy(_._1).map { case (i, m) => s"$i:$m" }
+    for (nd <- Seq(true, false); filter <- Seq(None, Some("id <= 5"));
+         cols <- Seq(Seq("k"), Seq("k", "g"))) {
+      val w = msgs(DQDatasetRule(DatasetChecks.isUnique(cols, nd, filter, "window"),
+        "is_unique", cols, filter = filter))
+      val p = msgs(DQDatasetRule(DatasetChecks.isUnique(cols, nd, filter, "probe"),
+        "is_unique", cols, filter = filter))
+      assert(p == w, s"nulls_distinct=$nd filter=$filter cols=$cols: $p != $w")
+    }
+  }
+
+  test("is_unique probe plan: no window/sort-merge; count prunes the probe subtree") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.SparkPlan
+    val df = spark.range(0L, 50000L, 1L, 8)
+      .selectExpr("id", "CAST(id % 1000 AS STRING) AS k")
+    val checked = DQEngine.applyChecks(df, Seq(DQDatasetRule(
+      DatasetChecks.isUnique(Seq("k"), strategy = "probe"), "is_unique", Seq("k"))))
+    def collectPlans(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(collectPlans)) ++ p.subqueries.flatMap(collectPlans)
+    val executed = checked.where(col("_errors").isNotNull).queryExecution.executedPlan
+    val bad = collectPlans(executed).collect {
+      case j: SortMergeJoinExec => j; case w: WindowExec => w
+    }
+    assert(bad.isEmpty, s"probe plan contains SMJ/Window:\n$executed")
+    // unread verdicts eliminate the row-preserving join-back and the dup-key
+    // aggregation with it (count-parity protocol)
+    val counted = checked.select(count(lit(1))).queryExecution.optimizedPlan
+    val joins = counted.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"count plan did not eliminate the probe join:\n$counted")
+  }
+
   test("foreign_key null_safe: NULL key matches NULL ref key") {
     val df = Seq((1, Option.empty[String]), (2, Some("a")), (3, Some("zz"))).toDF("id", "k")
     val ref = Seq(Option.empty[String], Some("a")).toDF("rk")
@@ -95,6 +137,37 @@ class EdgeCaseSpec extends SparkSpec {
     val counted = checked.select(count(lit(1))).queryExecution.optimizedPlan
     val joins = counted.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
     assert(joins.isEmpty, s"count plan did not eliminate the probe joins:\n$counted")
+  }
+
+  test("foreign_key auto honors a user-disabled broadcast threshold with the probe") {
+    // ADVICE r10 #2: autoBroadcastJoinThreshold=-1 is a deliberate "no
+    // broadcast joins" decision — auto must pick the keys-probe, not clamp
+    // to 10MB and force a broadcast hint over the operator's head
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val df = Seq((1, "a"), (2, "zz")).toDF("id", "k")
+    val ref = Seq("a", "b").toDF("rk")
+    def autoPlanHasAnti(threshold: String): Boolean = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        val checked = DQEngine.applyChecks(df, Seq(DQDatasetRule(
+          DatasetChecks.foreignKey(Seq("k"), Seq("rk"), ref), "foreign_key", Seq("k"))))
+        checked.queryExecution.analyzed.collect {
+          case j: Join if j.joinType == LeftAnti => j
+        }.nonEmpty
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    assert(autoPlanHasAnti("-1"), "disabled threshold should route auto to the keys-probe")
+    assert(!autoPlanHasAnti("10MB"), "tiny ref under an enabled threshold should broadcast-join")
+    // verdicts are unchanged either way
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val got = errs(df, DQDatasetRule(
+        DatasetChecks.foreignKey(Seq("k"), Seq("rk"), ref), "foreign_key", Seq("k")))
+      assert(got == Seq(2))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("aggr compare row_filter is conditional aggregation + result gate") {

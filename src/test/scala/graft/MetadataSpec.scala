@@ -143,6 +143,15 @@ class MetadataSpec extends SparkSpec {
     assert(bad2.toSeq == Seq(-5))
     // a string that parses to a bare attribute still routes through col
     assert(CheckArgs.resolveColumn("amount").toString == col("amount").toString)
+    // a name with a space parses as Alias(attr) — kept as a raw column name,
+    // not silently resolved to the prefix column (ADVICE r10 #4)
+    assert(CheckArgs.resolveColumn("amount usd").toString == col("amount usd").toString)
+    val dfSpace = spark.range(3).toDF("id").withColumn("amount usd", col("id") * 10)
+    val outSpace = DQEngine.applyChecksByMetadata(dfSpace, Seq(Map(
+      "criticality" -> "error",
+      "check" -> Map("function" -> "is_not_less_than",
+        "arguments" -> Map("column" -> "amount usd", "limit" -> 10)))))
+    assert(outSpace.where(col("_errors").isNotNull).count() == 1) // only id=0
   }
 
   test("unquoted YAML date limits become naive DATE literals, not shifted instants") {
@@ -208,6 +217,23 @@ class MetadataSpec extends SparkSpec {
     assert(scalarVariableText("k", java.time.LocalTime.of(12, 30, 0)) == "12:30:00")
     intercept[IllegalArgumentException](scalarVariableText("k", Seq(1, 2)))
     intercept[IllegalArgumentException](scalarVariableText("k", Map("a" -> 1)))
+    // Python repr() float conventions at extreme magnitudes (ADVICE r10 #5):
+    // scientific form uses lowercase e, explicit sign, >= 2 exponent digits;
+    // the fixed/sci threshold is Python's [-4, 16) decimal-exponent window
+    assert(scalarVariableText("k", 1e20) == "1e+20")
+    assert(scalarVariableText("k", 1e-5) == "1e-05")
+    assert(scalarVariableText("k", 1.5e-7) == "1.5e-07")
+    assert(scalarVariableText("k", -2.5e20) == "-2.5e+20")
+    assert(scalarVariableText("k", 1e15) == "1000000000000000.0")
+    assert(scalarVariableText("k", 1e16) == "1e+16")
+    assert(scalarVariableText("k", 1e-4) == "0.0001")
+    assert(scalarVariableText("k", 123.456) == "123.456")
+    assert(scalarVariableText("k", 1.0) == "1.0")
+    assert(scalarVariableText("k", -0.0) == "-0.0")
+    assert(scalarVariableText("k", 0.0) == "0.0")
+    assert(scalarVariableText("k", Double.NaN) == "nan")
+    assert(scalarVariableText("k", Double.PositiveInfinity) == "inf")
+    assert(scalarVariableText("k", 1e-5f) == "1e-05") // float keeps its shortest form
 
     // whitespace-tolerant {{ key }} resolution; unresolved left verbatim;
     // dict keys untouched

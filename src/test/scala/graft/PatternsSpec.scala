@@ -29,6 +29,33 @@ class PatternsSpec extends SparkSpec {
     assert(spark.table("pat_costs_checked").count() == 1)
   }
 
+  test("special characters in table names: quoting, detection, fan-out round trip") {
+    import graft.io.IO
+    // unit surface (reference 0.15.0 "Allow special characters in catalog
+    // and schema names", io.py:17: backquoted parts are legal table names)
+    assert(IO.isTableLocation("`my-catalog`.`my schema`.tbl"))
+    assert(IO.isTableLocation("`dash-db`.tbl"))
+    assert(!IO.isTableLocation("/path/to/data"))
+    assert(!IO.isTableLocation("my-schema.tbl")) // raw specials need backticks, like the reference
+    assert(IO.quoteTableName("a.b.c") == "a.b.c")
+    assert(IO.quoteTableName("`my-db`.tbl") == "`my-db`.tbl")
+    assert(IO.quotePart("my-tbl") == "`my-tbl`")
+    assert(IO.quotePart("a`b") == "`a``b`")
+
+    // plumbing: a backquoted hyphenated name must reach the CATALOG as a
+    // parsed identifier (TABLE_OR_VIEW_NOT_FOUND), not fall through to a
+    // path load or die in the parser. Spark's V1 in-memory SessionCatalog
+    // rejects special-character names at CREATE (validateName), so the
+    // full round trip needs a V2 catalog (Unity on Databricks) — the OSS
+    // boundary; reads/writes of such names are exercised to the catalog
+    // lookup here.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      IO.readInputData(spark, graft.io.InputConfig("`no-such-schema`.`no-such-tbl`"))
+    }
+    assert(e.getCondition != null && e.getCondition.contains("NOT_FOUND"),
+      s"expected a catalog NOT_FOUND, got: ${e.getCondition}: ${e.getMessage}")
+  }
+
   test("semantic validation flags duplicate names and definitions") {
     val dup = Map("name" -> "r1", "criticality" -> "error",
       "check" -> Map("function" -> "is_not_null", "arguments" -> Map("column" -> "a")))

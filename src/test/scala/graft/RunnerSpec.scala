@@ -200,6 +200,25 @@ class RunnerSpec extends SparkSpec {
     // ordered distinct + limit 2 -> strata a, b kept deterministically
     assert(uniform.select("g").distinct().as[String].collect().toSet == Set("a", "b"))
     assert(uniform.count() == 2000)
+
+    // option-shape parity (reference #1240, profiler.py:335-358): the same
+    // dispatch is reachable through profile()/summarize() options, not just
+    // the direct APIs
+    val viaOptsDict = Profiler.sampleInput(df, graft.profiler.ProfilerOptions(
+      sampleByColumn = Some("g"),
+      sampleByFractions = Some(Map[Any, Double]("a" -> 1.0))))
+    assert(viaOptsDict.select("g").distinct().as[String].collect().toSeq == Seq("a"))
+    val viaOptsUniform = Profiler.sampleInput(df, graft.profiler.ProfilerOptions(
+      sampleByColumn = Some("g"), sampleFraction = 1.0, sampleByValuesLimit = Some(2)))
+    assert(viaOptsUniform.select("g").distinct().as[String].collect().toSet == Set("a", "b"))
+    // a fractions dict without sample_by_column is rejected (InvalidConfigError parity)
+    intercept[IllegalArgumentException](Profiler.sampleInput(df,
+      graft.profiler.ProfilerOptions(sampleByFractions = Some(Map[Any, Double]("a" -> 1.0)))))
+    // and the full profile runs on the stratified sample
+    val (stats, _) = Profiler.profile(df, Seq("id", "g"), graft.profiler.ProfilerOptions(
+      sampleByColumn = Some("g"),
+      sampleByFractions = Some(Map[Any, Double]("a" -> 1.0, "b" -> 1.0))))
+    assert(stats("id")("count").asInstanceOf[Long] == 2000L)
   }
 
   test("has_no_outliers profile: emitted for clean columns, withheld when too many outliers") {
