@@ -321,7 +321,11 @@ object DatasetChecks {
     val aggExpr = buildAggrExpr(aggrType, aggInput,
       isStar = isStar && filterC.isEmpty, params = aggrParams)
 
-    val applyFn = (df: DataFrame) => {
+    // aggSource: the frame the aggregate branch reads — the engine passes
+    // the PRISTINE input so stacked checks grow the plan linearly (window
+    // strategy has no second branch, so it ignores it); df is what the
+    // metric attaches to (DatasetCheck.applyWithBase scaladoc)
+    def applyImpl(df: DataFrame, aggSource: DataFrame): DataFrame = {
       if (groupBy.nonEmpty && !windowIncompatible.contains(aggrType)) {
         df.withColumn(metricCol, aggExpr.over(Window.partitionBy(groupBy.map(col): _*)))
       } else if (groupBy.nonEmpty) {
@@ -334,14 +338,14 @@ object DatasetChecks {
         // join row-preserving and eliminate it, which a <=> chain defeats.
         val kr = s"__dq_grpk_${id}_r"
         val kl = s"__dq_grpk_${id}_l"
-        val aggDf = df.groupBy(struct(groupBy.map(col): _*).as(kr))
+        val aggDf = aggSource.groupBy(struct(groupBy.map(col): _*).as(kr))
           .agg(aggExpr.as(metricCol))
         df.withColumn(kl, struct(groupBy.map(col): _*))
           .join(aggDf, col(kl) === col(kr), "left")
           .drop(kl, kr)
       } else {
         // global scalar: 1-row aggregate broadcast via crossJoin
-        val aggDf = df.select(aggExpr.as(metricCol)).limit(1)
+        val aggDf = aggSource.select(aggExpr.as(metricCol)).limit(1)
         df.crossJoin(broadcast(aggDf))
       }
     }
@@ -361,10 +365,11 @@ object DatasetChecks {
     }
     val groupText = if (groupBy.isEmpty) lit("")
       else concat(lit(" per group of "), concat_ws(", ", groupBy.map(g => valueText(col(g))): _*))
-    DatasetCheck(applyFn,
+    DatasetCheck(df => applyImpl(df, df),
       makeCondition(failCond,
         concat(lit(s"$aggrType(${column})"), groupText, lit(s" value "),
-          valueText(m), lit(s" is ${op.text} limit ${limitText(limit)}"))))
+          valueText(m), lit(s" is ${op.text} limit ${limitText(limit)}"))),
+      applyWithBase = Some((df, base) => applyImpl(df, base)))
   }
 
   /** D5 (check_funcs.py:2179) */
@@ -432,11 +437,13 @@ object DatasetChecks {
     val tsSafe = coalesce(col(timeColumn), lit("1900-01-01 00:00:00").cast("timestamp"))
     val grain = window(tsSafe, timeInterval).getField("start")
 
-    val applyFn = (df: DataFrame) => {
+    def applyImpl(df: DataFrame, aggSource: DataFrame): DataFrame = {
       // materialize the grain: window() only resolves inside Project/Aggregate,
-      // not in join conditions
+      // not in join conditions. The flags branch buckets aggSource — the
+      // engine's pristine frame — so stacked checks stay linear
+      // (DatasetCheck.applyWithBase scaladoc).
       val withGrain = df.withColumn(grainCol, grain)
-      val bucketed = withGrain
+      val bucketed = aggSource.withColumn(grainCol, grain)
         .groupBy((groupBy.map(col) :+ col(grainCol)): _*)
         .agg(aggExpr.as(curCol))
       // with empty group_by this is a single-partition window ("No Partition
@@ -472,11 +479,12 @@ object DatasetChecks {
         if (broadcastFlags.getOrElse(groupBy.isEmpty)) broadcast(flags) else flags
       withGrain.join(buildSide, joinCond, "left").drop((renamedGroups :+ flagGrain): _*)
     }
-    DatasetCheck(applyFn,
+    DatasetCheck(df => applyImpl(df, df),
       makeCondition(coalesce(col(outlierCol), lit(false)),
         concat(lit(s"$aggrType(${column}) per $timeInterval value "), valueText(col(curCol)),
           lit(" is an outlier vs rolling mean "), valueText(col(meanCol)),
-          lit(s" (sigma=$sigma)"))))
+          lit(s" (sigma=$sigma)"))),
+      applyWithBase = Some((df, base) => applyImpl(df, base)))
   }
 
   // ---------------------------------------------------- aggr_matches_dataset
@@ -501,7 +509,11 @@ object DatasetChecks {
       val in = filter.map(f => when(expr(f), base)).getOrElse(base)
       buildAggrExpr(aggrType, in, isStar = isStar && filter.isEmpty)
     }
-    val applyFn = (df: DataFrame) => {
+    // the scalar branch aggregates the checked frame itself — the engine
+    // passes the pristine input as aggSource so stacked checks stay linear
+    // (DatasetCheck.applyWithBase scaladoc); the grouped branch's current
+    // metric is a window (no second branch over df)
+    def applyImpl(df: DataFrame, aggSource: DataFrame): DataFrame = {
       if (groupBy.nonEmpty) {
         // struct-key === join-back (null-safe per field, join-eliminable when
         // the metric goes unread — see aggrCompare)
@@ -516,7 +528,7 @@ object DatasetChecks {
           .drop(kl, kr)
       } else {
         val refAgg = refDf.select(aggOf(refColumn, refRowFilter).as(refMetricCol)).limit(1)
-        val curAgg = df.select(aggOf(column, rowFilter).as(metricCol)).limit(1)
+        val curAgg = aggSource.select(aggOf(column, rowFilter).as(metricCol)).limit(1)
         df.crossJoin(broadcast(curAgg)).crossJoin(broadcast(refAgg))
       }
     }
@@ -526,10 +538,11 @@ object DatasetChecks {
       if (absTolerance > 0 || relTolerance > 0)
         (m.isNull =!= r.isNull) || abs(m - r) > tolBand
       else !(m <=> r)
-    DatasetCheck(applyFn,
+    DatasetCheck(df => applyImpl(df, df),
       makeCondition(mismatch,
         concat(lit(s"$aggrType(${column}) value "), valueText(m),
-          lit(s" does not match reference $aggrType(${refColumn}) value "), valueText(r))))
+          lit(s" does not match reference $aggrType(${refColumn}) value "), valueText(r))),
+      applyWithBase = Some((df, base) => applyImpl(df, base)))
   }
 
   // -------------------------------------------------------- compare_datasets
@@ -904,15 +917,18 @@ object DatasetChecks {
     val filterC = rowFilter.map(expr).getOrElse(lit(true))
     val ts = coalesce(col(column), lit("1900-01-01 00:00:00").cast("timestamp"))
     val win = window(ts, s"$windowMinutes minutes")
-    val applyFn = (df: DataFrame) => {
+    def applyImpl(df: DataFrame, aggSource: DataFrame): DataFrame = {
       val withWin = df.withColumn(winCol, win.getField("start"))
       // Aggregate per-window counts (one row per occupied window, bounded by
       // the time range) and equality-join them back instead of a
       // Window.partitionBy over the full input: that shape shuffles every row
       // on the window key, this one shuffles only the aggregation and the
       // non-null sentinel grain keeps the join-back provably row-preserving.
+      // Counts read aggSource (the engine's pristine frame) so stacked
+      // checks stay linear (DatasetCheck.applyWithBase scaladoc).
       val winF = s"${winCol}_f"
-      val counts = withWin.groupBy(col(winCol).as(winF))
+      val counts = aggSource.withColumn(winCol, win.getField("start"))
+        .groupBy(col(winCol).as(winF))
         .agg(sum(when(filterC, lit(1)).otherwise(lit(0))).as(cntCol))
       withWin.join(broadcast(counts), col(winCol) === col(winF), "left").drop(winF)
     }
@@ -922,11 +938,12 @@ object DatasetChecks {
         unix_timestamp(now) - n.toLong * windowMinutes * 60))
       case None => lit(true)
     }
-    DatasetCheck(applyFn,
+    DatasetCheck(df => applyImpl(df, df),
       makeCondition(inLookback && col(cntCol) < minRecordsPerWindow,
         concat(lit(s"Time window starting "), valueText(col(winCol)),
           lit(s" has "), col(cntCol).cast("string"),
-          lit(s" records, fewer than $minRecordsPerWindow"))))
+          lit(s" records, fewer than $minRecordsPerWindow"))),
+      applyWithBase = Some((df, base) => applyImpl(df, base)))
   }
 
   /** D13 (check_funcs.py:3062): missing tumbling windows in a time series.
@@ -955,9 +972,12 @@ object DatasetChecks {
     // behavior for rows its F.window aggregation never sees.
     val winSafe = window(coalesce(col(column), lit("1900-01-01 00:00:00").cast("timestamp")),
       s"$windowMinutes minutes").getField("start")
-    val applyFn = (df: DataFrame) => {
+    def applyImpl(df: DataFrame, aggSource: DataFrame): DataFrame = {
       val withWin = df.withColumn(winCol, winSafe)
-      val occupied = withWin.where(col(column).isNotNull)
+      // occupied windows come from aggSource (the engine's pristine frame)
+      // so stacked checks stay linear (DatasetCheck.applyWithBase scaladoc)
+      val occupied = aggSource.withColumn(winCol, winSafe)
+        .where(col(column).isNotNull)
         .select((groupBy.map(col) :+ col(winCol)): _*).distinct()
       val wLead = Window.partitionBy(groupBy.map(col): _*).orderBy(col(winCol))
       val now = curTimestamp.getOrElse(current_timestamp())
@@ -983,10 +1003,11 @@ object DatasetChecks {
         if (broadcastFlags.getOrElse(groupBy.isEmpty)) broadcast(flags) else flags
       withWin.join(buildSide, joinCond, "left").drop((renamed :+ s"${winCol}_f"): _*)
     }
-    DatasetCheck(applyFn,
+    DatasetCheck(df => applyImpl(df, df),
       makeCondition(coalesce(col(gapCol), lit(false)),
         concat(lit("Gap after time window starting "), valueText(col(winCol)),
-          lit(", next occupied window "), valueText(col(nextCol)))))
+          lit(", next occupied window "), valueText(col(nextCol)))),
+      applyWithBase = Some((df, base) => applyImpl(df, base)))
   }
 
   // ------------------------------------------------------------ MAD outliers
@@ -1315,10 +1336,16 @@ object DatasetChecks {
     requireSafeSql(query, "SQL query")
     val id = uniqueSuffix()
     val condCol = s"__dq_sql_cond_$id"
-    val applyFn = (df: DataFrame) => {
+    // aggSource feeds the user query's input view; df is what the verdict
+    // column attaches to. The engine passes the PRISTINE frame as aggSource
+    // (row-preserving parity) so stacked sql_query checks grow the plan
+    // linearly — the r7 exponential blowup that motivated the auto-fence
+    // came exactly from each check's view re-embedding every earlier
+    // join-back (DatasetCheck.applyWithBase scaladoc).
+    def applyImpl(df: DataFrame, aggSource: DataFrame): DataFrame = {
       val spark = df.sparkSession
       val viewName = s"__dq_input_view_$id"
-      df.createOrReplaceTempView(viewName)
+      aggSource.createOrReplaceTempView(viewName)
       // Ref views register under the CALLER-GIVEN name (reference contract,
       // check_funcs.py:2112-2134): bare `name` in the query resolves through the
       // catalog, and only `{{ name }}` placeholders (whitespace-tolerant) are
@@ -1357,9 +1384,10 @@ object DatasetChecks {
     val filterC = rowFilter.map(expr).getOrElse(lit(true))
     val raw = coalesce(col(condCol).cast("boolean"), lit(false))
     val failCond = if (negate) !raw else raw
-    DatasetCheck(applyFn,
+    DatasetCheck(df => applyImpl(df, df),
       makeCondition(filterC && failCond,
-        lit(s"Row flagged by SQL query check on condition column '$conditionColumn'")))
+        lit(s"Row flagged by SQL query check on condition column '$conditionColumn'")),
+      applyWithBase = Some((df, base) => applyImpl(df, base)))
   }
 
   // ------------------------------------------------------------- valid schema

@@ -183,16 +183,34 @@ class EngineSpec extends SparkSpec {
       "sql_query", Seq("g")))
     def nodeCount(d: org.apache.spark.sql.DataFrame): Int =
       d.queryExecution.optimizedPlan.collect { case p => p }.size
-    // Each check joins the accumulating frame back to an aggregate OF that
-    // frame, so the unfenced logical tree roughly doubles per check — the
-    // unfenced 21-check plan cannot even render its explain string in a
-    // 4.6 GB heap. The fence truncates lineage every 5 checks: 21 fenced
-    // checks must plan SMALLER than 11 unfenced ones, and execute fine.
-    val fenced = DQEngine.applyChecks(df, mk(21), ExtraParams(checkpointEvery = Some(5)))
+    // Pre-r11, each check joined the ACCUMULATING frame back to an aggregate
+    // of that frame, doubling the logical tree per check (the unfenced
+    // 21-check plan could not even render its explain string in a 4.6 GB
+    // heap). r11's DatasetCheck.applyWithBase roots every built-in check's
+    // aggregate branch at the PRISTINE input, so growth is linear now —
+    // pinned here: 12 stacked sql_query checks under DEFAULT params stay
+    // fence-free and small.
+    val linearSql = DQEngine.applyChecks(df, mk(12))
+    assert(!linearSql.queryExecution.logical.toString.contains("LogicalRDD"),
+      "12 stacked sql_query checks must not trip the default auto-fence (applyWithBase)")
+    assert(nodeCount(linearSql) < 200, s"sql_query growth not linear: ${nodeCount(linearSql)}")
+    // The fence still matters for CUSTOM DatasetChecks whose applyFn
+    // self-joins the chained frame (they have no applyWithBase); emulate one
+    // and verify the opt-in fence bounds it.
+    def mkCustom(n: Int) = (1 to n).map { i =>
+      val cnt = s"__cust_cnt_$i"
+      DQDatasetRule(graft.rules.DatasetCheck(
+        d => d.join(
+          d.groupBy(col("g").as(s"__cg_$i")).agg(count(lit(1)).as(cnt)).hint("SHUFFLE_HASH"),
+          col("g") === col(s"__cg_$i"), "left").drop(s"__cg_$i"),
+        graft.core.CheckUtils.makeCondition(col(cnt) > lit(100), lit("too many"))),
+        "custom_selfjoin", Seq("g"))
+    }
+    val fenced = DQEngine.applyChecks(df, mkCustom(21), ExtraParams(checkpointEvery = Some(5)))
     // autoFencePlanNodes = None: the TRUE unfenced baseline (the default
     // safety net would otherwise fence plain11 once its plan passes 4096
     // nodes)
-    val plain11 = DQEngine.applyChecks(df, mk(11), ExtraParams(autoFencePlanNodes = None))
+    val plain11 = DQEngine.applyChecks(df, mkCustom(11), ExtraParams(autoFencePlanNodes = None))
     assert(nodeCount(fenced) < nodeCount(plain11),
       s"fenced21=${nodeCount(fenced)} plain11=${nodeCount(plain11)}")
     assert(nodeCount(fenced) < 400, s"fenced plan not bounded: ${nodeCount(fenced)}")
