@@ -170,6 +170,40 @@ class EngineSpec extends SparkSpec {
     assert(r1.fingerprint.matches("[0-9a-f]{64}"))
   }
 
+  test("applyWithBase: pristine-frame aggregates give chained-frame answers across check types") {
+    // strip applyWithBase from every check and compare: the base-rooted
+    // plans must be answer-identical to the chained-frame plans for a
+    // mixed stack (sql_query + distinct aggregate + FK + unique probe)
+    val df = spark.range(0, 200).toDF("id")
+      .withColumn("g", col("id") % 7)
+      .withColumn("k", when(col("id") % 50 === 0, col("id") - 1).otherwise(col("id")))
+      .withColumn("ts", expr("timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60)"))
+    val ref = spark.range(0, 150).toDF("rk")
+    def rules = Seq(
+      DQDatasetRule(DatasetChecks.sqlQuery(
+        "SELECT g, COUNT(*) > 25 AS condition FROM {{input_view}} GROUP BY g",
+        mergeColumns = Seq("g"), conditionColumn = "condition"), "sql_query", Seq("g")),
+      DQDatasetRule(DatasetChecks.isAggrNotGreaterThan("id", 100, "count_distinct",
+        groupBy = Seq("g")), "is_aggr_not_greater_than", Seq("id")),
+      DQDatasetRule(DatasetChecks.foreignKey(Seq("id"), Seq("rk"), ref, strategy = "probe"),
+        "foreign_key", Seq("id")),
+      DQDatasetRule(DatasetChecks.isUnique(Seq("k"), strategy = "probe"), "is_unique", Seq("k")),
+      DQDatasetRule(DatasetChecks.isDataFreshPerTimeWindow("ts", 60, 50),
+        "is_data_fresh_per_time_window", Seq("ts")))
+    def answers(rs: Seq[DQRule]) = DQEngine.applyChecks(df, rs,
+      ExtraParams(runTimeOverwrite = Some(java.sql.Timestamp.valueOf("2025-06-01 00:00:00")),
+        runIdOverwrite = Some("fixed")))
+      .selectExpr("id", "coalesce(transform(_errors, e -> e.message), array()) AS em")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toSet
+    val withBase = answers(rules)
+    val stripped = answers(rules.map {
+      case r: DQDatasetRule => r.copy(check = r.check.copy(applyWithBase = None))
+      case r => r
+    })
+    assert(withBase == stripped)
+    assert(withBase.exists(_._2.nonEmpty)) // the stack actually flags something
+  }
+
   test("checkpointEvery bounds plan growth over 20+ dataset checks, same answers") {
     // 21 sql_query checks each contribute an aggregate + join-back to ONE
     // plan (the reference warns about this composition, check_funcs.py:2161);
