@@ -86,11 +86,25 @@ object Wkt {
     private def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
     private def eat(c: Char): Unit = { ws(); if (i >= s.length || s.charAt(i) != c) fail(); i += 1 }
     private def peek(c: Char): Boolean = { ws(); i < s.length && s.charAt(i) == c }
-    private def word(): String = {
+    /** Allocation-free keyword dispatch: the geometry tag appears once per
+      * parsed value, and `substring().toUpperCase` was two garbage objects
+      * per row in the row-check hot path. Matches the known WKT keywords
+      * case-insensitively in place.
+      */
+    private def keywordTag(): Int = {
       ws(); val start = i
       while (i < s.length && s.charAt(i).isLetter) i += 1
       if (i == start) fail()
-      s.substring(start, i).toUpperCase
+      val len = i - start
+      def is(k: String): Boolean = len == k.length && s.regionMatches(true, start, k, 0, len)
+      if (is("POINT")) 0
+      else if (is("LINESTRING")) 1
+      else if (is("POLYGON")) 2
+      else if (is("MULTIPOINT")) 3
+      else if (is("MULTILINESTRING")) 4
+      else if (is("MULTIPOLYGON")) 5
+      else if (is("GEOMETRYCOLLECTION")) 6
+      else fail()
     }
     private def number(): Double = {
       ws(); val start = i
@@ -124,15 +138,15 @@ object Wkt {
       if (s.regionMatches(true, i, "EMPTY", 0, 5)) { i += 5; true } else false
     }
 
-    def geometry(): Geom = word() match {
-      case "POINT" =>
+    def geometry(): Geom = keywordTag() match {
+      case 0 => // POINT
         if (isEmptyToken()) GPoint(None)
         else { eat('('); val p = coord(); eat(')'); GPoint(Some(p)) }
-      case "LINESTRING" =>
+      case 1 => // LINESTRING
         if (isEmptyToken()) GLine(Vector.empty) else GLine(coordList())
-      case "POLYGON" =>
+      case 2 => // POLYGON
         if (isEmptyToken()) GPolygon(Vector.empty) else GPolygon(ringList())
-      case "MULTIPOINT" =>
+      case 3 => // MULTIPOINT
         if (isEmptyToken()) GMulti("ST_MultiPoint", Seq.empty)
         else {
           eat('(')
@@ -144,7 +158,7 @@ object Wkt {
           eat(')')
           GMulti("ST_MultiPoint", buf.result())
         }
-      case "MULTILINESTRING" =>
+      case 4 => // MULTILINESTRING
         if (isEmptyToken()) GMulti("ST_MultiLineString", Seq.empty)
         else {
           eat('(')
@@ -154,7 +168,7 @@ object Wkt {
           eat(')')
           GMulti("ST_MultiLineString", buf.result())
         }
-      case "MULTIPOLYGON" =>
+      case 5 => // MULTIPOLYGON
         if (isEmptyToken()) GMulti("ST_MultiPolygon", Seq.empty)
         else {
           eat('(')
@@ -164,7 +178,7 @@ object Wkt {
           eat(')')
           GMulti("ST_MultiPolygon", buf.result())
         }
-      case "GEOMETRYCOLLECTION" =>
+      case 6 => // GEOMETRYCOLLECTION
         if (isEmptyToken()) GMulti("ST_GeometryCollection", Seq.empty)
         else {
           eat('(')
