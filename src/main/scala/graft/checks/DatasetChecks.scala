@@ -657,10 +657,19 @@ object DatasetChecks {
     val missingCol = s"__dq_cmp_missing_$id"
     val extraCol = s"__dq_cmp_extra_$id"
     val changedCol = s"__dq_cmp_changed_$id"
-    val applyFn = (df0: DataFrame) => {
+    def applyImpl(df0: DataFrame, aggSource0: DataFrame): DataFrame = {
       // snapshot once so the eager candidate pass and the returned frame read
       // identical data even for non-deterministic inputs (see contract above)
       val df = if (cacheInput && !df0.isStreaming) df0.localCheckpoint() else df0
+      // hash/candidate passes read aggSource (the engine's pristine frame
+      // when chained after other checks): the keys and compared VALUE
+      // columns are user columns prior checks never modify, so the hashes
+      // and candidate sets are identical, and the eager collect re-executes
+      // the raw input instead of the accumulated chain (DatasetCheck
+      // .applyWithBase scaladoc). Under cacheInput the candidate pass MUST
+      // read the snapshot itself (the contract above is about
+      // non-deterministic inputs), so the base is ignored there.
+      val aggSource = if (cacheInput || (df0 eq aggSource0)) df else aggSource0
       val dfCols = df.columns.toSeq
       val refPrefix = s"__dq_ref_${id}_"
       // columns compared by matching name, minus keys and exclusions and maps
@@ -747,6 +756,7 @@ object DatasetChecks {
         // a 3.5x parallelism loss (measured at 100M on local[32]); skip it
         // when the input already saturates the cluster.
         val dfW = widenIfStarved(df)
+        val slimSrcW = widenIfStarved(aggSource)
         val refW = widenIfStarved(refDf)
         val seed1 = 0x9E3779B97F4A7C15L
         val seed2 = 0xC2B2AE3D27D4EB4FL
@@ -765,7 +775,7 @@ object DatasetChecks {
           else Seq.empty
         def anyNan(cs: Seq[String]): Column =
           cs.map(c => col(c).isNotNull && isnan(col(c))).reduceOption(_ || _).getOrElse(lit(false))
-        val dfSlim = dfW.select(columns.map(col) ++ Seq(
+        val dfSlim = slimSrcW.select(columns.map(col) ++ Seq(
           pairHash(seed1).as("__l_h1"), pairHash(seed2).as("__l_h2"),
           anyNan(nanCols).as("__l_nan")): _*)
         val refSlim = refW.select(
@@ -889,7 +899,7 @@ object DatasetChecks {
     }
     val anyChanged = coalesce(size(map_keys(col(changedCol))) > 0, lit(false))
     val failCond = col(missingCol) || col(extraCol) || anyChanged
-    DatasetCheck(applyFn,
+    DatasetCheck(df => applyImpl(df, df),
       makeCondition(failCond,
         to_json(struct(
           col(missingCol).as("row_missing"),
@@ -897,7 +907,8 @@ object DatasetChecks {
           col(changedCol).as("changed")))),
       // check_missing_records APPENDS ref-only marker rows: later probes
       // must not trust pristine-frame row parity (DatasetCheck scaladoc)
-      rowPreserving = !checkMissingRecords)
+      rowPreserving = !checkMissingRecords,
+      applyWithBase = Some((df, base) => applyImpl(df, base)))
   }
 
   // ------------------------------------------------------------ time windows

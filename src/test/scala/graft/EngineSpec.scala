@@ -189,7 +189,10 @@ class EngineSpec extends SparkSpec {
         "foreign_key", Seq("id")),
       DQDatasetRule(DatasetChecks.isUnique(Seq("k"), strategy = "probe"), "is_unique", Seq("k")),
       DQDatasetRule(DatasetChecks.isDataFreshPerTimeWindow("ts", 60, 50),
-        "is_data_fresh_per_time_window", Seq("ts")))
+        "is_data_fresh_per_time_window", Seq("ts")),
+      DQDatasetRule(DatasetChecks.compareDatasets(Seq("id"), Seq("id"),
+        df.select(col("id"), when(col("id") % 30 === 0, col("g") + 1).otherwise(col("g")).as("g"))),
+        "compare_datasets", Seq("id")))
     def answers(rs: Seq[DQRule]) = DQEngine.applyChecks(df, rs,
       ExtraParams(runTimeOverwrite = Some(java.sql.Timestamp.valueOf("2025-06-01 00:00:00")),
         runIdOverwrite = Some("fixed")))
