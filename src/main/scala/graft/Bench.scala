@@ -262,7 +262,8 @@ object Bench {
     val total = all.map(_._2).filter(_ >= 0).sum
     val violation = protocolViolation(refRows, Runtime.getRuntime.maxMemory())
       .map(v => s""","protocol_violation":"$v"""").getOrElse("")
-    val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"$violation}"""
+    val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,""" +
+      f""""sf":"$sfDir","protocol":${BenchRef.ProtocolVersion}$violation}"""
     BenchRef.writeArtifacts(
       BenchRef.artifactJson("graft.Bench", all, refStats, sfDir, refRows, rounds, violation))
     // quiet the logger, then emit the contract line LAST so nothing Spark

@@ -438,6 +438,16 @@ object BenchRef {
     } finally { f.delete(); () }
   } catch { case _: Throwable => -1.0 }
 
+  /** Bench-protocol version stamped into every contract line and artifact
+    * (VERDICT r11 next #4): cross-round totals are only comparable within
+    * one protocol version. History — v1 (r1–r10): spill-heavy isolated
+    * suites measured AFTER the in-sequence run; v2 (r11+): isolated
+    * fresh-JVM children run FIRST, which cools the page cache the
+    * in-sequence suites previously inherited (deliberate ordering change,
+    * +~15% on page-cache-sensitive suites vs v1 with identical code).
+    */
+  val ProtocolVersion = 2
+
   def artifactJson(main: String, queries: Seq[(String, Double)], stats: Seq[SuiteStat],
                    sf: String, rows: Long, rounds: Int,
                    violationField: String = ""): String = {
@@ -447,7 +457,7 @@ object BenchRef {
     val stamp = s"""{"main":"$main","ts":"${java.time.Instant.now()}","rows":$rows,""" +
       s""""sf":"$sf","cpus":${rt.availableProcessors()},""" +
       s""""heapMaxMb":${rt.maxMemory() / (1024 * 1024)},"rounds":$rounds,""" +
-      s""""disk_mb_s":$diskProbeMbS$violationField}"""
+      s""""protocol":$ProtocolVersion,"disk_mb_s":$diskProbeMbS$violationField}"""
     val suites = stats.map { s =>
       val rs = s.roundsSec.map(v => f"$v%.4f").mkString("[", ",", "]")
       val iso = if (s.isolated) ""","isolated":true""" else ""

@@ -29,7 +29,8 @@ object BenchRefMain {
     // disk_mb_s in the contract line lets the PARENT of an isolation child
     // stamp each child's own disk state onto its isolated rows
     val line = f"""{"metric":"ref_total","value":$total%.4f,"unit":"sec","queries":$qs,""" +
-      f""""rows":$rows,"disk_mb_s":${BenchRef.diskProbeMbS}%.1f}"""
+      f""""rows":$rows,"protocol":${BenchRef.ProtocolVersion},""" +
+      f""""disk_mb_s":${BenchRef.diskProbeMbS}%.1f}"""
     println(line)
     BenchRef.writeArtifacts(
       BenchRef.artifactJson("graft.BenchRefMain", times, stats, "synthetic", rows, rounds))

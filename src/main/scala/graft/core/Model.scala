@@ -59,7 +59,12 @@ final case class ExtraParams(
     userMetadata: Map[String, String] = Map.empty,
     suppressSkipped: Boolean = false,
     checkpointEvery: Option[Int] = None,
-    autoFencePlanNodes: Option[Int] = Some(4096))
+    autoFencePlanNodes: Option[Int] = Some(4096),
+    // observer invoked as (ruleName, analysisError) each time a check's
+    // pristine-base build fails analysis and the engine reverts to the
+    // chained frame (also INFO-logged); lets callers surface why a stacked
+    // plan grew faster than expected
+    onBaseFallback: Option[(String, String) => Unit] = None)
 
 /** Result schemas (dqx/schema/dq_result_schema.py:3-19). */
 object DQSchemas {

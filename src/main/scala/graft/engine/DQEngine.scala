@@ -113,13 +113,30 @@ object DQEngine {
               // self-join probes; see DatasetCheck scaladoc), falling back
               // to the chained form when the base-bound build fails
               // analysis (e.g. row_filter on a previous check's column) or
-              // a previous check broke row parity with the pristine frame
+              // a previous check broke row parity with the pristine frame.
+              // Only ANALYSIS failures fall back (ADVICE r11): a runtime
+              // error from an eager pass (compare's candidate collect,
+              // sql_query dataset-mode take) must propagate, not silently
+              // re-execute the same expensive work through applyFn.
               r.check.applyWithBase.filter(_ => baseRowParity).flatMap { f =>
-                Try {
+                try {
                   val n = f(current, df)
                   n.select(r.check.condition)
-                  n
-                }.toOption
+                  Some(n)
+                } catch {
+                  case ae: org.apache.spark.sql.AnalysisException =>
+                    // the fallback costs super-linear plan growth when many
+                    // such checks stack — tell the user WHY (VERDICT r11: a
+                    // row_filter referencing a prior check's output column
+                    // is the canonical trigger)
+                    val reason = firstLine(ae.getMessage)
+                    org.slf4j.LoggerFactory.getLogger(getClass).info(
+                      s"check '${r.resolvedName}': base-rooted build failed analysis " +
+                        s"($reason); falling back to the chained frame — plans stacking " +
+                        "many such checks grow super-linearly (see ExtraParams.autoFencePlanNodes)")
+                    extra.onBaseFallback.foreach(_(r.resolvedName, reason))
+                    None
+                }
               }.getOrElse(r.check.applyFn(current))
           }
           next.select(r.check.condition) // force analysis of the condition

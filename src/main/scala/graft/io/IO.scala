@@ -33,7 +33,10 @@ object IO {
     * schema names", io.py:17).
     */
   def isTableLocation(location: String): Boolean = {
-    val part = "(?:`[^`]+`|[A-Za-z0-9_]+)"
+    // a backquoted part may carry any special character EXCEPT a path
+    // separator (ADVICE r11: `` `/tmp/data` `` must classify as a PATH, not
+    // a table) and escapes interior backticks by doubling
+    val part = "(?:`(?:``|[^`/])+`|[A-Za-z0-9_]+)"
     location.matches(s"$part(?:\\.$part){0,2}")
   }
 
@@ -65,7 +68,10 @@ object IO {
     */
   def quoteTableName(location: String): String =
     splitTableParts(location).map { p =>
-      if (p.length >= 2 && p.startsWith("`") && p.endsWith("`")) p else quotePart(p)
+      // pass through only WELL-FORMED quoted parts (interior backticks
+      // doubled); a malformed part like `a`b` would otherwise flow into
+      // invalid SQL — re-quote its raw text instead (ADVICE r11)
+      if (p.matches("`(?:``|[^`])*`")) p else quotePart(p)
     }.mkString(".")
 
   /** read_input_data (io.py:20-85): table or path, batch or streaming.

@@ -394,6 +394,41 @@ object PipelineQueries {
              |  FROM scored) t
              |WHERE rank <= 5 ORDER BY 1, 2""".stripMargin)),
 
+    // Incremental-append gate (r12): build on the even half, append the odd
+    // half with the FROZEN quantizers (Pq.ivfPqAppendToIndex — no retrain),
+    // query the union index exhaustively (nprobe = numCells, corpus-sized
+    // shortlist + exact rerank) so the brute-force oracle applies exactly;
+    // frozen-model append==rebuild identity and at-rest pruning are
+    // spec-pinned (PqSpec).
+    "pipe_knn_ivfpq_appended" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val queries = emb.where(col("vec_id") < 20)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+          .sortBy(_._1)
+        val (model, idxEven) = Pq.ivfPqBuildIndex(emb.where(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", numCells = 16, numBlocks = 16, codebookSize = 64,
+          trainRows = 2000)
+        val appended = Pq.ivfPqAppendToIndex(model, emb.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding")
+        Pq.ivfPqTopKIndexed(idxEven.unionByName(appended), model, queries, k = 5,
+          nprobe = 16, shortlist = 1000000)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |q AS (SELECT vec_id, e FROM emb WHERE vec_id < 20),
+             |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |  list_cosine_similarity(q.e, c.e) AS cos
+             |  FROM q JOIN emb c ON c.vec_id != q.vec_id)
+             |SELECT query_id, rank, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 5 ORDER BY 1, 2""".stripMargin)),
+
     // SUBLINEAR IVF-PQ gate (r10): nprobe=2 STRICTLY BELOW numCells=8, exact
     // by construction. The corpus is rebuilt as one-hot direction vectors
     // (direction = vec_id % 8) scaled by powers of two (2^(vec_id % 3) — so

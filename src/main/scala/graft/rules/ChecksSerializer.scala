@@ -159,6 +159,14 @@ object ChecksSerializer {
     * what the reference's `str()` interpolation emits ("1e+20" not "1.0E20",
     * "1e-05" not "1.0E-5"). Digits come from Java's shortest-unique
     * Double.toString; only the FORMATTING is re-done Python-style.
+    *
+    * Residual divergence (ADVICE r11, documented, not chased): Java's
+    * Double.toString guarantees a round-trippable digit string but not
+    * Python's SHORTEST one, so boundary magnitudes can render with extra
+    * digits — e.g. Double.MIN_VALUE gives "4.9e-324" where Python repr
+    * (5e-324) is "5e-324". Both parse back to the identical double, so
+    * substituted SQL stays value-correct; only the literal's spelling can
+    * differ from the reference's str() at such extremes.
     */
   private[graft] def pyFloatRepr(d: Double): String = {
     if (d.isNaN) return "nan"

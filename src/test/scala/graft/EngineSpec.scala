@@ -280,4 +280,103 @@ class EngineSpec extends SparkSpec {
       ExtraParams(checkpointEvery = Some(1)))
     assert(streamOut.isStreaming)
   }
+
+  test("onBaseFallback fires on a base-incompatible stack and stays silent on a clean one") {
+    // rule 1 ADDS a column; rule 2 (is_unique) targets it — the base-rooted
+    // aggregate branch cannot resolve the new column against the PRISTINE
+    // frame, so the engine must log + notify and fall back to the chained
+    // frame (VERDICT r11 next #3). The canonical user trigger: checking a
+    // column a previous custom check derived.
+    val df = spark.range(0, 50).toDF("id")
+    val addCol = graft.rules.DatasetCheck(
+      d => d.withColumn("derived", col("id") % 10),
+      graft.core.CheckUtils.makeCondition(lit(false), lit("never")))
+    val rules = Seq(
+      DQDatasetRule(addCol, "custom_derive", Seq("id")),
+      DQDatasetRule(DatasetChecks.isUnique(Seq("derived"), strategy = "probe"),
+        "is_unique", Seq("derived")))
+    val fallbacks = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val out = DQEngine.applyChecks(df, rules,
+      extra.copy(onBaseFallback = Some((n, r) => fallbacks += ((n, r)))))
+    // fallback happened, named the right rule, and the check still ran
+    // correctly against the chained frame (derived has 10 values x 5 dups)
+    assert(fallbacks.map(_._1) == Seq("derived_is_unique"))
+    assert(fallbacks.head._2.nonEmpty)
+    assert(out.where(col("_errors").isNotNull).count() == 50)
+    // clean stack: every built-in base-rooted build resolves — no callback
+    val cleanCalls = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val clean = Seq(
+      DQDatasetRule(DatasetChecks.isUnique(Seq("id"), strategy = "probe"), "is_unique", Seq("id")),
+      DQDatasetRule(DatasetChecks.sqlQuery(
+        "SELECT id, COUNT(*) > 1 AS condition FROM {{input_view}} GROUP BY id",
+        mergeColumns = Seq("id"), conditionColumn = "condition"), "sql_query", Seq("id")))
+    DQEngine.applyChecks(df, clean,
+      extra.copy(onBaseFallback = Some((n, r) => cleanCalls += ((n, r))))).collect()
+    assert(cleanCalls.isEmpty)
+  }
+
+  test("compare_datasets with duplicate ref keys: later checks keep chained semantics") {
+    // ADVICE r11 medium: the compare wide path left-outer-joins refDf with no
+    // ref-side dedup — duplicate ref keys fan out input rows (the reference's
+    // own shape). compare is therefore never rowPreserving: a later is_unique
+    // must aggregate the FANNED chained frame, not the pristine input, or its
+    // verdicts diverge from pure-chained semantics. Pin answer-identity
+    // against the stripped (no applyWithBase anywhere) pure-chained plan.
+    val df = spark.range(0, 20).toDF("id").withColumn("v", col("id") % 3)
+    // ref duplicates key id=7 three times -> rows with id=7 fan out x3,
+    // making count(id=7)=3 in the chained frame: is_unique AFTER the compare
+    // must flag id=7 (chained semantics), which pristine-frame counts miss
+    val ref = spark.range(0, 20).toDF("id").withColumn("v", col("id") % 3)
+      .union(Seq((7L, 1L), (7L, 2L)).toDF("id", "v"))
+    def rules = Seq(
+      DQDatasetRule(DatasetChecks.compareDatasets(Seq("id"), Seq("id"), ref),
+        "compare_datasets", Seq("id")),
+      DQDatasetRule(DatasetChecks.isUnique(Seq("id")), "is_unique", Seq("id")))
+    def answers(rs: Seq[DQRule]) = DQEngine.applyChecks(df, rs, extra)
+      .selectExpr("id", "coalesce(transform(_errors, e -> e.name), array()) AS en")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).sorted)).toSeq
+      .sortBy(_.toString)
+    val chained = answers(rules.map {
+      case r: DQDatasetRule => r.copy(check = r.check.copy(applyWithBase = None))
+      case r => r
+    })
+    assert(answers(rules) == chained)
+    // the fan-out really happened and is_unique really flagged it
+    assert(chained.count(_._1 == 7L) == 3)
+    assert(chained.filter(_._1 == 7L).forall(_._2.contains("id_is_unique")))
+  }
+
+  test("mixed 20-check stack grows linearly and fence-free under defaults") {
+    // VERDICT r11 next #5: the guarantee a 100-rule production suite rests
+    // on — every BUILT-IN self-join-shaped check roots its aggregate branch
+    // at the pristine frame, so a mixed stack stays linear (< ~40 optimized
+    // nodes per check) without tripping the default auto-fence.
+    val df = spark.range(0, 200).toDF("id")
+      .withColumn("g", col("id") % 7)
+      .withColumn("ts", expr("timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60)"))
+    val ref = spark.range(0, 150).toDF("rk")
+    val rules: Seq[DQRule] = (1 to 4).flatMap { i =>
+      Seq(
+        DQDatasetRule(DatasetChecks.sqlQuery(
+          s"SELECT g, COUNT(*) > ${20 + i} AS condition FROM {{input_view}} GROUP BY g",
+          mergeColumns = Seq("g"), conditionColumn = "condition"), "sql_query", Seq("g"),
+          name = s"sq_$i"),
+        DQDatasetRule(DatasetChecks.foreignKey(Seq("id"), Seq("rk"), ref, strategy = "probe"),
+          "foreign_key", Seq("id"), name = s"fk_$i"),
+        DQDatasetRule(DatasetChecks.isUnique(Seq("g"), strategy = "probe"),
+          "is_unique", Seq("g"), name = s"uq_$i"),
+        DQDatasetRule(DatasetChecks.isAggrNotGreaterThan("id", 1000, "count_distinct",
+          groupBy = Seq("g")), "is_aggr_not_greater_than", Seq("id"), name = s"agg_$i"),
+        DQDatasetRule(DatasetChecks.isDataFreshPerTimeWindow("ts", 60, 1),
+          "is_data_fresh_per_time_window", Seq("ts"), name = s"fr_$i"))
+    }
+    assert(rules.length == 20)
+    val out = DQEngine.applyChecks(df, rules)
+    assert(!out.queryExecution.logical.toString.contains("LogicalRDD"),
+      "20 mixed stacked checks must not trip the default auto-fence")
+    val nodes = out.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nodes < 40 * rules.length, s"mixed stack not linear: $nodes optimized nodes")
+    // and it runs: row count preserved, no errors on a clean frame
+    assert(out.count() == 200)
+  }
 }

@@ -41,6 +41,16 @@ class PatternsSpec extends SparkSpec {
     assert(IO.quoteTableName("`my-db`.tbl") == "`my-db`.tbl")
     assert(IO.quotePart("my-tbl") == "`my-tbl`")
     assert(IO.quotePart("a`b") == "`a``b`")
+    // ADVICE r11: a backquoted PATH is still a path (the `/` guard), and a
+    // doubled interior backtick stays a legal table part
+    assert(!IO.isTableLocation("`/tmp/data`"))
+    assert(!IO.isTableLocation("`my-cat`.`sub/dir`.tbl"))
+    assert(IO.isTableLocation("`we``ird`.tbl"))
+    // malformed pass-through (interior unescaped backtick) re-quotes to
+    // VALID SQL instead of flowing through unchanged
+    assert(IO.quoteTableName("`a``b`.tbl") == "`a``b`.tbl") // well-formed: untouched
+    assert(!IO.quoteTableName("`a`b`").contains("`a`b`"))   // malformed: re-quoted
+    assert(IO.quoteTableName("`a`b`").count(_ == '`') % 2 == 0)
 
     // plumbing: a backquoted hyphenated name must reach the CATALOG as a
     // parsed identifier (TABLE_OR_VIEW_NOT_FOUND), not fall through to a
