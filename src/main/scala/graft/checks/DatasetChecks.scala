@@ -991,7 +991,15 @@ object DatasetChecks {
       boundary(nextRows, newestFirst = false, toLater = false).toSeq
     val unioned = helpers.foldLeft(ranged)(_ unionByName _)
     val w = Window.partitionBy(col(pidC)).orderBy(col(orderCol))
+    // dropDuplicates(orderCol) is a semantic no-op (orderCol is distinct by
+    // precondition) that re-proves key uniqueness ABOVE the checkpoint: the
+    // checkpoint's LogicalRDD hides the upstream Aggregate, and without a
+    // visible uniqueness proof Catalyst can no longer eliminate the callers'
+    // verdict join-back when nothing reads it — an unread check would pay
+    // the whole subtree (caught by the r12 100M countparity cells). With the
+    // proof restored, pruned plans never materialize the checkpoint at all.
     addCols(unioned, w).where(!col(helperC)).drop(pidC, helperC)
+      .dropDuplicates(Seq(orderCol))
   }
 
   // ------------------------------------------------------------ time windows

@@ -375,6 +375,20 @@ class EdgeCaseSpec extends SparkSpec {
       assert(windows.forall(_.partitionSpec.nonEmpty),
         "single-partition WindowExec found in ungrouped time-bucket check")
     }
+    // count-parity protocol: an UNREAD verdict must still prune the whole
+    // check subtree. The helper's localCheckpoint hides the bucket
+    // aggregate's uniqueness proof behind a LogicalRDD; the helper re-proves
+    // it (dropDuplicates on the order key) so the verdict join-back stays
+    // eliminable — without this, bare count() paid the full check (caught by
+    // the r12 100M countparity cells at 5.9 s vs ~0.1 s)
+    for (out <- Seq(gapOut, outOut)) {
+      val counted = out.select(count(lit(1)))
+      val joins = counted.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      assert(joins.isEmpty, "unread time-bucket verdict did not prune its join-back")
+      assert(!counted.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+        "pruned plan still materializes the helper checkpoint")
+    }
   }
 
   test("sql_query dataset mode: single-row condition applies to every row") {
