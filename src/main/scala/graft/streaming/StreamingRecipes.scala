@@ -174,4 +174,22 @@ object StreamingRecipes {
       onResult(res, batchId)
       sink(batch, batchId)
     }
+
+  /** Continuous ANN-index ingest: each micro-batch of new embeddings is
+    * encoded with the FROZEN coarse + product quantizers
+    * ([[graft.pipeline.Pq.ivfPqAppendToIndex]] — zero training, one
+    * projection) and appended `partitionBy("cell")` to the index location,
+    * so readers keep partition-pruning their probes while the corpus grows.
+    * Pair with a scheduled [[graft.pipeline.Pq.ivfPqCellSkew]] read: when
+    * appended data drifts (skew > ~4), rebuild the index in batch and swap
+    * the location. Exactly-once lands on the parquet sink's own
+    * idempotence; use a checkpointLocation on the returned writer.
+    */
+  def ivfPqAppendPerBatch(stream: DataFrame, model: graft.pipeline.Pq.IvfPqIndexModel,
+                          idCol: String, vecCol: String,
+                          indexPath: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.pipeline.Pq.ivfPqAppendToIndex(model, batch, idCol, vecCol)
+        .write.mode("append").partitionBy("cell").parquet(indexPath)
+    }
 }

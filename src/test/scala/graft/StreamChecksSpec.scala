@@ -259,4 +259,40 @@ class StreamChecksSpec extends SparkSpec {
       results.mkString(", "))
     assert(rows == 41L)
   }
+
+  test("foreachBatch recipe: frozen-model ANN index append per micro-batch") {
+    import graft.pipeline.Pq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // seed corpus: 2 well-separated directions in 4 dims
+    def vec(id: Long): Seq[Double] = {
+      val d = (id % 2).toInt
+      Seq.tabulate(4)(i => if (i == d) 10.0 + (id % 5) else 0.1 * (id % 3))
+    }
+    val seed = (0L until 100L).map(i => (i, vec(i)))
+    val (model, idx0) = Pq.ivfPqBuildIndex(seed.toDF("vec_id", "v"), "vec_id", "v",
+      numCells = 2, numBlocks = 2, codebookSize = 4, trainRows = 100, seed = 3)
+    val dir = Files.createTempDirectory("ivfpq_stream").toString
+    idx0.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val stream = in.toDF().toDF("vec_id", "v")
+    val q = graft.streaming.StreamingRecipes
+      .ivfPqAppendPerBatch(stream, model, "vec_id", "v", dir).start()
+    in.addData((100L, vec(100L)), (101L, vec(101L)))
+    q.processAllAvailable()
+    in.addData((102L, vec(102L)))
+    q.processAllAvailable()
+    q.stop()
+    val grown = spark.read.parquet(dir)
+    assert(grown.count() == 103)
+    // appended rows answer queries identically to a one-shot frozen encode
+    val queries = Seq((100L, vec(100L).toArray))
+    val fromStream = Pq.ivfPqTopKIndexed(grown, model, queries, k = 3, nprobe = 2, shortlist = 50)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    val all = (0L until 103L).map(i => (i, vec(i)))
+    val oneShot = Pq.ivfPqTopKIndexed(
+      Pq.ivfPqAppendToIndex(model, all.toDF("vec_id", "v"), "vec_id", "v"),
+      model, queries, k = 3, nprobe = 2, shortlist = 50)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    assert(fromStream == oneShot && fromStream.nonEmpty)
+  }
 }
