@@ -660,7 +660,8 @@ object DatasetChecks {
                       hashPrefilter: Boolean = true,
                       maxCollectedDiffs: Int = 1000000,
                       maxPrefilterBytes: Long = 128L * 1024 * 1024,
-                      cacheInput: Boolean = false): DatasetCheck = {
+                      cacheInput: Boolean = false,
+                      refKeysUnique: Boolean = false): DatasetCheck = {
     require(columns.length == refColumns.length, "columns and ref_columns must align")
     val id = uniqueSuffix()
     val missingCol = s"__dq_cmp_missing_$id"
@@ -914,14 +915,19 @@ object DatasetChecks {
           col(missingCol).as("row_missing"),
           col(extraCol).as("row_extra"),
           col(changedCol).as("changed")))),
-      // Never row-preserving (ADVICE r11): even without check_missing_records
-      // (which APPENDS ref-only marker rows), the wide path is an outer join
-      // against refDf with no ref-side key dedup — duplicate reference keys
-      // FAN OUT matching input rows, which is the reference's own join shape
-      // (check_funcs.py:2885) and therefore kept. Later stacked checks must
-      // not aggregate the pristine frame against a possibly-fanned chained
-      // frame, so the engine reverts them to plain applyFn after a compare.
-      rowPreserving = false,
+      // Not row-preserving by default (ADVICE r11): even without
+      // check_missing_records (which APPENDS ref-only marker rows), the wide
+      // path is an outer join against refDf with no ref-side key dedup —
+      // duplicate reference keys FAN OUT matching input rows, which is the
+      // reference's own join shape (check_funcs.py:2885) and therefore kept.
+      // Later stacked checks must not aggregate the pristine frame against a
+      // possibly-fanned chained frame, so the engine reverts them to plain
+      // applyFn after a compare — at the cost of super-linear plan growth
+      // for self-join checks stacked after it (bounded by the auto-fence).
+      // `refKeysUnique = true` is the caller's GUARANTEE that refDf's join
+      // keys are distinct (the usual case: a deduped dimension), restoring
+      // row parity — and linear stacked plans — when no marker rows append.
+      rowPreserving = refKeysUnique && !checkMissingRecords,
       applyWithBase = Some((df, base) => applyImpl(df, base)))
   }
 

@@ -267,7 +267,8 @@ object CheckRegistry {
       a.bool("null_safe_row_matching", true), a.bool("null_safe_column_value_matching", true),
       a.double("abs_tolerance", 0.0), a.double("rel_tolerance", 0.0),
       a.bool("hash_prefilter", true), a.int("max_collected_diffs", 1000000),
-      a.long("max_prefilter_bytes", 128L * 1024 * 1024), a.bool("cache_input", false))),
+      a.long("max_prefilter_bytes", 128L * 1024 * 1024), a.bool("cache_input", false),
+      a.bool("ref_keys_unique", false))),
     "is_data_fresh_per_time_window" -> ((a, _) => isDataFreshPerTimeWindow(a.str("column"),
       a.int("window_minutes", 60), a.long("min_records_per_window", 1),
       if (a.has("lookback_windows")) Some(a.int("lookback_windows", 0)) else None,

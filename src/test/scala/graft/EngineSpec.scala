@@ -346,6 +346,37 @@ class EngineSpec extends SparkSpec {
     assert(chained.filter(_._1 == 7L).forall(_._2.contains("id_is_unique")))
   }
 
+  test("compare refKeysUnique=true restores base-rooting (linear plans) after a compare") {
+    // The r12 safety default (compare is never rowPreserving) costs later
+    // self-join checks their pristine-base rooting; refKeysUnique is the
+    // caller's guarantee that the ref keys are distinct (a deduped dim),
+    // which provably restores row parity. Pin both halves: same answers,
+    // smaller plans.
+    val df = spark.range(0, 100).toDF("id").withColumn("g", col("id") % 10)
+    val ref = spark.range(0, 100).toDF("id").withColumn("g", col("id") % 10)
+    def rules(unique: Boolean): Seq[DQRule] =
+      // hashPrefilter=false keeps the compare as a REAL in-plan outer join
+      // (the prefilter's eager candidate pass folds to literals on a no-diff
+      // fixture, which would hide the growth difference this test pins)
+      DQDatasetRule(DatasetChecks.compareDatasets(Seq("id"), Seq("id"), ref,
+        hashPrefilter = false, refKeysUnique = unique),
+        "compare_datasets", Seq("id"), name = "cmp") +:
+      (1 to 6).map(i => DQDatasetRule(DatasetChecks.sqlQuery(
+        s"SELECT g, COUNT(*) > ${i + 20} AS condition FROM {{input_view}} GROUP BY g",
+        mergeColumns = Seq("g"), conditionColumn = "condition"), "sql_query", Seq("g"),
+        name = s"sq_$i"))
+    def run(unique: Boolean) = DQEngine.applyChecks(df, rules(unique), extra)
+    def nodes(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.optimizedPlan.collect { case p => p }.size
+    val guaranteed = run(unique = true); val safe = run(unique = false)
+    assert(nodes(guaranteed) < nodes(safe),
+      s"base-rooting not restored: unique=${nodes(guaranteed)} default=${nodes(safe)}")
+    def answers(d: org.apache.spark.sql.DataFrame) =
+      d.selectExpr("id", "coalesce(size(_errors), -1) AS n")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(answers(guaranteed) == answers(safe))
+  }
+
   test("mixed 20-check stack grows linearly and fence-free under defaults") {
     // VERDICT r11 next #5: the guarantee a 100-rule production suite rests
     // on — every BUILT-IN self-join-shaped check roots its aggregate branch
