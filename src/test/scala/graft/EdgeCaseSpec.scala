@@ -329,6 +329,34 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("partitioned ordered window: randomized equivalence vs global window (seeded)") {
+    // 12 seeded-random cells over (size, prevRows, nextRows, numParts):
+    // rolling sum + count + lead must equal the single-partition global
+    // window on every row — the strongest pin on the boundary-repair math
+    val rnd = new scala.util.Random(2026)
+    for (_ <- 0 until 12) {
+      val n = 1 + rnd.nextInt(200)
+      val prev = rnd.nextInt(6) // 0..5
+      val next = rnd.nextInt(3) // 0..2
+      val p = 1 + rnd.nextInt(50)
+      val vals = rnd.shuffle((0 until 1000).toList).take(n) // distinct
+      val df = vals.toDF("v")
+      def addC(f: org.apache.spark.sql.DataFrame,
+               w: org.apache.spark.sql.expressions.WindowSpec) = {
+        val fr = f.withColumn("cnt", count(lit(1)).over(w.rowsBetween(-prev, next)))
+        if (prev > 0) fr.withColumn("sp", sum(col("v")).over(w.rowsBetween(-prev, -1)))
+        else fr.withColumn("sp", lit(null).cast("long"))
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getInt(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]))
+      val got = DatasetChecks.withPartitionedOrderedWindow(df, "v", prev, next, Some(p))(addC)
+        .collect().map(key).toSet
+      val want = addC(df, org.apache.spark.sql.expressions.Window.orderBy(col("v")))
+        .collect().map(key).toSet
+      assert(got == want, s"mismatch at n=$n prev=$prev next=$next p=$p")
+    }
+  }
+
   test("ungrouped gaps/aggr-outliers: parallel ranking, exact answers, no global WindowExec") {
     import java.sql.Timestamp
     // ~290 occupied minute buckets with holes every 37th minute and count
