@@ -418,6 +418,21 @@ class PqSpec extends SparkSpec {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
     assert(scans.forall(_.partitionFilters.nonEmpty), "appended index scan lost partition pruning")
 
+    // residual (IVFADC) append: the anchor-relative encode path must give
+    // the same frozen-model identity
+    val (rModel, rIdxA) = Pq.ivfPqBuildIndex(dfA, "vec_id", "v",
+      numCells = 6, numBlocks = 4, codebookSize = 8, trainRows = 600, seed = 7,
+      residual = true)
+    val rViaAppend = Pq.ivfPqTopKIndexed(
+      rIdxA.unionByName(Pq.ivfPqAppendToIndex(rModel, dfB, "vec_id", "v")),
+      rModel, queries, k = 5, nprobe = 3, shortlist = 50)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val rViaUnion = Pq.ivfPqTopKIndexed(
+      Pq.ivfPqAppendToIndex(rModel, dfAll, "vec_id", "v"),
+      rModel, queries, k = 5, nprobe = 3, shortlist = 50)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(rViaAppend == rViaUnion && rViaAppend.exists(_._3 % 2 == 1))
+
     // retrain-trigger heuristic: balanced clustered data sits near 1; a
     // drifted batch piling into one cell pushes skew up
     val skewBalanced = Pq.ivfPqCellSkew(idxA.unionByName(appended))
