@@ -175,6 +175,56 @@ object StreamingRecipes {
       sink(batch, batchId)
     }
 
+  /** Per-micro-batch body of [[ivfPqAppendPerBatch]], exposed so the replay
+    * contract is directly testable: encode `batch` with the FROZEN coarse +
+    * product quantizers and append `partitionBy("cell")` to `indexPath`,
+    * filtering out any `neighbor_id` already present in the touched cells.
+    *
+    * Delivery semantics: `foreachBatch` is AT-LEAST-ONCE — a micro-batch
+    * retried after a failure (checkpoint offsets commit AFTER the batch
+    * function returns) re-runs this body, and a plain parquet append has no
+    * batchId-keyed transaction to make that a no-op (ADVICE r12). The
+    * replay guard restores effective exactly-once at the ROW level: a
+    * replayed row carries the same id and (frozen model) the same cell, so
+    * the anti-join drops it and the rerun appends nothing. Requires ids
+    * unique across the corpus; re-ingesting a CHANGED vector under an
+    * existing id is an update, which an append-only index cannot express —
+    * rebuild instead ([[graft.pipeline.Pq.ivfPqBuildIndex]]).
+    *
+    * Guard cost: one column-pruned scan of `neighbor_id` over the touched
+    * `cell=` partitions per batch (partition-pruned at the storage layer,
+    * same as queries). `replayGuard = false` skips it when the caller
+    * already guarantees no-replay delivery and wants pure append throughput;
+    * duplicates then surface as clones occupying multiple top-k slots in
+    * [[graft.pipeline.Pq.ivfPqTopKIndexed]].
+    */
+  def ivfPqAppendBatch(model: graft.pipeline.Pq.IvfPqIndexModel, batch: DataFrame,
+                       idCol: String, vecCol: String, indexPath: String,
+                       replayGuard: Boolean = true): Unit = {
+    val spark = batch.sparkSession
+    val encoded = graft.pipeline.Pq.ivfPqAppendToIndex(model, batch, idCol, vecCol)
+    val guarded =
+      if (!replayGuard) encoded
+      else {
+        val hp = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(hp)) encoded
+        else {
+          // driver-side touched-cell list: bounded by the model's cell count,
+          // and as literals the isin() prunes index partitions at plan time
+          val touched = encoded.select(col("cell")).distinct().collect().map(_.get(0))
+          if (touched.isEmpty) encoded
+          else {
+            val existing = spark.read.parquet(indexPath)
+              .where(col("cell").isin(touched.toSeq: _*))
+              .select(col("neighbor_id"))
+            encoded.join(existing, Seq("neighbor_id"), "left_anti")
+          }
+        }
+      }
+    guarded.write.mode("append").partitionBy("cell").parquet(indexPath)
+  }
+
   /** Continuous ANN-index ingest: each micro-batch of new embeddings is
     * encoded with the FROZEN coarse + product quantizers
     * ([[graft.pipeline.Pq.ivfPqAppendToIndex]] — zero training, one
@@ -182,14 +232,17 @@ object StreamingRecipes {
     * so readers keep partition-pruning their probes while the corpus grows.
     * Pair with a scheduled [[graft.pipeline.Pq.ivfPqCellSkew]] read: when
     * appended data drifts (skew > ~4), rebuild the index in batch and swap
-    * the location. Exactly-once lands on the parquet sink's own
-    * idempotence; use a checkpointLocation on the returned writer.
+    * the location.
+    *
+    * Delivery: at-least-once from the engine, made effectively exactly-once
+    * by [[ivfPqAppendBatch]]'s id-level replay guard (see its scaladoc for
+    * the contract and cost). Always set a `checkpointLocation` on the
+    * returned writer.
     */
   def ivfPqAppendPerBatch(stream: DataFrame, model: graft.pipeline.Pq.IvfPqIndexModel,
                           idCol: String, vecCol: String,
                           indexPath: String): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      graft.pipeline.Pq.ivfPqAppendToIndex(model, batch, idCol, vecCol)
-        .write.mode("append").partitionBy("cell").parquet(indexPath)
+      ivfPqAppendBatch(model, batch, idCol, vecCol, indexPath)
     }
 }

@@ -295,4 +295,38 @@ class StreamChecksSpec extends SparkSpec {
       .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
     assert(fromStream == oneShot && fromStream.nonEmpty)
   }
+
+  test("ANN index append is replay-idempotent: a re-delivered micro-batch appends nothing") {
+    import graft.pipeline.Pq
+    // ADVICE r12: foreachBatch is at-least-once — the per-batch body must be
+    // a no-op when the same micro-batch is delivered twice, or replayed rows
+    // become clones occupying multiple top-k slots
+    def vec(id: Long): Seq[Double] = {
+      val d = (id % 2).toInt
+      Seq.tabulate(4)(i => if (i == d) 10.0 + (id % 5) else 0.1 * (id % 3))
+    }
+    val seed = (0L until 100L).map(i => (i, vec(i)))
+    val (model, idx0) = Pq.ivfPqBuildIndex(seed.toDF("vec_id", "v"), "vec_id", "v",
+      numCells = 2, numBlocks = 2, codebookSize = 4, trainRows = 100, seed = 3)
+    val dirOnce = Files.createTempDirectory("ivfpq_replay1").toString
+    val dirTwice = Files.createTempDirectory("ivfpq_replay2").toString
+    idx0.write.mode("overwrite").partitionBy("cell").parquet(dirOnce)
+    idx0.write.mode("overwrite").partitionBy("cell").parquet(dirTwice)
+    val batch = (100L to 104L).map(i => (i, vec(i))).toDF("vec_id", "v")
+    graft.streaming.StreamingRecipes.ivfPqAppendBatch(model, batch, "vec_id", "v", dirOnce)
+    // replay: identical batch body runs twice against the same index location
+    graft.streaming.StreamingRecipes.ivfPqAppendBatch(model, batch, "vec_id", "v", dirTwice)
+    graft.streaming.StreamingRecipes.ivfPqAppendBatch(model, batch, "vec_id", "v", dirTwice)
+    def snapshot(dir: String) = spark.read.parquet(dir)
+      .select("neighbor_id", "cell", "codes", "vector")
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+    assert(snapshot(dirTwice) == snapshot(dirOnce),
+      "replayed micro-batch changed the index")
+    // and the k-NN answers match single delivery exactly
+    val queries = Seq((100L, vec(100L).toArray), (103L, vec(103L).toArray))
+    def answers(dir: String) = Pq.ivfPqTopKIndexed(spark.read.parquet(dir), model,
+        queries, k = 3, nprobe = 2, shortlist = 50)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    assert(answers(dirTwice) == answers(dirOnce) && answers(dirOnce).nonEmpty)
+  }
 }
