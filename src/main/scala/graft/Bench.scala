@@ -151,6 +151,9 @@ object Bench {
       sys.exit(rc)
     }
     val refRows = sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.toLong).getOrElse(BenchRef.DefaultRows)
+    // pre-run disk stamp (VERDICT r12 next #4): post-run probes under-read
+    // after spill churn; force the cached stamp before any suite runs
+    BenchRef.diskProbeMbS
 
     // isolated-median children run BEFORE the parent SparkSession exists —
     // the same protocol BenchRefMain documents — so their numbers are

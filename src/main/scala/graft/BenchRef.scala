@@ -113,7 +113,11 @@ object BenchRef {
       DQRowRule(R.isNotInRange(col("col2"), -10, -1), "is_not_in_range", Seq("col2")),
       DQRowRule(R.isNotLessThan(col("col2"), 0), "is_not_less_than", Seq("col2")),
       DQRowRule(R.isNotGreaterThan(col("col2"), 4000000), "is_not_greater_than", Seq("col2")),
-      DQRowRule(R.isEqualTo(col("col3"), col("col3")), "is_equal_to", Seq("col3")),
+      // aliased right side: col3 === col3 would WARN "trivially true equals
+      // predicate" on every apply, spamming bench tails (VERDICT r12 next
+      // #8); CleanupAliases strips the alias, so the measured plan is
+      // identical
+      DQRowRule(R.isEqualTo(col("col3"), col("col3").as("col3_self")), "is_equal_to", Seq("col3")),
       DQRowRule(R.sqlExpression("col2 >= 0"), "sql_expression"),
       DQRowRule(R.isOlderThanNDays(col("col5"), 0, Some(lit("2026-01-01").cast("date"))), "is_older_than_n_days", Seq("col5")),
       DQRowRule(R.isNotInFuture(col("col6"), 0, Some(lit("2026-01-01 00:00:00").cast("timestamp"))), "is_not_in_future", Seq("col6")),
@@ -160,7 +164,8 @@ object BenchRef {
   final case class SuiteStat(name: String, secs: Double, roundsSec: Seq[Double],
                              heapUsedMb: Long, gcTotalMs: Long,
                              isolated: Boolean = false,
-                             diskMbS: Double = -1.0)
+                             diskMbS: Double = -1.0,
+                             diskMbSPrelaunch: Double = -1.0)
 
   /** The three spill-heavy honest suites whose isolated medians the artifact
     * carries per round (VERDICT r9 Next #8): in-sequence numbers on these mix
@@ -189,6 +194,12 @@ object BenchRef {
     val kv = """"(ref\d+m_[A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
     IsolatedSuites.flatMap { base =>
       try {
+        // PRE-launch probe: the r12 attribution proved post-run stamps are
+        // non-predictive after spill churn (a 215 s FK cell on a 429.9 MB/s
+        // post-stamp vs 123 s on 119.7) — the disk state the child STARTS
+        // with is the one its spill-bound suites actually see (VERDICT r12
+        // next #4)
+        val preDisk = diskProbeNow()
         val javaBin = new java.io.File(
           new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
         val jvmArgs = java.lang.management.ManagementFactory
@@ -225,7 +236,7 @@ object BenchRef {
                        mm.group(1) == s"ref${m}m_countparity_$base" =>
               val v = mm.group(2).toDouble
               SuiteStat(s"${mm.group(1)}__isolated", v, Seq(v), 0, 0,
-                isolated = true, diskMbS = childDisk)
+                isolated = true, diskMbS = childDisk, diskMbSPrelaunch = preDisk)
           }.toSeq
         }
       } catch {
@@ -414,7 +425,13 @@ object BenchRef {
     * Write+fsync is the signal that collapses under disk pressure; a read
     * probe would only measure the page cache. -1.0 when probing fails.
     */
-  lazy val diskProbeMbS: Double = try {
+  lazy val diskProbeMbS: Double = diskProbeNow()
+
+  /** Fresh probe (not the cached stamp): callers needing point-in-time disk
+    * state — the parent immediately before each isolated child — must not
+    * reuse a measurement from minutes of spill churn earlier.
+    */
+  def diskProbeNow(): Double = try {
     // probe the dir Spark actually spills to: SPARK_LOCAL_DIRS /
     // spark.local.dir win over java.io.tmpdir (same precedence Spark uses)
     val spillDir = sys.env.get("SPARK_LOCAL_DIRS").map(_.split(",").head)
@@ -462,8 +479,10 @@ object BenchRef {
       val rs = s.roundsSec.map(v => f"$v%.4f").mkString("[", ",", "]")
       val iso = if (s.isolated) ""","isolated":true""" else ""
       val disk = if (s.diskMbS >= 0) f""","disk_mb_s":${s.diskMbS}%.1f""" else ""
+      val preDisk = if (s.diskMbSPrelaunch >= 0)
+        f""","disk_mb_s_prelaunch":${s.diskMbSPrelaunch}%.1f""" else ""
       s"""{"name":"${s.name}","secs":${f"${s.secs}%.4f"},"roundsSec":$rs,""" +
-        s""""heapUsedMb":${s.heapUsedMb},"gcTotalMs":${s.gcTotalMs}$iso$disk}"""
+        s""""heapUsedMb":${s.heapUsedMb},"gcTotalMs":${s.gcTotalMs}$iso$disk$preDisk}"""
     }.mkString("[", ",", "]")
     f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","stamp":$stamp,"suites":$suites}"""
   }

@@ -9,6 +9,11 @@ object BenchRefMain {
   def main(args: Array[String]): Unit = {
     val rows = sys.env.get("SPARK_GRAFT_BENCH_ROWS").map(_.toLong).getOrElse(BenchRef.DefaultRows)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // force the cached disk stamp BEFORE any suite runs: post-run probes
+    // systematically under-read after spill churn and proved non-predictive
+    // (VERDICT r12 next #4) — every `disk_mb_s` this main stamps is now a
+    // pre-run measure; per-child pre-launch stamps ride isolatedStats
+    BenchRef.diskProbeMbS
     // isolated-median children run BEFORE the parent session exists, so the
     // parent's (up to 96g) heap is never resident beside a child's
     val isoStats = BenchRef.isolatedStats(rows)
