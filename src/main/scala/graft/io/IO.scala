@@ -31,13 +31,22 @@ object IO {
     * carry special characters — hyphens, spaces — in catalog/schema/table
     * names (reference 0.15.0 "Allow special characters in catalog and
     * schema names", io.py:17).
+    *
+    * Boundary semantics vs the reference's TABLE_PATTERN (ADVICE r12):
+    *  - MULTI-part names allow any non-backtick character inside backquotes,
+    *    INCLUDING '/' — `` `cat`.`sub/dir`.tbl `` is a table, reference
+    *    parity.
+    *  - SINGLE-part backquoted names exclude '/' so `` `/tmp/data` ``
+    *    classifies as a PATH (ADVICE r11). The reference never faces this
+    *    ambiguity because its pattern requires 2-3 dotted parts; we
+    *    deliberately also accept BARE one-part table names (OSS
+    *    `saveAsTable("tbl")` ergonomics — a documented divergence).
     */
   def isTableLocation(location: String): Boolean = {
-    // a backquoted part may carry any special character EXCEPT a path
-    // separator (ADVICE r11: `` `/tmp/data` `` must classify as a PATH, not
-    // a table) and escapes interior backticks by doubling
-    val part = "(?:`(?:``|[^`/])+`|[A-Za-z0-9_]+)"
-    location.matches(s"$part(?:\\.$part){0,2}")
+    // backquoted parts escape interior backticks by doubling
+    val partAny = "(?:`(?:``|[^`])+`|[A-Za-z0-9_]+)"
+    val partNoSlash = "(?:`(?:``|[^`/])+`|[A-Za-z0-9_]+)"
+    location.matches(s"$partAny(?:\\.$partAny){1,2}") || location.matches(partNoSlash)
   }
 
   /** Split a dotted table name on dots OUTSIDE backquotes. */

@@ -41,10 +41,13 @@ class PatternsSpec extends SparkSpec {
     assert(IO.quoteTableName("`my-db`.tbl") == "`my-db`.tbl")
     assert(IO.quotePart("my-tbl") == "`my-tbl`")
     assert(IO.quotePart("a`b") == "`a``b`")
-    // ADVICE r11: a backquoted PATH is still a path (the `/` guard), and a
-    // doubled interior backtick stays a legal table part
+    // ADVICE r11: a backquoted single-part PATH is still a path (the `/`
+    // guard); ADVICE r12: the guard applies ONLY to single-part locations —
+    // a MULTI-part name may carry '/' inside backquotes, matching the
+    // reference TABLE_PATTERN (io.py:17). Doubled interior backticks stay
+    // legal table parts.
     assert(!IO.isTableLocation("`/tmp/data`"))
-    assert(!IO.isTableLocation("`my-cat`.`sub/dir`.tbl"))
+    assert(IO.isTableLocation("`my-cat`.`sub/dir`.tbl"))
     assert(IO.isTableLocation("`we``ird`.tbl"))
     // malformed pass-through (interior unescaped backtick) re-quotes to
     // VALID SQL instead of flowing through unchanged
