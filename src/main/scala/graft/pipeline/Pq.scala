@@ -405,6 +405,112 @@ object Pq {
     else row.getDouble(0) / row.getDouble(1)
   }
 
+  /** One row of [[ivfPqIndexFileStats]]: the physical file census of one
+    * `cell=` partition directory.
+    */
+  final case class IndexCellFiles(cell: Int, files: Int, bytes: Long)
+
+  /** Result of [[ivfPqCompactIndex]]. */
+  final case class CompactionStats(cellsRewritten: Int, filesBefore: Int,
+                                   filesAfter: Int, rowsRewritten: Long)
+
+  /** Driver-side file census of an at-rest cell-partitioned index: one
+    * filesystem listing per `cell=` directory, bounded by the model's cell
+    * count (a training-time constant), never by data. The maintenance
+    * signal for [[ivfPqCompactIndex]]: per-micro-batch appends
+    * ([[graft.streaming.StreamingRecipes.ivfPqAppendPerBatch]]) add at
+    * least one parquet file per touched cell per batch, and a day of
+    * 5-minute batches is ~288 small files per hot cell — each one a
+    * separate open/footer-parse at query time.
+    */
+  def ivfPqIndexFileStats(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String): Seq[IndexCellFiles] = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .flatMap { st =>
+        val cell = scala.util.Try(st.getPath.getName.stripPrefix("cell=").toInt).toOption
+        cell.map { c =>
+          val data = fs.listStatus(st.getPath).filter(f => f.isFile && {
+            val n = f.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+          IndexCellFiles(c, data.length, data.map(_.getLen).sum)
+        }
+      }.sortBy(_.cell)
+  }
+
+  /** Compact fragmented cells of an at-rest index IN PLACE: cells holding
+    * more than `maxFilesPerCell` data files are re-read (a partition-pruned
+    * scan touching ONLY those cells), rewritten with bounded file counts,
+    * and swapped in with one atomic directory rename per cell. Healthy
+    * cells are never read, rewritten, or moved — at 100 TB the cost scales
+    * with the fragmented fraction, not the index.
+    *
+    * Row content is preserved exactly (same columns, same rows), so queries
+    * racing a compaction see each cell either pre- or post-swap with
+    * identical answers; a reader that LISTS files mid-swap of one cell can
+    * still hit a transient miss, so schedule compaction off the query peak.
+    * Crash safety: the new files land under a hidden `.dq_compact_tmp` dir
+    * first and replaced directories are deleted only after their swap —
+    * a crash leaves every cell fully old or fully new, plus tmp/backup
+    * dirs that the next compaction run clears (parquet readers skip
+    * dot-dirs, so leftovers never pollute answers).
+    *
+    * File sizing: each rewritten cell coalesces to one task's output split
+    * by `maxRecordsPerFile` (derived from `targetBytesPerFile` and the
+    * cell's measured bytes-per-row), so oversized cells still split into
+    * sane scan units instead of one giant file.
+    */
+  def ivfPqCompactIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String,
+                        maxFilesPerCell: Int = 8,
+                        targetBytesPerFile: Long = 128L * 1024 * 1024): CompactionStats = {
+    require(maxFilesPerCell >= 1, "maxFilesPerCell must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpRoot = new org.apache.hadoop.fs.Path(root, ".dq_compact_tmp")
+    val bakRoot = new org.apache.hadoop.fs.Path(root, ".dq_compact_bak")
+    // clear leftovers from a crashed prior run (swapped cells stayed whole)
+    Seq(tmpRoot, bakRoot).foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    val stats = ivfPqIndexFileStats(spark, indexPath)
+    val frag = stats.filter(_.files > maxFilesPerCell)
+    if (frag.isEmpty) return CompactionStats(0, stats.map(_.files).sum,
+      stats.map(_.files).sum, 0L)
+    val fragCells = frag.map(_.cell)
+    val fragRows = spark.read.parquet(indexPath)
+      .where(col("cell").isin(fragCells: _*)) // partition filter: only frag cells read
+    val rows = fragRows.count()
+    // bytes-per-row from the census (compressed, the unit that matters for
+    // scan splits); guard against empty/degenerate cells
+    val bpr = math.max(1L, frag.map(_.bytes).sum / math.max(1L, rows))
+    val maxRecords = math.max(1L, targetBytesPerFile / bpr)
+    fragRows
+      .repartition(fragCells.length, col("cell"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecords)
+      .partitionBy("cell")
+      .parquet(tmpRoot.toString)
+    fs.mkdirs(bakRoot)
+    fragCells.foreach { c =>
+      val live = new org.apache.hadoop.fs.Path(root, s"cell=$c")
+      val fresh = new org.apache.hadoop.fs.Path(tmpRoot, s"cell=$c")
+      val bak = new org.apache.hadoop.fs.Path(bakRoot, s"cell=$c")
+      // a frag cell with zero ROWS (fragmented empty files) produces no
+      // output dir; leave it untouched rather than swap in nothing
+      if (fs.exists(fresh)) {
+        require(fs.rename(live, bak), s"could not stage out cell=$c")
+        require(fs.rename(fresh, live), s"could not swap in compacted cell=$c")
+      }
+    }
+    Seq(tmpRoot, bakRoot).foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    val after = ivfPqIndexFileStats(spark, indexPath)
+    CompactionStats(fragCells.length, stats.map(_.files).sum,
+      after.map(_.files).sum, rows)
+  }
+
   /** Query half over a PREBUILT index frame `(neighbor_id, cell, codes,
     * vector)` — typically `spark.read.parquet(indexPath)` of an
     * [[ivfPqBuildIndex]] output written `partitionBy("cell")`, with the

@@ -443,6 +443,51 @@ class PqSpec extends SparkSpec {
     assert(skewDrifted > skewBalanced, s"drifted=$skewDrifted balanced=$skewBalanced")
   }
 
+  test("index compaction: fragmented cells rewritten in place, answers and pruning preserved") {
+    // per-batch appends add >= 1 file per touched cell per batch; compaction
+    // is the maintenance half — only fragmented cells are re-read (partition
+    // pruned), each swapped atomically, answers byte-identical
+    val data = clustered(600, 6)
+    val seed = data.filter(_._1 % 3 == 0)
+    val rest = data.filterNot(_._1 % 3 == 0)
+    val (model, idx0) = Pq.ivfPqBuildIndex(seed.toDF("vec_id", "v"), "vec_id", "v",
+      numCells = 6, numBlocks = 4, codebookSize = 8, trainRows = 600, seed = 7)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_compact").toString
+    idx0.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    rest.grouped(67).foreach { chunk =>
+      graft.streaming.StreamingRecipes.ivfPqAppendBatch(
+        model, chunk.toDF("vec_id", "v"), "vec_id", "v", dir)
+    }
+    val before = Pq.ivfPqIndexFileStats(spark, dir)
+    assert(before.exists(_.files > 3), s"fixture not fragmented: $before")
+    def snapshot() = spark.read.parquet(dir)
+      .select("neighbor_id", "cell", "codes", "vector")
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+    val queries = data.take(3).map { case (id, v) => (id, v.toArray) }
+    def answers() = Pq.ivfPqTopKIndexed(spark.read.parquet(dir), model, queries,
+        k = 5, nprobe = 3, shortlist = 50)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val (rowsBefore, ansBefore) = (snapshot(), answers())
+    val st = Pq.ivfPqCompactIndex(spark, dir, maxFilesPerCell = 3)
+    assert(st.cellsRewritten == before.count(_.files > 3), st.toString)
+    assert(st.filesAfter < st.filesBefore, st.toString)
+    val after = Pq.ivfPqIndexFileStats(spark, dir)
+    assert(after.forall(_.files <= 3), s"still fragmented after compaction: $after")
+    assert(after.map(_.cell) == before.map(_.cell), "compaction changed the cell domain")
+    assert(snapshot() == rowsBefore, "compaction changed index rows")
+    assert(answers() == ansBefore && ansBefore.nonEmpty)
+    // partition pruning intact on the compacted layout
+    val out = Pq.ivfPqTopKIndexed(spark.read.parquet(dir), model, queries,
+      k = 5, nprobe = 3, shortlist = 50)
+    out.collect()
+    val scans = out.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.forall(_.partitionFilters.nonEmpty), "compacted index scan lost partition pruning")
+    // idempotent: a healthy index is a no-op
+    val st2 = Pq.ivfPqCompactIndex(spark, dir, maxFilesPerCell = 3)
+    assert(st2.cellsRewritten == 0 && st2.rowsRewritten == 0L, st2.toString)
+  }
+
   test("train validates inputs") {
     val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
     intercept[IllegalArgumentException] { Pq.train(df, "v", numBlocks = 2) }
