@@ -47,6 +47,26 @@ object PowBuildProbe {
       val joins = counted.queryExecution.optimizedPlan.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.size
       println(f"POWPROBE round=$r build=$build%.3f opt=$opt%.3f exec=$exec%.3f joins=$joins")
+      if (r == 0) {
+        val honest = out.select(count(org.apache.spark.sql.functions.when(
+          col("_errors").isNotNull, 1)))
+        honest.collect()
+        val plan = honest.queryExecution.executedPlan.toString
+        val stageIds = "ShuffleQueryStage (\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toList
+        val reused = "ReusedExchange".r.findAllIn(plan).size
+        val exch = "Exchange".r.findAllIn(plan).size
+        val aggs = "HashAggregate".r.findAllIn(plan).size
+        val scans = "Scan\\b".r.findAllIn(plan).size
+        println(s"POWPROBE honest-plan: exchanges=$exch reused=$reused hashAggs=$aggs " +
+          s"stages=${stageIds.size} distinctStages=${stageIds.distinct.size} scans=$scans")
+        val ranges = "Range \\(".r.findAllIn(plan).size
+        val partialAggs = "partial_count".r.findAllIn(plan).size
+        val pctAggs = "percentile_approx".r.findAllIn(plan).size
+        println(s"POWPROBE leafs: ranges=$ranges partialCounts=$partialAggs pct=$pctAggs")
+        println("POWPROBE stages: " + "ShuffleQueryStage \\d+".r.findAllIn(plan).mkString(","))
+        java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/pow_plan.txt"),
+          plan.getBytes)
+      }
 
     }
     spark.stop()
