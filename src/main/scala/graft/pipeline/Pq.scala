@@ -453,6 +453,9 @@ object Pq {
     * racing a compaction see each cell either pre- or post-swap with
     * identical answers; a reader that LISTS files mid-swap of one cell can
     * still hit a transient miss, so schedule compaction off the query peak.
+    * PAUSE INGEST while compacting: an append landing a file into a cell
+    * between its census and its swap would be staged out with the old
+    * directory and deleted — writers and the compactor must not overlap.
     * Crash safety: the new files land under a hidden `.dq_compact_tmp` dir
     * first and replaced directories are deleted only after their swap —
     * a crash leaves every cell fully old or fully new, plus tmp/backup

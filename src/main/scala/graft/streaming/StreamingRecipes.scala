@@ -206,9 +206,10 @@ object StreamingRecipes {
     val guarded =
       if (!replayGuard) encoded
       else {
-        val hp = new org.apache.hadoop.fs.Path(indexPath)
-        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(hp)) encoded
+        // file-census existence check, not bare exists(): an empty directory
+        // (no cell= data yet) would fail parquet schema inference
+        if (graft.pipeline.Pq.ivfPqIndexFileStats(spark, indexPath)
+              .forall(_.files == 0)) encoded
         else {
           // driver-side touched-cell list: bounded by the model's cell count,
           // and as literals the isin() prunes index partitions at plan time
