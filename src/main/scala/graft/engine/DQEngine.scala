@@ -54,12 +54,19 @@ object DQEngine {
     // multiset, so later probes may aggregate over `df` instead of `current`
     var baseRowParity = true
     // data-dependent parity verdicts deferred until a later check actually
-    // wants the base (DatasetCheck.rowPreservingProbe): (rule name, probe)
-    var pendingParityProbes: List[(String, () => Boolean)] = Nil
+    // wants the base (DatasetCheck.rowPreservingProbe): (rule name, key, probe)
+    var pendingParityProbes: List[(String, Option[String], () => Boolean)] = Nil
+    // one probe ACTION per distinct key per applyChecks run (five compares
+    // against the same ref cost one ref scan); never cached across runs
+    val parityProbeResults = scala.collection.mutable.Map.empty[String, Boolean]
     def baseParityNow(): Boolean = {
       if (baseRowParity && pendingParityProbes.nonEmpty) {
-        pendingParityProbes.reverse.foreach { case (name, probe) =>
-          if (baseRowParity && !probe()) {
+        pendingParityProbes.reverse.foreach { case (name, key, probe) =>
+          def result: Boolean = key match {
+            case Some(k) => parityProbeResults.getOrElseUpdate(k, probe())
+            case None => probe()
+          }
+          if (baseRowParity && !result) {
             baseRowParity = false
             val reason = "reference join keys are not unique (data probe), so the check " +
               "may fan out rows — stacked checks revert to chained frames"
@@ -168,7 +175,8 @@ object DQEngine {
               // parity is data-dependent: defer the probe action until a
               // later check actually asks for the pristine base, so suites
               // that never do (or where this check is last) pay nothing
-              case Some(p) => pendingParityProbes ::= (r.resolvedName, p)
+              case Some(p) =>
+                pendingParityProbes ::= ((r.resolvedName, r.check.rowPreservingProbeKey, p))
               case None => baseRowParity = false
             }
             maybeCheckpoint()

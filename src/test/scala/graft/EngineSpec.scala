@@ -440,6 +440,36 @@ class EngineSpec extends SparkSpec {
     assert(answers(probed) == answers(guaranteed))
   }
 
+  test("one probe action per distinct ref: stacked compares share the uniqueness verdict") {
+    // 5 compares against one ref must not cost 4 ref scans (caught on the
+    // bench's foreach_compare_datasets): the engine dedupes pending probes
+    // by the ref's semantic identity within one applyChecks run
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("refEvals")
+    val ref = spark.range(0, 20, 1, 2).map { x => acc.add(1); x }.toDF("rk")
+    val df = spark.range(0, 50).toDF("id").withColumn("g", col("id") % 5)
+    val rules: Seq[DQRule] = (1 to 3).map(i => DQDatasetRule(
+      DatasetChecks.compareDatasets(Seq("id"), Seq("rk"), ref),
+      "compare_datasets", Seq("id"), name = s"cmp_$i")) :+
+      DQDatasetRule(DatasetChecks.sqlQuery(
+        "SELECT g, COUNT(*) > 100 AS condition FROM {{input_view}} GROUP BY g",
+        mergeColumns = Seq("g"), conditionColumn = "condition"), "sql_query", Seq("g"),
+        name = "sq")
+    DQEngine.applyChecks(df, rules, extra)
+    assert(acc.value == 20, s"expected one 20-row probe scan of the ref, saw ${acc.value} row evals")
+    // key semantics: equal plans share a key, different plans do not, and
+    // the explicit guarantee skips probing entirely
+    val k1 = DatasetChecks.compareDatasets(Seq("id"), Seq("id"),
+      spark.range(0, 10).toDF("id")).rowPreservingProbeKey
+    val k2 = DatasetChecks.compareDatasets(Seq("id"), Seq("id"),
+      spark.range(0, 10).toDF("id")).rowPreservingProbeKey
+    val k3 = DatasetChecks.compareDatasets(Seq("id"), Seq("id"),
+      spark.range(0, 11).toDF("id")).rowPreservingProbeKey
+    assert(k1.isDefined && k1 == k2 && k1 != k3)
+    assert(DatasetChecks.compareDatasets(Seq("id"), Seq("id"),
+      spark.range(0, 10).toDF("id"), refKeysUnique = true).rowPreservingProbeKey.isEmpty)
+  }
+
   test("mixed 28-check stack grows linearly and fence-free under defaults") {
     // VERDICT r11 next #5 + r12 next #5: the guarantee a 100-rule production
     // suite rests on — every BUILT-IN self-join-shaped check roots its
