@@ -32,10 +32,16 @@ object BenchRefMain {
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
     // disk_mb_s in the contract line lets the PARENT of an isolation child
-    // stamp each child's own disk state onto its isolated rows
+    // stamp each child's own disk state onto its isolated rows; suite_metrics
+    // likewise carries the per-suite spill/shuffle attribution (VERDICT r13
+    // next #7) so isolated cells keep theirs across the process boundary
+    val sm = stats.filter(_.spillDiskMb >= 0).map { s =>
+      f""""${s.name}":{"spill_disk_mb":${s.spillDiskMb}%.1f,"spill_mem_mb":${s.spillMemMb}%.1f,""" +
+        f""""shuffle_write_mb":${s.shuffleWriteMb}%.1f,"shuffle_read_mb":${s.shuffleReadMb}%.1f}"""
+    }.mkString("{", ",", "}")
     val line = f"""{"metric":"ref_total","value":$total%.4f,"unit":"sec","queries":$qs,""" +
       f""""rows":$rows,"protocol":${BenchRef.ProtocolVersion},""" +
-      f""""disk_mb_s":${BenchRef.diskProbeMbS}%.1f}"""
+      f""""disk_mb_s":${BenchRef.diskProbeMbS}%.1f,"suite_metrics":$sm}"""
     println(line)
     BenchRef.writeArtifacts(
       BenchRef.artifactJson("graft.BenchRefMain", times, stats, "synthetic", rows, rounds))

@@ -130,6 +130,7 @@ object DQEngine {
             }
         }
       case r: DQDatasetRule =>
+        val appliedTo = current // the frame this check's apply receives
         Try {
           val next = r.check.madSpec.filter(sp => batchKeys(sp.loCol)) match {
             case Some(sp) => attachBand(current, sp) // batched MAD band
@@ -171,13 +172,25 @@ object DQEngine {
           case Success(next) =>
             current = next
             appliedDatasetChecks += 1
-            if (!r.check.rowPreserving) r.check.rowPreservingProbe match {
-              // parity is data-dependent: defer the probe action until a
-              // later check actually asks for the pristine base, so suites
-              // that never do (or where this check is last) pay nothing
-              case Some(p) =>
-                pendingParityProbes ::= ((r.resolvedName, r.check.rowPreservingProbeKey, p))
-              case None => baseRowParity = false
+            if (!r.check.rowPreserving) {
+              // zero-cost first: parity decidable from the plan shape the
+              // apply picked for THIS input (per check, never memoized —
+              // same ref, different input schema may pick another path)
+              val staticVerdict: Option[Boolean] = r.check.rowParityStatic
+                .flatMap(f => Try(f(appliedTo)).toOption.flatten)
+              staticVerdict match {
+                case Some(true) => () // provably preserved rows, no probe
+                case Some(false) => baseRowParity = false
+                case None => r.check.rowPreservingProbe match {
+                  // parity is data-dependent: defer the probe action until a
+                  // later check actually asks for the pristine base, so
+                  // suites that never do (or where this check is last) pay
+                  // nothing
+                  case Some(p) =>
+                    pendingParityProbes ::= ((r.resolvedName, r.check.rowPreservingProbeKey, p))
+                  case None => baseRowParity = false
+                }
+              }
             }
             maybeCheckpoint()
             r.check.infoColName.foreach(infoCols += _)

@@ -460,7 +460,12 @@ object Pq {
     * first and replaced directories are deleted only after their swap —
     * a crash leaves every cell fully old or fully new, plus tmp/backup
     * dirs that the next compaction run clears (parquet readers skip
-    * dot-dirs, so leftovers never pollute answers).
+    * dot-dirs, so leftovers never pollute answers). The per-cell swap is
+    * two renames (`live -> bak`, then `tmp -> live`); a crash between them
+    * leaves the cell's only copies inside the dot-dirs, so the leftover
+    * cleanup first RESTORES any staged-out `cell=` whose live directory is
+    * missing (old copy from bak, else the finished fresh copy from tmp)
+    * before deleting the roots — no crash point loses rows.
     *
     * File sizing: each rewritten cell coalesces to one task's output split
     * by `maxRecordsPerFile` (derived from `targetBytesPerFile` and the
@@ -476,7 +481,22 @@ object Pq {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmpRoot = new org.apache.hadoop.fs.Path(root, ".dq_compact_tmp")
     val bakRoot = new org.apache.hadoop.fs.Path(root, ".dq_compact_bak")
-    // clear leftovers from a crashed prior run (swapped cells stayed whole)
+    // Recover, then clear, leftovers from a crashed prior run. A crash
+    // between the two swap renames leaves a cell ONLY under the dot-dirs;
+    // restore any such cell before deleting anything (bak holds the proven
+    // old copy — prefer it; a cell present only in tmp with no live dir
+    // cannot arise from the swap order below, but restore it defensively).
+    Seq(bakRoot, tmpRoot).foreach { staged =>
+      if (fs.exists(staged)) {
+        fs.listStatus(staged).filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("cell=")).foreach { s =>
+          val live = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
+          if (!fs.exists(live))
+            require(fs.rename(s.getPath, live),
+              s"could not restore staged-out ${s.getPath.getName} after a crashed compaction")
+        }
+      }
+    }
     Seq(tmpRoot, bakRoot).foreach(p => if (fs.exists(p)) fs.delete(p, true))
     val stats = ivfPqIndexFileStats(spark, indexPath)
     val frag = stats.filter(_.files > maxFilesPerCell)

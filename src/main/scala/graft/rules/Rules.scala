@@ -26,15 +26,30 @@ import org.apache.spark.sql.{Column, DataFrame}
   * check_missing_records and may FAN OUT rows on duplicate reference keys,
   * so pristine-frame counts would no longer match).
   *
+  * `rowParityStatic` (VERDICT r13 next #3): a check whose parity depends on
+  * which INTERNAL PLAN SHAPE its apply picked (compare_datasets' presence
+  * path joins against ref keys aggregated to distinct, so it can never fan
+  * out or append, whatever the ref data holds) may supply a zero-cost
+  * post-apply analysis: given the frame the check was just applied to, it
+  * returns `Some(verdict)` when parity is decidable from plan shape alone,
+  * `None` when it genuinely depends on the data. The engine consults it
+  * FIRST, per check and never memoized (two checks over the same ref may
+  * pick different paths for different input schemas — sharing a path
+  * verdict under the ref-identity key would be wrong, the reason the r13
+  * presence-path shortcut was rejected); only a `None` falls through to
+  * the data probe below.
+  *
   * `rowPreservingProbe` (VERDICT r12 next #3): a check whose row-parity
   * depends on the DATA (compare_datasets preserves rows exactly when the
   * reference's join keys are unique) may supply a deferred data probe
   * instead of a static verdict. The engine consults it LAZILY — only when a
   * later check actually asks for the pristine base — so suites where the
   * check is last, or where nothing downstream is base-rooted, never pay the
-  * probe action. Ignored when `rowPreserving` is already true; the probe
-  * must be memoized by its supplier (the engine may consult it once per
-  * downstream check).
+  * probe action. Ignored when `rowPreserving` is already true. The supplier
+  * must NOT cache its verdict across calls (ADVICE r13: a rule object
+  * reused run-to-run would keep a stale unique=true after the ref gains
+  * duplicate keys); within one run the engine already memoizes per
+  * `rowPreservingProbeKey`.
   *
   * `rowPreservingProbeKey`: optional semantic identity of what the probe
   * measures (e.g. ref-plan hash + join columns). Within ONE applyChecks
@@ -50,7 +65,8 @@ final case class DatasetCheck(applyFn: DataFrame => DataFrame, condition: Column
                               applyWithBase: Option[(DataFrame, DataFrame) => DataFrame] = None,
                               rowPreserving: Boolean = true,
                               rowPreservingProbe: Option[() => Boolean] = None,
-                              rowPreservingProbeKey: Option[String] = None)
+                              rowPreservingProbeKey: Option[String] = None,
+                              rowParityStatic: Option[DataFrame => Option[Boolean]] = None)
 
 /** Declarative description of a MAD-outlier band so the engine can batch the
   * driver-side stats of N `has_no_outliers` rules into two actions total (one

@@ -319,14 +319,27 @@ class EdgeCaseSpec extends SparkSpec {
         s(i) -> ((sumPrev, nxt))
       }.toMap
     }
+    // boundsSampleMod=1 collects every key: exact quantile boundaries, so
+    // buckets genuinely split and the cross-boundary repair is exercised
+    // (the production default's 1-in-1000 sample would leave a 100-row
+    // frame in one bucket — covered by the default-sample cell below)
     for (p <- Seq(1, 4, 7, 137)) { // 137 > rows: most partitions empty
-      val out = DatasetChecks.withPartitionedOrderedWindow(df, "v", 3, 1, Some(p)) { (f, w) =>
+      val out = DatasetChecks.withPartitionedOrderedWindow(df, "v", 3, 1, Some(p),
+        boundsSampleMod = 1) { (f, w) =>
         f.withColumn("sp", sum(col("v")).over(w.rowsBetween(-3, -1)))
           .withColumn("nx", lead(col("v"), 1).over(w))
       }.collect().map(r => r.getInt(0) ->
         ((Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.get(2)).map(_.asInstanceOf[Int])))).toMap
       assert(out == expected, s"mismatch at numParts=$p")
     }
+    // production default (sampled boundaries): a small frame degrades to
+    // fewer effective buckets, never to a wrong answer
+    val outDefault = DatasetChecks.withPartitionedOrderedWindow(df, "v", 3, 1, Some(8)) { (f, w) =>
+      f.withColumn("sp", sum(col("v")).over(w.rowsBetween(-3, -1)))
+        .withColumn("nx", lead(col("v"), 1).over(w))
+    }.collect().map(r => r.getInt(0) ->
+      ((Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.get(2)).map(_.asInstanceOf[Int])))).toMap
+    assert(outDefault == expected, "mismatch under default sampled boundaries")
   }
 
   test("partitioned ordered window: randomized equivalence vs global window (seeded)") {
@@ -339,6 +352,10 @@ class EdgeCaseSpec extends SparkSpec {
       val prev = rnd.nextInt(6) // 0..5
       val next = rnd.nextInt(3) // 0..2
       val p = 1 + rnd.nextInt(50)
+      // exact (1), partial-sample (3: boundaries from ~a third of the keys
+      // — buckets still split AND the sampled path is exercised), and the
+      // production default (degenerate single bucket at these sizes)
+      val sampleMod = Seq(1, 3, 1000)(rnd.nextInt(3))
       val vals = rnd.shuffle((0 until 1000).toList).take(n) // distinct
       val df = vals.toDF("v")
       def addC(f: org.apache.spark.sql.DataFrame,
@@ -349,11 +366,12 @@ class EdgeCaseSpec extends SparkSpec {
       }
       def key(r: org.apache.spark.sql.Row) =
         (r.getInt(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]))
-      val got = DatasetChecks.withPartitionedOrderedWindow(df, "v", prev, next, Some(p))(addC)
+      val got = DatasetChecks.withPartitionedOrderedWindow(df, "v", prev, next, Some(p),
+          boundsSampleMod = sampleMod)(addC)
         .collect().map(key).toSet
       val want = addC(df, org.apache.spark.sql.expressions.Window.orderBy(col("v")))
         .collect().map(key).toSet
-      assert(got == want, s"mismatch at n=$n prev=$prev next=$next p=$p")
+      assert(got == want, s"mismatch at n=$n prev=$prev next=$next p=$p sampleMod=$sampleMod")
     }
   }
 
@@ -395,13 +413,15 @@ class EdgeCaseSpec extends SparkSpec {
       .select((col("id") / 100).cast("int")).distinct().as[Int].collect().toSet
     assert(outlierBuckets == expectOutlierBuckets)
     assert(expectOutlierBuckets.nonEmpty && expectGapBuckets.nonEmpty) // tests bite
-    // the r11 watch item is gone: no WindowExec anywhere in either plan runs
-    // with an empty partition spec (the "No Partition Defined" collapse)
+    // the r11 watch item is gone: no Window anywhere in either plan runs
+    // with an empty partition spec (the "No Partition Defined" collapse).
+    // Logical-plan check: the physical WindowExec hides inside AQE stages,
+    // which made the old executedPlan.collect vacuously empty (r14 fix).
     for (out <- Seq(gapOut, outOut)) {
-      val windows = out.queryExecution.executedPlan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec => w }
-      assert(windows.forall(_.partitionSpec.nonEmpty),
-        "single-partition WindowExec found in ungrouped time-bucket check")
+      val windows = out.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+      assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+        "single-partition Window found in ungrouped fine-grain time-bucket check")
     }
     // count-parity protocol: an UNREAD verdict must still prune the whole
     // check subtree. The helper's localCheckpoint hides the bucket
@@ -416,6 +436,61 @@ class EdgeCaseSpec extends SparkSpec {
       assert(joins.isEmpty, "unread time-bucket verdict did not prune its join-back")
       assert(!counted.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
         "pruned plan still materializes the helper checkpoint")
+    }
+  }
+
+  test("coarse-grain time-bucket checks take the plain single-task window") {
+    // VERDICT r13 next #2: a frame provably below ~640k rows (bounded by
+    // horizon/grain, NOT by a data probe) must skip the bucket machinery —
+    // one small sorted task instead of bounds aggregate + crossJoin + AQE
+    // waves. Fine grains keep the partitioned shape (previous test).
+    assert(DatasetChecks.intervalSecondsOf("30 days") == 30L * 86400)
+    assert(DatasetChecks.intervalSecondsOf("1 hour 30 minutes") == 5400L)
+    assert(DatasetChecks.intervalSecondsOf("2 weeks") == 1209600L)
+    assert(DatasetChecks.intervalSecondsOf("garbage") == 0L)
+    assert(DatasetChecks.intervalSecondsOf("500 milliseconds") == 0L) // sub-second: stay partitioned
+    assert(DatasetChecks.orderedWindowPartsFor(86400L).contains(1))        // day grain: <= 73k buckets
+    assert(DatasetChecks.orderedWindowPartsFor(30L * 86400).contains(1))   // 30 days
+    assert(DatasetChecks.orderedWindowPartsFor(3600L).isEmpty)             // hour grain: ~1.76M
+    assert(DatasetChecks.orderedWindowPartsFor(60L).isEmpty)
+    assert(DatasetChecks.orderedWindowPartsFor(0L).isEmpty)
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 100).flatMap { d =>
+      val n = if (d == 50) 20 else 1
+      (0 until n).map(i => (d * 100 + i, new Timestamp(base + d * 86400000L)))
+    }
+    val df = rows.toDF("id", "ts")
+    // day-50 burst vs a zero-variance rolling band: exactly that bucket fails
+    val outOut = DQEngine.applyChecks(df, Seq(DQDatasetRule(
+      DatasetChecks.hasNoAggrOutliers("*", "ts", "count", sigma = 3.0,
+        lookback = 5, warmup = 3, timeInterval = "1 day"),
+      "has_no_aggr_outliers", Seq("ts"))))
+    assert(outOut.where(col("_errors").isNotNull).count() == 20)
+    // gaps at daily windows: drop day 70 -> day 69 flagged
+    val gdf = rows.filterNot(_._1 / 100 == 70).toDF("id", "ts")
+    val gapOut = DQEngine.applyChecks(gdf, Seq(DQDatasetRule(
+      DatasetChecks.hasNoGapsPerTimeWindow("ts", 1440), "has_no_gaps", Seq("ts"))))
+    assert(gapOut.where(col("_errors").isNotNull)
+      .select((col("id") / 100).cast("int")).distinct().as[Int].collect().toSet == Set(69))
+    for (out <- Seq(outOut, gapOut)) {
+      // plain path fired: the one ordered window runs with an EMPTY
+      // partition spec and no bucket union/crossJoin exists anywhere
+      // (logical plan: the physical WindowExec hides inside AQE stages)
+      val windows = out.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+      assert(windows.nonEmpty && windows.forall(_.partitionSpec.isEmpty),
+        "coarse grain did not take the plain single-task window")
+      val unions = out.queryExecution.optimizedPlan.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }
+      assert(unions.isEmpty, "plain path still built the bucket union")
+      // unread verdict still prunes the whole subtree (no dropDuplicates
+      // re-proof needed: the frame is an Aggregate/Distinct, so the order
+      // key's uniqueness propagates naturally)
+      val counted = out.select(count(lit(1)))
+      val joins = counted.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      assert(joins.isEmpty, "unread coarse-grain verdict did not prune its join-back")
     }
   }
 

@@ -443,19 +443,27 @@ class EngineSpec extends SparkSpec {
   test("one probe action per distinct ref: stacked compares share the uniqueness verdict") {
     // 5 compares against one ref must not cost 4 ref scans (caught on the
     // bench's foreach_compare_datasets): the engine dedupes pending probes
-    // by the ref's semantic identity within one applyChecks run
+    // by the ref's semantic identity within one applyChecks run — and
+    // (VERDICT r13 next #3) presence-path compares never probe at all:
+    // their parity is decided statically from the plan shape.
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("refEvals")
     val ref = spark.range(0, 20, 1, 2).map { x => acc.add(1); x }.toDF("rk")
     val df = spark.range(0, 50).toDF("id").withColumn("g", col("id") % 5)
-    val rules: Seq[DQRule] = (1 to 3).map(i => DQDatasetRule(
-      DatasetChecks.compareDatasets(Seq("id"), Seq("rk"), ref),
+    def rules(prefilter: Boolean): Seq[DQRule] = (1 to 3).map(i => DQDatasetRule(
+      DatasetChecks.compareDatasets(Seq("id"), Seq("rk"), ref, hashPrefilter = prefilter),
       "compare_datasets", Seq("id"), name = s"cmp_$i")) :+
       DQDatasetRule(DatasetChecks.sqlQuery(
         "SELECT g, COUNT(*) > 100 AS condition FROM {{input_view}} GROUP BY g",
         mergeColumns = Seq("g"), conditionColumn = "condition"), "sql_query", Seq("g"),
         name = "sq")
-    DQEngine.applyChecks(df, rules, extra)
+    // default dispatch: no compared value columns -> presence path, whose
+    // distinct-key aggregate join cannot fan out — ZERO probe scans
+    DQEngine.applyChecks(df, rules(prefilter = true), extra)
+    assert(acc.value == 0, s"presence-path compare must not probe, saw ${acc.value} row evals")
+    // wide path (prefilter off): parity is data-dependent — 3 compares
+    // against one ref share ONE slim scan
+    DQEngine.applyChecks(df, rules(prefilter = false), extra)
     assert(acc.value == 20, s"expected one 20-row probe scan of the ref, saw ${acc.value} row evals")
     // key semantics: equal plans share a key, different plans do not, and
     // the explicit guarantee skips probing entirely
@@ -468,6 +476,32 @@ class EngineSpec extends SparkSpec {
     assert(k1.isDefined && k1 == k2 && k1 != k3)
     assert(DatasetChecks.compareDatasets(Seq("id"), Seq("id"),
       spark.range(0, 10).toDF("id"), refKeysUnique = true).rowPreservingProbeKey.isEmpty)
+  }
+
+  test("uniqueness probe: structural distinct-keys proof is scan-free; data verdict never cached across calls") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("refEvals2")
+    val ref = spark.range(0, 20, 1, 2).map { x => acc.add(1); x % 5 }.toDF("rk")
+    // dropDuplicates on the join keys: Catalyst's distinct-keys propagation
+    // proves uniqueness on the optimized plan — the probe returns true with
+    // ZERO executed jobs (VERDICT r13 next #3's zero-cost proof)
+    val structural = DatasetChecks.compareDatasets(Seq("id"), Seq("rk"),
+      ref.dropDuplicates("rk"), hashPrefilter = false).rowPreservingProbe.get
+    assert(structural() && acc.value == 0,
+      s"structural proof must not scan, saw ${acc.value} row evals")
+    assert(DatasetChecks.refKeysStructurallyUnique(ref.dropDuplicates("rk"), Seq("rk")))
+    assert(!DatasetChecks.refKeysStructurallyUnique(ref, Seq("rk")))
+    // ADVICE r13: the supplier must NOT cache across calls — a rule object
+    // reused run-to-run would keep a stale unique=true after the ref gains
+    // duplicates; per-run memoization is the engine's, not the supplier's
+    val dataProbe = DatasetChecks.compareDatasets(Seq("id"), Seq("rk"), ref,
+      hashPrefilter = false).rowPreservingProbe.get
+    assert(!dataProbe()) // rk = x % 5 has duplicates
+    val after1 = acc.value
+    assert(after1 >= 20, s"data probe did not scan: $after1")
+    assert(!dataProbe())
+    assert(acc.value == 2 * after1,
+      s"probe verdict cached across calls: ${acc.value} vs ${2 * after1}")
   }
 
   test("mixed 28-check stack grows linearly and fence-free under defaults") {

@@ -486,6 +486,84 @@ class PqSpec extends SparkSpec {
     // idempotent: a healthy index is a no-op
     val st2 = Pq.ivfPqCompactIndex(spark, dir, maxFilesPerCell = 3)
     assert(st2.cellsRewritten == 0 && st2.rowsRewritten == 0L, st2.toString)
+
+    // --- crash-recovery: a crash BETWEEN the two swap renames leaves the
+    // cell only under the dot-dirs; the next run must RESTORE it before
+    // clearing leftovers (the r13 cleanup deleted both copies — data loss)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellName = s"cell=${after.head.cell}"
+    val live = new org.apache.hadoop.fs.Path(dir, cellName)
+    val bak = new org.apache.hadoop.fs.Path(dir, s".dq_compact_bak/$cellName")
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".dq_compact_tmp/$cellName")
+    // stage the "fresh" copy in tmp (content-identical, as a finished
+    // rewrite would be), then simulate the crash point: live renamed to bak,
+    // fresh never swapped in
+    fs.mkdirs(tmp.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, tmp, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(live, bak), "fixture: could not stage out the cell")
+    assert(!fs.exists(live) && fs.exists(bak) && fs.exists(tmp))
+    val stRec = Pq.ivfPqCompactIndex(spark, dir, maxFilesPerCell = 3)
+    assert(fs.exists(live), "crashed-swap cell not restored")
+    assert(!fs.exists(bak.getParent) && !fs.exists(tmp.getParent),
+      "dot-dirs not cleared after recovery")
+    assert(snapshot() == rowsBefore, "crash recovery lost or duplicated rows")
+    assert(answers() == ansBefore, "crash recovery changed k-NN answers")
+    assert(stRec.cellsRewritten == 0, stRec.toString) // index was healthy
+  }
+
+  test("index compaction: concurrent readers see pre- or post-swap answers, never partial") {
+    // Pins the prose contract: a query racing a compaction returns the same
+    // answers either way (row content preserved; per-cell swap atomic). A
+    // reader that LISTs mid-swap may hit a documented transient file miss —
+    // tolerated; a WRONG answer is not.
+    val data = clustered(600, 6)
+    val (model, idx0) = Pq.ivfPqBuildIndex(data.toDF("vec_id", "v"), "vec_id", "v",
+      numCells = 6, numBlocks = 4, codebookSize = 8, trainRows = 600, seed = 7)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_race").toString
+    idx0.repartition(6, col("cell")).write.mode("overwrite")
+      .option("maxRecordsPerFile", 8).partitionBy("cell").parquet(dir)
+    val queries = data.take(3).map { case (id, v) => (id, v.toArray) }
+    val expected = Pq.ivfPqTopKIndexed(spark.read.parquet(dir), model, queries,
+        k = 5, nprobe = 3, shortlist = 50)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    @volatile var stop = false
+    @volatile var wrong: Option[String] = None
+    val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop && wrong.isEmpty) {
+        try {
+          val got = Pq.ivfPqTopKIndexed(spark.read.parquet(dir), model, queries,
+              k = 5, nprobe = 3, shortlist = 50)
+            .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+          if (got != expected) wrong = Some(s"racing reader got $got")
+        } catch {
+          case t: Throwable =>
+            // unwrap: only a listed-then-swapped file miss is tolerated
+            val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toList
+            if (chain.exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+                Option(c.getMessage).exists(_.contains("FileNotFound"))))
+              misses.incrementAndGet()
+            else wrong = Some(s"racing reader threw: $t")
+        }
+      }
+    })
+    reader.start()
+    try {
+      // each pass triggers on the fragmented layout and REWRITES it
+      // fragmented again (1 record/file), so every iteration exercises the
+      // full census -> rewrite -> per-cell-swap window under the reader
+      for (_ <- 1 to 4 if wrong.isEmpty)
+        Pq.ivfPqCompactIndex(spark, dir, maxFilesPerCell = 3, targetBytesPerFile = 1L)
+      Pq.ivfPqCompactIndex(spark, dir, maxFilesPerCell = 3) // leave it healthy
+    } finally { stop = true; reader.join(60000) }
+    assert(wrong.isEmpty, wrong.getOrElse(""))
+    val finalAns = Pq.ivfPqTopKIndexed(spark.read.parquet(dir), model, queries,
+        k = 5, nprobe = 3, shortlist = 50)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(finalAns == expected)
   }
 
   test("train validates inputs") {
