@@ -148,6 +148,31 @@ object DatasetCheckQueries {
              |WHERE to_timestamp(floor(epoch(ts) / 86400) * 86400) IN (SELECT g FROM bad)
              |ORDER BY 1""".stripMargin)),
 
+    // Same rolling-band check at 15-minute grain: orderedWindowPartsFor(900)
+    // is None, so THIS gate oracle-pins the partitioned bucket-repair window
+    // (the 1-day gate above now takes the plain single-task path — r14's
+    // static small-frame gate would otherwise leave the partitioned
+    // rolling-band shape spec-pinned only).
+    "ds_has_no_aggr_outliers_fine" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .where(!(dayofmonth(col("ts")) === 15 && col("event_id") % 10 =!= 0))
+        failing(ev, ds(D.hasNoAggrOutliers("*", "ts", "count", sigma = 6.0, lookback = 10,
+          warmup = 3, timeInterval = "15 minutes"), "has_no_aggr_outliers", "ts"),
+          Seq("event_id"))
+      },
+      Some("""WITH ev AS (SELECT * FROM events WHERE NOT (date_part('day', ts) = 15 AND event_id % 10 != 0)),
+             |b AS (SELECT to_timestamp(floor(epoch(ts) / 900) * 900) AS g, count(*) AS c FROM ev GROUP BY 1),
+             |st AS (SELECT g, c,
+             |         avg(c)        OVER (ORDER BY g ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS m,
+             |         stddev_pop(c) OVER (ORDER BY g ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS sd,
+             |         count(c)      OVER (ORDER BY g ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS n
+             |       FROM b),
+             |bad AS (SELECT g FROM st WHERE n >= 3 AND sd IS NOT NULL AND abs(c - m) > 6.0 * sd)
+             |SELECT event_id FROM ev
+             |WHERE to_timestamp(floor(epoch(ts) / 900) * 900) IN (SELECT g FROM bad)
+             |ORDER BY 1""".stripMargin)),
+
     "ds_aggr_matches_dataset" -> QueryDef(
       (s, dir) => {
         val ref = t(s, dir, "orders").where(col("o_orderkey") % 100 =!= 0)
