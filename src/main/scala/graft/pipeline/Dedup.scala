@@ -162,12 +162,16 @@ object Dedup {
   // -------------------------------------------------------------- MinHash LSH
 
   /** MinHash signature over pre-hashed shingles (array<long>): one string hash
-    * per shingle, then `numHashes` cheap long re-hashes. Row-local, codegen'd.
+    * per shingle, then `numHashes` cheap long re-hashes. Row-local, codegen'd
+    * via [[MinHashSignature]] — bit-identical to (and measured ~100x faster
+    * than) the `array(array_min(transform(...xxhash64...)))` formulation,
+    * whose numHashes higher-order functions were each CodegenFallback.
     */
-  def minHashSignature(hashedShingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(hashedShingles, h => xxhash64(lit(seed), h)))
-    }: _*)
+  def minHashSignature(hashedShingles: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(MinHashSignature(
+      GraftColumnBridge.expression(hashedShingles), numHashes))
+  }
 
   /** Candidate pairs via banding: signature split into `bands` bands of
     * `rowsPerBand`; docs sharing any band bucket become candidates; candidates

@@ -40,13 +40,8 @@ object Dsir {
   /** Lowercase word-bigram features ("v w") of a document — the same
     * tokenization as every other trained kernel (TextAnalysis.wsTokens).
     */
-  def bigramFeatures(text: Column): Column = {
-    val t = TextAnalysis.wsTokens(text)
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def bigramFeatures(text: Column): Column =
+    TextAnalysis.wordBigrams(TextAnalysis.wsTokens(text))
 
   /** Train on a (small) target corpus and the raw corpus. Feature vocabulary
     * = top-`features` bigrams of the RAW corpus by (count DESC, feature);

@@ -28,3 +28,30 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
 
   override protected def withNewChildInternal(c: Expression): MinHashBands = copy(child = c)
 }
+
+/** MinHash signature (the per-seed minima themselves, not band hashes) over
+  * pre-hashed shingles, one codegen'd pass. Component s is BIT-IDENTICAL to
+  * `array_min(transform(child, h => xxhash64(lit(s), h)))` — the interpreted
+  * higher-order-function formulation this replaces evaluated numHashes
+  * CodegenFallback lambdas per row and re-walked the shingle array each time,
+  * which made it the dominant CPU cost of the streaming banding stage (see
+  * [[SketchOps.minhashSignatureXx]] for the measured ratio and the exact
+  * XxHash64 fold replay).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes >= 1, "numHashes must be >= 1")
+
+  // element nullability mirrors array_min: an empty/all-null shingle array
+  // yields null components
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.minhashSignatureXx(v.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.pipeline.SketchOps.minhashSignatureXx($c, $numHashes)")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}

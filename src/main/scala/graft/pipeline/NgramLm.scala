@@ -94,12 +94,16 @@ object NgramLm {
             org.apache.spark.sql.types.StructField("__w",
               org.apache.spark.sql.types.StringType)))))
       // consecutive (v, w) pairs, then vocab-or-<unk> each side via two
-      // broadcast joins — the corpus side never shuffles before the pair agg
+      // broadcast joins — the corpus side never shuffles before the pair agg.
+      // Pairs come from the codegen'd WordBigrams kernel ("v w" strings split
+      // back on the single separator space — tokens are space-free by
+      // construction, so the split is exact); the transform/element_at
+      // struct formulation it replaces was CodegenFallback and dominated the
+      // map-stage CPU ahead of the bigram shuffle.
       val pairs = df.select(toks.as("__t")).where(size(col("__t")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
-          i => struct(element_at(col("__t"), i).as("v"),
-            element_at(col("__t"), i + 1).as("w")))).as("__p"))
-        .select(col("__p.v").as("__v"), col("__p.w").as("__w0"))
+        .select(explode(TextAnalysis.wordBigrams(col("__t"))).as("__bg"))
+        .select(substring_index(col("__bg"), " ", 1).as("__v"),
+          substring_index(col("__bg"), " ", -1).as("__w0"))
       val mapped = pairs
         .join(vocabDf.withColumnRenamed("__w", "__lv"), col("__v") === col("__lv"), "left")
         .join(vocabDf.withColumnRenamed("__w", "__lw"), col("__w0") === col("__lw"), "left")

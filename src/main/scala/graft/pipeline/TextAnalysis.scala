@@ -224,8 +224,23 @@ object TextAnalysis {
     * QualityClassifier.tokenize), so scoring/vocab/oracle parity cannot
     * drift between call sites.
     */
-  def wsTokens(text: Column): Column =
-    filter(split(lower(coalesce(text, lit(""))), " "), t => t =!= "")
+  def wsTokens(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(WsTokens(
+      GraftColumnBridge.expression(coalesce(text, lit("")))))
+  }
+
+  /** Word bigrams ("v w") over a token array in one codegen'd pass: the
+    * `transform(sequence(1, size-1), i => concat_ws(" ", t[i], t[i+1]))`
+    * formulation it replaces was CodegenFallback twice over (transform +
+    * element_at lambdas), measured ~5 µs/bigram interpreted — the dominant
+    * CPU of Dsir.train's raw-corpus pass. Fewer than 2 tokens → empty array
+    * (the when/otherwise contract of the old formulation).
+    */
+  def wordBigrams(tokens: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(WordBigrams(GraftColumnBridge.expression(tokens)))
+  }
 
   /** One-row corpus summary — the first look at a new text corpus: document
     * and token counts, exact token-length percentiles, empty-doc and exact-
@@ -920,4 +935,115 @@ case class StripMarkup(child: org.apache.spark.sql.catalyst.expressions.Expressi
 
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression): StripMarkup = copy(child = c)
+}
+
+/** Static kernel for [[WsTokens]]: lowercase (UTF8String.toLowerCase — the
+  * exact primitive Spark's `lower()` calls), split on the literal space
+  * byte (0x20 never occurs inside a UTF-8 multibyte sequence), drop empty
+  * segments. Output strings are byte-identical to
+  * `filter(split(lower(s), " "), t => t =!= "")`.
+  */
+object WsTokensOps {
+  def tokens(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = u.toLowerCase.getBytes // byte-offset slicing (substring is char-indexed)
+    val n = b.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == 0x20) {
+        if (i > start) out += org.apache.spark.unsafe.types.UTF8String.fromBytes(b, start, i - start)
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** Lowercased whitespace tokens, empties dropped — see
+  * [[TextAnalysis.wsTokens]]. One codegen'd pass; the
+  * `filter(split(lower(...)))` formulation it replaces put TWO
+  * CodegenFallback nodes (the filter HOF, and everything sharing its
+  * projection) into every tokenizing operator's hot loop.
+  */
+case class WsTokens(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ws_tokens requires a STRING argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    WsTokensOps.tokens(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.WsTokensOps.tokens($c)")
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): WsTokens = copy(child = c)
+}
+
+/** Static kernel for [[WordBigrams]]: n-1 space-joined adjacent-token pairs;
+  * fewer than 2 tokens yields the empty array. Byte-identical to
+  * `concat_ws(" ", t[i], t[i+1])` over non-null tokens.
+  */
+object WordBigramsOps {
+  def bigrams(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev = arr.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      out(i - 1) = org.apache.spark.unsafe.types.UTF8String.concatWs(
+        org.apache.spark.unsafe.types.UTF8String.fromString(" "), prev, cur)
+      prev = cur
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Adjacent word-bigram strings over a token array — see
+  * [[TextAnalysis.wordBigrams]].
+  */
+case class WordBigrams(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_bigrams requires an ARRAY<STRING> argument, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    WordBigramsOps.bigrams(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.WordBigramsOps.bigrams($c)")
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): WordBigrams = copy(child = c)
 }

@@ -141,11 +141,38 @@ object Profiler {
     else None
   }
 
+  /** The frame the profiler's aggregation passes read: the reference's
+    * sample-then-cap shape (profiler.py:335-358 + the `limit` option), minus
+    * plan stages that cannot change the result:
+    *  - `sampleFraction >= 1.0` with no stratification keeps every row
+    *    (Bernoulli accept at p=1.0 is unconditional), so the Sample operator
+    *    is dropped instead of evaluating an RNG per row;
+    *  - `limit == Int.MaxValue` means "no cap", so the GlobalLimit is
+    *    dropped — a `.limit(n)` feeding an aggregation otherwise plans an
+    *    Exchange SinglePartition and runs the whole partial aggregation as
+    *    ONE task (measured 2.4 s on a 600k-row 4-column summary; unbounded
+    *    at 100 TB);
+    *  - a BINDING cap keeps the reference's limit semantics but
+    *    re-parallelizes the capped rows (<= limit of them) across the
+    *    default parallelism so the aggregation above it is not single-task.
+    */
+  private[graft] def profileInput(df: DataFrame, opts: ProfilerOptions): DataFrame = {
+    val sampled =
+      if (opts.sampleByColumn.isEmpty && opts.sampleFraction >= 1.0) {
+        require(opts.sampleByFractions.isEmpty,
+          "sample_fraction must be of type float when sample_by_column is not set.")
+        df
+      } else sampleInput(df, opts)
+    if (opts.limit == Int.MaxValue) sampled
+    else sampled.limit(opts.limit)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+  }
+
   /** Per-column stats from one aggregation pass. */
   def summarize(df: DataFrame, columns: Seq[String] = Seq.empty,
                 opts: ProfilerOptions = ProfilerOptions()): Map[String, Map[String, Any]] = {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
-    val sampled = sampleInput(df, opts).limit(opts.limit)
+    val sampled = profileInput(df, opts)
     val fields = df.schema.fields.filter(f => cols.contains(f.name))
     val aggs: Seq[Column] = fields.flatMap { f =>
       val c = col(f.name)
@@ -159,10 +186,15 @@ object Profiler {
           max(c).cast("double").as(s"${f.name}__max"),
           avg(c).as(s"${f.name}__mean"),
           stddev(c).as(s"${f.name}__stddev"),
-          // df.summary() quartiles (profiler.py:562-578), same single pass
-          percentile_approx(c.cast("double"), lit(0.25), lit(10000)).as(s"${f.name}__p25"),
-          percentile_approx(c.cast("double"), lit(0.5), lit(10000)).as(s"${f.name}__p50"),
-          percentile_approx(c.cast("double"), lit(0.75), lit(10000)).as(s"${f.name}__p75"))
+          // df.summary() quartiles (profiler.py:562-578), same single pass.
+          // ONE array-quantile sketch per column, not three scalar
+          // percentile_approx aggregates: three ApproximatePercentile
+          // aggregates each build their own QuantileSummaries over every row
+          // (3x the sketch updates for identical results — the same sketch
+          // state answers all three quantiles); measured 2.4 -> 1.4 s on the
+          // 600k-row 4-column summary
+          percentile_approx(c.cast("double"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as(s"${f.name}__pq"))
         case _: StringType => Seq(
           count(when(trim(c.cast("string")) === "", lit(1))).as(s"${f.name}__count_empty"))
         case _ => Seq.empty
@@ -171,9 +203,18 @@ object Profiler {
     }
     val row = sampled.agg(aggs.head, aggs.tail: _*).collect().head
     fields.map { f =>
-      val stats = row.schema.fieldNames.zipWithIndex.collect {
+      val stats = row.schema.fieldNames.zipWithIndex.flatMap {
+        case (n, i) if n == s"${f.name}__pq" =>
+          // unpack the fused quantile array into the p25/p50/p75 keys the
+          // map API has always exposed
+          val q = if (row.isNullAt(i)) null else row.getSeq[Any](i)
+          Seq("p25" -> (if (q == null) null else q(0)),
+            "p50" -> (if (q == null) null else q(1)),
+            "p75" -> (if (q == null) null else q(2)))
         case (n, i) if n.startsWith(s"${f.name}__") =>
-          n.stripPrefix(s"${f.name}__") -> (if (row.isNullAt(i)) null else row.get(i))
+          Seq(n.stripPrefix(s"${f.name}__") ->
+            (if (row.isNullAt(i)) null else row.get(i)))
+        case _ => Seq.empty
       }.toMap
       f.name -> stats
     }.toMap
@@ -234,7 +275,7 @@ object Profiler {
   def profile(df: DataFrame, columns: Seq[String] = Seq.empty,
               opts: ProfilerOptions = ProfilerOptions()): (Map[String, Map[String, Any]], Seq[DQProfile]) = {
     val stats = summarize(df, columns, opts)
-    val sampled = sampleInput(df, opts).limit(opts.limit)
+    val sampled = profileInput(df, opts)
     val fieldsByName = df.schema.fields.map(f => f.name -> f).toMap
 
     def stat(name: String, key: String): Option[Any] =

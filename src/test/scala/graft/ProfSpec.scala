@@ -37,6 +37,33 @@ class ProfSpec extends SparkSpec {
     assert(s.isNullAt(s.fieldIndex("min")) && s.isNullAt(s.fieldIndex("mean")))
   }
 
+  test("profileInput: no-op sample/limit leave no Sample/GlobalLimit in the plan; binding limit caps and re-parallelizes") {
+    import spark.implicits._
+    val df = spark.range(0, 1000, 1, 7).select(col("id").cast("int").as("v"))
+    val P = graft.profiler.Profiler
+    // no-op config (the oracle-gate shape): the plan must be the bare scan —
+    // a GlobalLimit before an aggregation would shuffle to ONE partition
+    val noop = P.profileInput(df, graft.profiler.ProfilerOptions(
+      sampleFraction = 1.0, limit = Int.MaxValue))
+    val planStr = noop.queryExecution.optimizedPlan.toString
+    assert(!planStr.contains("GlobalLimit") && !planStr.contains("Sample"), planStr)
+    assert(noop.count() == 1000)
+    // binding limit: caps to n rows and spreads them over >1 partition
+    val capped = P.profileInput(df, graft.profiler.ProfilerOptions(
+      sampleFraction = 1.0, limit = 500))
+    assert(capped.count() == 500)
+    assert(capped.rdd.getNumPartitions > 1)
+    // binding sample still samples
+    val sampled = P.profileInput(df, graft.profiler.ProfilerOptions(
+      sampleFraction = 0.5, limit = Int.MaxValue))
+    val n = sampled.count()
+    assert(n > 250 && n < 750, s"sampled $n")
+    // summarize over the no-op config equals summarize semantics pre-change
+    val s = P.summarize(df, Seq("v"), graft.profiler.ProfilerOptions(
+      sampleFraction = 1.0, limit = Int.MaxValue))("v")
+    assert(s("count") == 1000L && s("min") == 0.0 && s("max") == 999.0)
+  }
+
   test("primary-key candidates: unique null-free columns rank first, others excluded") {
     import spark.implicits._
     val df = Seq.tabulate(2000)(i => (i.toLong, s"k$i", i % 7, if (i % 100 == 0) null else s"v$i"))

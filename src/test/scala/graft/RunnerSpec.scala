@@ -277,9 +277,12 @@ class RunnerSpec extends SparkSpec {
       val jobs = counter.jobs.get()
       // pass 1 (summarize) + pass 2 (grids + value sets); the former pass 3
       // is folded into pass 2 (r7). Each sample+limit+agg action can cost 2
-      // scheduler jobs (limit escalation), so 2 actions bound at 4 — the
-      // 3-pass shape measured 6 here.
-      assert(jobs <= 4, s"expected <=4 jobs for a 2-pass profile, got $jobs")
+      // scheduler jobs (limit escalation) plus, since r14, one more for the
+      // repartition that spreads a BINDING row cap over the cluster instead
+      // of running the whole aggregation as the GlobalLimit's single task —
+      // so 2 actions bound at 6 (still FIXED in the column count; the 3-pass
+      // per-column shape measured 6 for three columns and grows with them).
+      assert(jobs <= 6, s"expected <=6 jobs for a 2-pass profile, got $jobs")
       assert(profiles.exists(p => p.name == "has_no_outliers" && p.column == "v1"))
     } finally spark.sparkContext.removeSparkListener(counter)
   }

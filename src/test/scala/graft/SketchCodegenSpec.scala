@@ -55,6 +55,64 @@ class SketchCodegenSpec extends SparkSpec {
     assert(rows(1L) != rows(3L))
   }
 
+  test("MinHashSignature is codegen'd and bit-identical to the HOF formulation") {
+    val hsh = GraftColumnBridge.column(HashedShingles(
+      GraftColumnBridge.expression(col("text")), 3))
+    val numHashes = 64
+    // the formulation MinHashSignature replaced: numHashes interpreted
+    // higher-order functions — kept here as the semantic reference
+    val hof = array((0 until numHashes).map { seed =>
+      array_min(transform(hsh, h => xxhash64(lit(seed), h)))
+    }: _*)
+    val df = docs.where(length(col("text")) > 0).select(
+      col("doc_id"),
+      graft.pipeline.Dedup.minHashSignature(hsh, numHashes).as("fast"),
+      hof.as("ref"))
+    assert(codegenned(df.select("doc_id", "fast")).contains("Project"),
+      df.select("doc_id", "fast").queryExecution.executedPlan.toString)
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+    // null text -> null signature (whole array), like the HOF on a null child
+    val nulls = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Tuple1(null: String)), 1)).toDF("text")
+      .select(graft.pipeline.Dedup.minHashSignature(
+        GraftColumnBridge.column(HashedShingles(
+          GraftColumnBridge.expression(col("text")), 3)), 8).as("sig"))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("WsTokens/WordBigrams are codegen'd and byte-identical to the HOF formulations") {
+    val fixtures = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      (1L, "The quick  Brown fox"),        // double space -> empty segment dropped
+      (2L, " leading and trailing "),      // edge empties
+      (3L, ""),                            // empty text
+      (4L, null: String),                  // null text
+      (5L, "ÄØÇ Straße İstanbul ΣΙΓΜΑ"),   // unicode lowercasing
+      (6L, "single"),                      // < 2 tokens -> no bigrams
+      (7L, "a\tb\nc d")                    // tabs/newlines are NOT separators
+    ), 2)).toDF("id", "text")
+    val hofTokens = filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
+    val hofBigrams = {
+      val t = hofTokens
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val kT = graft.pipeline.TextAnalysis.wsTokens(col("text"))
+    val kB = graft.pipeline.TextAnalysis.wordBigrams(kT)
+    val df = fixtures.select(col("id"), kT.as("kt"), hofTokens.as("ht"),
+      kB.as("kb"), hofBigrams.as("hb"))
+    assert(codegenned(df.select("id", "kt", "kb")).contains("Project"),
+      df.select("id", "kt", "kb").queryExecution.executedPlan.toString)
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"tokens id=${r.getLong(0)}")
+      assert(r.getSeq[String](3) == r.getSeq[String](4), s"bigrams id=${r.getLong(0)}")
+    }
+  }
+
   test("MinHashBands + HyperplaneBuckets + NearestCentroids stay codegen'd") {
     val emb = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
       (1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.0, 1.0, 0.0))), 2))
