@@ -167,6 +167,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffle/spill codec knob (guide §2.3: measure lz4 vs zstd per
+      // workload): r14 interleaved A/B at 10M — foreach_foreign_key 27.6/30.9
+      // lz4 -> 17.1/22.5 zstd (shuffle write 8.4 -> 4.6 GB), but CPU-bound
+      // foreach_is_unique 8.7 -> 9.7. Default stays lz4 so bench totals
+      // remain protocol-comparable across rounds; flip per deployment where
+      // shuffle IO, not CPU, is the contended resource
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

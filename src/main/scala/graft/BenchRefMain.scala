@@ -23,6 +23,11 @@ object BenchRefMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "96g"))
+      // shuffle/spill codec A/B knob (guide: measure lz4 vs zstd per
+      // workload); default stays Spark's lz4 so bench totals remain
+      // protocol-comparable across rounds unless explicitly overridden
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -86,21 +86,20 @@ object TextAnalysis {
     * High values = boilerplate/spam/generated text. All row-local expressions.
     */
   def repetitionSignals(text: Column): Column = {
-    val t = split(text, " ")
-    def dupFrac(arr: Column): Column =
-      when(size(arr) > 0,
-        lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr))
-        .otherwise(lit(0.0))
-    val topWordFrac =
-      when(size(t) > 0,
-        array_max(transform(array_distinct(t),
-          w => size(filter(t, x => x === w)))).cast("double") / size(t))
-        .otherwise(lit(0.0))
-    struct(
-      dupFrac(t).as("dup_word_frac"),
-      topWordFrac.as("top_word_frac"),
-      dupFrac(wordNgrams(text, 2)).as("dup_2gram_frac"),
-      dupFrac(wordNgrams(text, 3)).as("dup_3gram_frac"))
+    import org.apache.spark.sql.GraftColumnBridge
+    // One codegen'd pass (RepetitionStats kernel). The HOF formulation it
+    // replaces was worse than CodegenFallback: top_word_frac evaluated
+    // `size(filter(t, _ === w))` for EVERY distinct word — O(distinct x
+    // tokens) interpreted lambda calls per document, quadratic on long docs
+    // (a 1k-token page paid ~1M interpreted evals). Value parity incl. the
+    // empty-segment tokenization of split(text, " ") is pinned in
+    // TextQualitySpec. Null text keeps the old when/otherwise contract:
+    // all-zero signals.
+    val zero = struct(
+      lit(0.0).as("dup_word_frac"), lit(0.0).as("top_word_frac"),
+      lit(0.0).as("dup_2gram_frac"), lit(0.0).as("dup_3gram_frac"))
+    val k = GraftColumnBridge.column(RepetitionStats(GraftColumnBridge.expression(text)))
+    when(text.isNull, zero).otherwise(k)
   }
 
   /** Keep/drop decision from the repetition signals (Gopher table A1-style
@@ -1046,4 +1045,99 @@ case class WordBigrams(child: org.apache.spark.sql.catalyst.expressions.Expressi
 
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression): WordBigrams = copy(child = c)
+}
+
+/** Static kernel for [[RepetitionStats]]: all four Gopher repetition signals
+  * in one pass over the space-split tokens (empty segments KEPT — the exact
+  * `split(text, " ")` tokenization the HOF formulation used, distinct from
+  * wsTokens). dup fracs = 1 - distinct/total; top_word_frac = max word
+  * count / total; n-gram strings are the same single-space joins
+  * `concat_ws(" ", slice(t, i, n))` produced (empty segments join as empty).
+  */
+object RepetitionStatsOps {
+  private def splitKeepEmpty(u: org.apache.spark.unsafe.types.UTF8String)
+      : Array[org.apache.spark.unsafe.types.UTF8String] = {
+    val b = u.getBytes
+    val n = b.length
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.unsafe.types.UTF8String](8)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == 0x20) {
+        out += org.apache.spark.unsafe.types.UTF8String.fromBytes(b, start, i - start)
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  private def dupFracNgrams(
+      toks: Array[org.apache.spark.unsafe.types.UTF8String], n: Int): Double = {
+    val total = toks.length - (n - 1)
+    if (total <= 0) return 0.0
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](total * 2)
+    var i = 0
+    while (i < total) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    1.0 - seen.size.toDouble / total
+  }
+
+  def stats(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = splitKeepEmpty(u)
+    val total = toks.length // split always yields >= 1 segment
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Int](total * 2)
+    var maxCount = 0
+    var i = 0
+    while (i < total) {
+      val c = counts.merge(toks(i), 1, (a, b) => a + b)
+      if (c > maxCount) maxCount = c
+      i += 1
+    }
+    val dupWord = 1.0 - counts.size.toDouble / total
+    val topWord = maxCount.toDouble / total
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](dupWord, topWord, dupFracNgrams(toks, 2), dupFracNgrams(toks, 3)))
+  }
+}
+
+/** Gopher repetition signals in one pass — see
+  * [[TextAnalysis.repetitionSignals]].
+  */
+case class RepetitionStats(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dup_word_frac",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("top_word_frac",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("dup_2gram_frac",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("dup_3gram_frac",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats requires a STRING argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    RepetitionStatsOps.stats(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.RepetitionStatsOps.stats($c)")
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): RepetitionStats = copy(child = c)
 }

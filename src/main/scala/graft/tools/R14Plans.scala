@@ -94,6 +94,55 @@ object R14Plans {
         graft.pipeline.Dedup.minHashSignature(hsh, 64).as("signature"),
         posexplode(bandArr).as(Seq("band", "bandhash"))))
 
+    // ---- pipe_dsir_train: the raw-corpus bigram pass --------------------
+    val hofTokens = filter(split(lower(coalesce(col("text"), lit(""))), " "), t => t =!= "")
+    val hofBigrams = when(size(hofTokens) >= 2,
+      transform(sequence(lit(1), size(hofTokens) - 1),
+        i => concat_ws(" ", element_at(hofTokens, i), element_at(hofTokens, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    write("pipe_dsir_train_before",
+      "== pipe_dsir_train (raw-corpus bigram explode) BEFORE ==\n" +
+        "bigramFeatures = transform(sequence(...), i => concat_ws(element_at,\n" +
+        "element_at)) over wsTokens = filter(split(lower(...))) — three stacked\n" +
+        "CodegenFallback HOFs; the count agg's map stage ran interpreted\n" +
+        "(~5 us/bigram; 5.2 s single-task CPU at sf0.1, 55.7 s at 1M docs).",
+      docs.select(explode(hofBigrams).as("__f"))
+        .groupBy("__f").agg(count(lit(1)).as("__c")))
+    write("pipe_dsir_train_after",
+      "== pipe_dsir_train (raw-corpus bigram explode) AFTER ==\n" +
+        "WordBigrams(WsTokens(text)) — both codegen'd kernels, byte-identical\n" +
+        "output (SketchCodegenSpec); whole map stage in one WholeStageCodegen\n" +
+        "span (0.9 s at sf0.1, 15.3 s at 1M docs — the remaining cost is the\n" +
+        "bigram count shuffle itself).",
+      docs.select(explode(graft.pipeline.Dsir.bigramFeatures(col("text"))).as("__f"))
+        .groupBy("__f").agg(count(lit(1)).as("__c")))
+
+    // ---- pipe_text_repetition: the Gopher repetition signals ------------
+    val t = split(col("text"), " ")
+    def dupFrac(arr: org.apache.spark.sql.Column) =
+      when(size(arr) > 0,
+        lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr))
+        .otherwise(lit(0.0))
+    val topWordFrac = when(size(t) > 0,
+      array_max(transform(array_distinct(t), w => size(filter(t, x => x === w))))
+        .cast("double") / size(t)).otherwise(lit(0.0))
+    write("pipe_text_repetition_before",
+      "== pipe_text_repetition (repetitionSignals projection) BEFORE ==\n" +
+        "top_word_frac = array_max(transform(array_distinct(t), w =>\n" +
+        "size(filter(t, _ === w)))) — O(distinct x tokens) interpreted lambda\n" +
+        "evals per document (quadratic on long docs; 42.9 s scan at 1M docs).",
+      docs.select(struct(
+        dupFrac(t).as("dup_word_frac"), topWordFrac.as("top_word_frac"),
+        dupFrac(graft.pipeline.TextAnalysis.wordNgrams(col("text"), 2)).as("dup_2gram_frac"),
+        dupFrac(graft.pipeline.TextAnalysis.wordNgrams(col("text"), 3)).as("dup_3gram_frac"))
+        .as("r")))
+    write("pipe_text_repetition_after",
+      "== pipe_text_repetition (repetitionSignals projection) AFTER ==\n" +
+        "RepetitionStats kernel: all four signals in ONE linear pass per doc\n" +
+        "(hash-map word counts, n-gram sets), codegen'd; value parity pinned\n" +
+        "in TextQualitySpec (0.91 s scan at 1M docs — 47x).",
+      docs.select(graft.pipeline.TextAnalysis.repetitionSignals(col("text")).as("r")))
+
     spark.stop()
   }
 }

@@ -15,6 +15,43 @@ class TextQualitySpec extends SparkSpec {
       .select(TextAnalysis.gopherSignals(col("t")).as("s"))
       .select("s.*").head()
 
+  test("repetitionSignals kernel is value-identical to the HOF formulation") {
+    val fixtures = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      (1L, "the cat sat on the mat the cat"),
+      (2L, "a a a a"),
+      (3L, "all distinct words here"),
+      (4L, "double  space keeps  empty segments"),
+      (5L, ""),                       // split("") = [""] -> top_word_frac 1.0
+      (6L, null: String),             // null -> all-zero struct
+      (7L, "one"),                    // < 2 tokens -> ngram fracs 0.0
+      (8L, "x y x y x y x y")
+    ), 2)).toDF("id", "text")
+    // the formulation RepetitionStats replaced — kept as semantic reference
+    val t = split(col("text"), " ")
+    def dupFrac(arr: org.apache.spark.sql.Column) =
+      when(size(arr) > 0,
+        lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr))
+        .otherwise(lit(0.0))
+    val topWordFrac =
+      when(size(t) > 0,
+        array_max(transform(array_distinct(t),
+          w => size(filter(t, x => x === w)))).cast("double") / size(t))
+        .otherwise(lit(0.0))
+    val hof = struct(
+      dupFrac(t).as("dup_word_frac"), topWordFrac.as("top_word_frac"),
+      dupFrac(TextAnalysis.wordNgrams(col("text"), 2)).as("dup_2gram_frac"),
+      dupFrac(TextAnalysis.wordNgrams(col("text"), 3)).as("dup_3gram_frac"))
+    val rows = fixtures.select(col("id"),
+      TextAnalysis.repetitionSignals(col("text")).as("k"), hof.as("h")).collect()
+    rows.foreach { r =>
+      val k = r.getStruct(1); val h = r.getStruct(2)
+      (0 until 4).foreach { i =>
+        assert(k.getDouble(i) == h.getDouble(i),
+          s"id=${r.getLong(0)} field=$i kernel=${k.getDouble(i)} hof=${h.getDouble(i)}")
+      }
+    }
+  }
+
   test("gopherSignals: closed-form counts on a hand-built page") {
     // 3 lines: prose / bullet / ellipsis-ended with symbols
     val text = "the cat and dog sat\n- item one\nto be continued... #tag …"
