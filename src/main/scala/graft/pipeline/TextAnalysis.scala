@@ -26,23 +26,21 @@ object TextAnalysis {
     * Gopher/C4-style filters' raw inputs.
     */
   def qualitysignals(text: Column): Column = {
-    val nChars = length(text)
-    val toks = split(text, "\\s+")
-    val nTokens = size(toks)
-    val nPunct = size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
-    val nDigits = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
-    val nUpper = size(regexp_extract_all(text, lit("[A-Z]"), lit(0)))
-    val nStop = size(filter(toks, t => lower(t).isin(EnglishStopwords: _*)))
-    struct(
-      nChars.as("n_chars"),
-      nTokens.as("n_tokens"),
-      nPunct.as("n_punct"),
-      nDigits.as("n_digits"),
-      nUpper.as("n_upper"),
-      nStop.as("n_stopwords"),
-      (nPunct.cast("double") / greatest(nChars, lit(1))).as("punct_ratio"),
-      (nStop.cast("double") / greatest(nTokens, lit(1))).as("stopword_ratio"),
-      (nChars.cast("double") / greatest(nTokens, lit(1))).as("mean_word_len"))
+    import org.apache.spark.sql.GraftColumnBridge
+    // One codegen'd pass (QualitySignals kernel) replacing four
+    // regexp_extract_all match-array materializations plus a CodegenFallback
+    // stopword-filter HOF per row. Value parity with that formulation
+    // (incl. the regex split's kept leading/trailing empty segments and the
+    // null-text struct-of-nulls contract) is pinned in TextQualitySpec.
+    val k = GraftColumnBridge.column(QualitySignals(GraftColumnBridge.expression(text)))
+    val nullStruct = struct(
+      lit(null).cast("int").as("n_chars"), lit(null).cast("int").as("n_tokens"),
+      lit(null).cast("int").as("n_punct"), lit(null).cast("int").as("n_digits"),
+      lit(null).cast("int").as("n_upper"), lit(null).cast("int").as("n_stopwords"),
+      lit(null).cast("double").as("punct_ratio"),
+      lit(null).cast("double").as("stopword_ratio"),
+      lit(null).cast("double").as("mean_word_len"))
+    when(text.isNull, nullStruct).otherwise(k)
   }
 
   /** Gopher-style keep/drop quality decision from the raw signals. */
@@ -1140,4 +1138,107 @@ case class RepetitionStats(child: org.apache.spark.sql.catalyst.expressions.Expr
 
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression): RepetitionStats = copy(child = c)
+}
+
+/** Static kernel for [[QualitySignals]]: every raw quality signal in one
+  * pass over the text. Semantics replay the Column formulation exactly:
+  * n_chars = character (not byte) count; tokens = Java-regex `\s+` split
+  * with limit -1 (leading empty kept when the text starts with whitespace,
+  * trailing empty kept when it ends with one; "" -> [""]); punct = the
+  * POSIX ASCII `\p{Punct}` set; digits/upper = ASCII [0-9]/[A-Z]; stopword
+  * membership on the lowercased token.
+  */
+object QualitySignalsOps {
+  private val PunctSet: Array[Boolean] = {
+    val a = new Array[Boolean](128)
+    "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".foreach(c => a(c.toInt) = true)
+    a
+  }
+  private val Stopwords: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    TextAnalysis.EnglishStopwords.foreach(w =>
+      s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
+
+  def stats(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val nChars = u.numChars()
+    val b = u.getBytes
+    val n = b.length
+    var nPunct = 0; var nDigits = 0; var nUpper = 0
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c >= 0) { // ASCII byte — the only bytes the char classes can match
+        if (PunctSet(c)) nPunct += 1
+        else if (c >= '0' && c <= '9') nDigits += 1
+        else if (c >= 'A' && c <= 'Z') nUpper += 1
+      }
+      i += 1
+    }
+    // regex \s+ split, limit -1: runs of whitespace separate tokens; a
+    // leading run yields one empty first token, a trailing run one empty
+    // last token; "" yields [""]
+    var nTokens = 0; var nStop = 0
+    var pos = 0
+    var tokStart = 0
+    var inWs = false
+    def closeToken(endExclusive: Int): Unit = {
+      nTokens += 1
+      if (endExclusive > tokStart) {
+        val tok = org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(b, tokStart, endExclusive - tokStart).toLowerCase
+        if (Stopwords.contains(tok)) nStop += 1
+      }
+    }
+    while (pos < n) {
+      if (isWs(b(pos))) {
+        if (!inWs) { closeToken(pos); inWs = true }
+      } else if (inWs) { tokStart = pos; inWs = false }
+      pos += 1
+    }
+    if (inWs) tokStart = n // a trailing ws run yields one EMPTY last token
+    closeToken(n)
+    val pr = nPunct.toDouble / math.max(nChars, 1)
+    val sr = nStop.toDouble / math.max(nTokens, 1)
+    val mwl = nChars.toDouble / math.max(nTokens, 1)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nChars, nTokens, nPunct, nDigits, nUpper, nStop, pr, sr, mwl))
+  }
+}
+
+/** Raw quality signals in one pass — see [[TextAnalysis.qualitysignals]]. */
+case class QualitySignals(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_digits", IntegerType, nullable = false),
+    StructField("n_upper", IntegerType, nullable = false),
+    StructField("n_stopwords", IntegerType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"quality_signals requires a STRING argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    QualitySignalsOps.stats(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.QualitySignalsOps.stats($c)")
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): QualitySignals = copy(child = c)
 }

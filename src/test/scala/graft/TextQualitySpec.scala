@@ -52,6 +52,45 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("qualitysignals kernel is value-identical to the regex/HOF formulation") {
+    val fixtures = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      (1L, "The quick brown fox, it jumped over 3 lazy DOGS!"),
+      (2L, " leading space"),            // regex \s+ split keeps a leading empty token
+      (3L, "trailing space "),           // ...and a trailing empty token
+      (4L, ""),                          // "" -> [""]: 1 token
+      (5L, null: String),                // null text -> struct of nulls
+      (6L, "tabs\tand\nnewlines are separators"),
+      (7L, "The AND Of tO iN"),          // stopwords matched on lowercase
+      (8L, "ÄØÇ Straße 42 {brackets} [and] #punct~"),
+      (9L, "   ")                        // all-whitespace: ["",""] -> 2 tokens
+    ), 2)).toDF("id", "text")
+    // the formulation QualitySignals replaced — kept as semantic reference
+    val nChars = length(col("text"))
+    val toks = split(col("text"), "\\s+")
+    val nTokens = size(toks)
+    val nPunct = size(regexp_extract_all(col("text"), lit("[\\p{Punct}]"), lit(0)))
+    val nDigits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+    val nUpper = size(regexp_extract_all(col("text"), lit("[A-Z]"), lit(0)))
+    val nStop = size(filter(toks, t => lower(t).isin(TextAnalysis.EnglishStopwords: _*)))
+    val hof = struct(
+      nChars.as("n_chars"), nTokens.as("n_tokens"), nPunct.as("n_punct"),
+      nDigits.as("n_digits"), nUpper.as("n_upper"), nStop.as("n_stopwords"),
+      (nPunct.cast("double") / greatest(nChars, lit(1))).as("punct_ratio"),
+      (nStop.cast("double") / greatest(nTokens, lit(1))).as("stopword_ratio"),
+      (nChars.cast("double") / greatest(nTokens, lit(1))).as("mean_word_len"))
+    val rows = fixtures.select(col("id"),
+      TextAnalysis.qualitysignals(col("text")).as("k"), hof.as("h")).collect()
+    rows.foreach { r =>
+      val k = r.getStruct(1); val h = r.getStruct(2)
+      (0 until 9).foreach { i =>
+        assert((k.isNullAt(i) && h.isNullAt(i)) ||
+          (!k.isNullAt(i) && !h.isNullAt(i) && k.get(i) == h.get(i)),
+          s"id=${r.getLong(0)} field=$i kernel=${if (k.isNullAt(i)) null else k.get(i)} " +
+            s"hof=${if (h.isNullAt(i)) null else h.get(i)}")
+      }
+    }
+  }
+
   test("gopherSignals: closed-form counts on a hand-built page") {
     // 3 lines: prose / bullet / ellipsis-ended with symbols
     val text = "the cat and dog sat\n- item one\nto be continued... #tag …"
