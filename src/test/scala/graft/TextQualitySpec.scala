@@ -91,6 +91,36 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("languageId kernel is value-identical to the array_intersect fold") {
+    val fixtures = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      (1L, "the cat and the dog went to the market"),           // en
+      (2L, "der Hund und die Katze sind nicht im Haus"),        // de
+      (3L, "le chat est dans la maison avec le chien"),         // fr
+      (4L, "xyzzy plugh qwerty"),                               // no hits -> und
+      (5L, null: String),                                       // null -> und
+      (6L, ""),                                                 // empty -> und
+      (7L, "THE AND OF TO IN IS THAT"),                         // uppercase en
+      (8L, "de la le"),                                         // cross-lang tie -> registry order
+      (9L, "das für straße"),                                   // unicode de words
+      (10L, "the the the und und und")                          // distinct counts, not occurrences
+    ), 2)).toDF("id", "text")
+    // the formulation LangIdScore replaced — kept as semantic reference
+    val toks = array_distinct(split(lower(col("text")), "\\s+"))
+    val scores = TextAnalysis.LanguageStopwords.map { case (lang, words) =>
+      (lang, size(array_intersect(toks, array(words.map(lit): _*))))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val hof = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(acc)
+    }
+    val rows = fixtures.select(col("id"),
+      TextAnalysis.languageId(col("text")).as("k"), hof.as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"id=${r.getLong(0)} kernel=${r.getString(1)} hof=${r.getString(2)}")
+    }
+  }
+
   test("gopherSignals: closed-form counts on a hand-built page") {
     // 3 lines: prose / bullet / ellipsis-ended with symbols
     val text = "the cat and dog sat\n- item one\nto be continued... #tag …"
