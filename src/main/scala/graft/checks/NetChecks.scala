@@ -222,6 +222,51 @@ object Ipv6Util {
   * pay interpreted dispatch per row — measured ~3x on the 10M-row suite).
   */
 object NetOps {
+  /** Exact replay of `rlike(RowChecks.Ipv4Regex)` over UTF8 bytes — the
+    * regex cost ~0.9 s of the 10M-row suite (r15 interleaved probe) for a
+    * fixed grammar a byte scan decides in ~1/10th the time. Semantics parity
+    * (pinned by Ipv4KernelSpec's differential corpus + fuzz vs the regex):
+    * strict dotted quad, octets 0-255 with no leading zeros, and — because
+    * java.util.regex `$` without MULTILINE also matches before a FINAL line
+    * terminator — one optional trailing LF, CR, CRLF, NEL (U+0085), LS
+    * (U+2028) or PS (U+2029) is accepted, exactly like the regex.
+    */
+  def ipv4Valid(s: UTF8String): Boolean = {
+    val n = s.numBytes()
+    var end = n
+    if (end >= 1) {
+      val last = s.getByte(end - 1) & 0xFF
+      if (last == '\n') {
+        end -= 1
+        if (end >= 1 && (s.getByte(end - 1) & 0xFF) == '\r') end -= 1
+      } else if (last == '\r') end -= 1
+      else if (last == 0x85 && end >= 2 && (s.getByte(end - 2) & 0xFF) == 0xC2) end -= 2
+      else if ((last == 0xA8 || last == 0xA9) && end >= 3 &&
+        (s.getByte(end - 3) & 0xFF) == 0xE2 && (s.getByte(end - 2) & 0xFF) == 0x80) end -= 3
+    }
+    var octets = 0
+    var i = 0
+    while (octets < 4) {
+      var d = 0
+      var len = 0
+      var leadingZero = false
+      while (i < end && len < 3 && {
+        val b = s.getByte(i); b >= '0' && b <= '9'
+      }) {
+        val b = s.getByte(i)
+        if (len == 0 && b == '0') leadingZero = true
+        d = d * 10 + (b - '0'); i += 1; len += 1
+      }
+      if (len == 0 || d > 255 || (len > 1 && leadingZero)) return false
+      octets += 1
+      if (octets < 4) {
+        if (i >= end || s.getByte(i) != '.') return false
+        i += 1
+      }
+    }
+    i == end
+  }
+
   /** Strict dotted-quad parse over UTF8 bytes (no String alloc), range test. */
   def ipv4InRange(s: UTF8String, lo: Long, hi: Long): Boolean = {
     val n = s.numBytes()
@@ -274,6 +319,21 @@ case class Ipv4InRange(child: Expression, lo: Long, hi: Long)
     defineCodeGen(ctx, ev, c => s"graft.checks.NetOps.ipv4InRange($c, ${lo}L, ${hi}L)")
 
   override protected def withNewChildInternal(c: Expression): Ipv4InRange = copy(child = c)
+}
+
+/** Catalyst expression: is the string a valid IPv4 dotted quad — the exact
+  * byte-scan replay of `rlike(RowChecks.Ipv4Regex)` (see [[NetOps.ipv4Valid]]).
+  */
+case class Ipv4Valid(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(v: Any): Any =
+    NetOps.ipv4Valid(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.checks.NetOps.ipv4Valid($c)")
+
+  override protected def withNewChildInternal(c: Expression): Ipv4Valid = copy(child = c)
 }
 
 /** Catalyst expression: is the string a valid IPv6 address. */

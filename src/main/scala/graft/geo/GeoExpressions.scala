@@ -38,9 +38,32 @@ object WktInfo {
   * null returns signal unparseable input (try_to_geometry null semantics).
   */
 object GeoOps {
+  // the 7 type names the parser can yield, as reusable UTF8Strings — a
+  // fromString per row was a visible slice of the 10M-row row-check suite
+  private val typeUtf8: java.util.HashMap[String, UTF8String] = {
+    val m = new java.util.HashMap[String, UTF8String]()
+    Seq("ST_Point", "ST_LineString", "ST_Polygon", "ST_MultiPoint",
+      "ST_MultiLineString", "ST_MultiPolygon", "ST_GeometryCollection")
+      .foreach(n => m.put(n, UTF8String.fromString(n)))
+    m
+  }
+  private val pointName = typeUtf8.get("ST_Point")
+
+  private def typeName(g: Geom): UTF8String = {
+    val cached = typeUtf8.get(g.typeName)
+    if (cached != null) cached else UTF8String.fromString(g.typeName)
+  }
+
   def wktInfo(s: UTF8String): InternalRow =
     Wkt.parse(s.toString) match {
       case None => null
+      case Some(GPoint(Some(p))) =>
+        // fast path for the most common row-check input: every field below
+        // equals the generic branch's value for a non-empty point (ogcValid
+        // is unconditionally true for points, envelope = the point itself)
+        val bx = java.lang.Double.valueOf(p.x)
+        val by = java.lang.Double.valueOf(p.y)
+        InternalRow(pointName, true, false, 0, 1, 0.0, bx, by, bx, by, bx, by)
       case Some(g) =>
         val (x, y) = g match {
           case GPoint(Some(p)) => (p.x: java.lang.Double, p.y: java.lang.Double)
@@ -50,7 +73,7 @@ object GeoOps {
         def d(f: ((Double, Double, Double, Double)) => Double): java.lang.Double =
           env.map(e => java.lang.Double.valueOf(f(e))).orNull
         InternalRow(
-          UTF8String.fromString(g.typeName),
+          typeName(g),
           GeomOps.ogcValid(g),
           g.isEmpty,
           g.dimension,

@@ -23,9 +23,24 @@ sealed trait Geom {
   def area: Double
   def allPoints: Seq[Pt]
   def envelope: Option[(Double, Double, Double, Double)] = {
+    // one pass, no intermediate mapped Seqs / boxed mins (the 4x map+min
+    // formulation was a measurable slice of the 10M-row WktInfo cost);
+    // NaN coords cannot occur post-parse (Wkt.number rejects them)
     val ps = allPoints
     if (ps.isEmpty) None
-    else Some((ps.map(_.x).min, ps.map(_.y).min, ps.map(_.x).max, ps.map(_.y).max))
+    else {
+      var xmin = Double.PositiveInfinity; var ymin = Double.PositiveInfinity
+      var xmax = Double.NegativeInfinity; var ymax = Double.NegativeInfinity
+      val it = ps.iterator
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.x < xmin) xmin = p.x
+        if (p.x > xmax) xmax = p.x
+        if (p.y < ymin) ymin = p.y
+        if (p.y > ymax) ymax = p.y
+      }
+      Some((xmin, ymin, xmax, ymax))
+    }
   }
   /** Leaf parts (multi/collection flattened). */
   def parts: Seq[Geom] = Seq(this)
@@ -38,6 +53,8 @@ final case class GPoint(p: Option[Pt]) extends Geom {
   def numPoints: Int = if (p.isEmpty) 0 else 1
   def area = 0.0
   def allPoints: Seq[Pt] = p.toSeq
+  override def envelope: Option[(Double, Double, Double, Double)] =
+    p.map(q => (q.x, q.y, q.x, q.y))
 }
 
 final case class GLine(pts: IndexedSeq[Pt]) extends Geom {

@@ -37,10 +37,31 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
   * which made it the dominant CPU cost of the streaming banding stage (see
   * [[SketchOps.minhashSignatureXx]] for the measured ratio and the exact
   * XxHash64 fold replay).
+  *
+  * Parity boundaries (ADVICE r14), both unreachable from engine callers:
+  * - NULL input array → null result (the HOF formulation produced a
+  *   non-null array of numHashes nulls for a null child; current consumers
+  *   posexplode the band array, which drops the row either way);
+  * - null ELEMENTS are rejected at analysis (below) — the kernel's
+  *   skip-nulls differs from `xxhash64(lit(s), null)`'s hashInt(s, 42)
+  *   fallback, so arrays that could carry null elements must not reach it.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
   require(numHashes >= 1, "numHashes must be >= 1")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, false) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, true) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "minhashsignature requires array<bigint> with containsNull = false " +
+            "(null elements would diverge from the xxhash64 HOF formulation)")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhashsignature requires ARRAY<BIGINT>, got ${other.sql}")
+    }
 
   // element nullability mirrors array_min: an empty/all-null shingle array
   // yields null components

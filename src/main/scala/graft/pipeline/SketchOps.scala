@@ -71,6 +71,14 @@ object SketchOps {
     * CodegenFallback lambda evaluations per row (measured ~3 ms/doc → ~30
     * µs/doc on 24-token docs at numHashes=64). Empty or all-null input
     * arrays yield all-null components, matching `array_min(empty) = null`.
+    *
+    * Bit-parity boundary (ADVICE r14): parity assumes NON-NULL elements.
+    * For a null element, Spark's `xxhash64(lit(s), null)` skips the null
+    * child and yields hashInt(s, 42) (non-null), while this kernel skips
+    * nulls entirely — an all-null array yields all-null components here vs
+    * all-hashInt(s,42) there. Unreachable from the engine's callers
+    * (HashedShingles declares containsNull = false), and enforced at
+    * analysis by [[graft.pipeline.MinHashSignature]]'s input check.
     */
   def minhashSignatureXx(arr: ArrayData, numHashes: Int): ArrayData = {
     val seeds = xxSeeds(numHashes)

@@ -115,14 +115,20 @@ object TextAnalysis {
       s.getField("dup_3gram_frac") <= maxDup3GramFrac
   }
 
-  /** A line survives C4-style cleaning: ends in terminal punctuation
-    * (optionally followed by closing quotes/parens), has >= 3 words, and does
-    * not mention javascript (the boilerplate-warning rule).
+  /** One [[C4Stats]] kernel eval per row computes every C4 signal AND the
+    * cleaned page (CSE shares it across [[c4Signals]]/[[c4Keep]]/
+    * [[c4CleanedText]] in one projection). Replaces the per-line interpreted
+    * lambdas (`filter(lines, kept)` / `exists(lines, ...)`) that re-walked
+    * the line array once per signal — value parity with the replaced Column
+    * formulation (incl. the `rlike` `$`-before-final-terminator subtlety,
+    * Spark `trim`'s space-only semantics, and `\s+`-split empty-segment
+    * counting) is pinned in TextQualitySpec.
     */
-  private def c4LineKept(l: Column): Column =
-    l.rlike("[.!?][\"'”’)]*\\s*$") &&
-      size(split(trim(l), "\\s+")) >= 3 &&
-      !lower(l).contains("javascript")
+  private def c4Stats(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(C4Stats(
+      GraftColumnBridge.expression(coalesce(text, lit("")))))
+  }
 
   /** C4-style row-local page/line heuristics (the public C4 cleaning rules:
     * keep lines ending in terminal punctuation with >= 3 words, drop
@@ -135,31 +141,28 @@ object TextAnalysis {
     * territory.)
     */
   def c4Signals(text: Column): Column = {
-    val t = coalesce(text, lit(""))
-    val lines = split(t, "\n")
-    val kept = filter(lines, c4LineKept(_))
-    val cleaned = array_join(kept, "\n")
+    val k = c4Stats(text)
     struct(
-      size(lines).as("n_lines"),
-      size(kept).as("n_kept_lines"),
-      size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0))).as("n_sentences"),
-      lower(t).contains("lorem ipsum").as("has_lorem_ipsum"),
-      t.contains("{").as("has_curly_brace"),
-      exists(lines, l => lower(l).contains("javascript")).as("has_javascript_line"))
+      k.getField("n_lines").as("n_lines"),
+      k.getField("n_kept_lines").as("n_kept_lines"),
+      k.getField("n_sentences").as("n_sentences"),
+      k.getField("has_lorem_ipsum").as("has_lorem_ipsum"),
+      k.getField("has_curly_brace").as("has_curly_brace"),
+      k.getField("has_javascript_line").as("has_javascript_line"))
   }
 
   /** C4 page keep/drop: enough sentences after line cleaning, no placeholder
     * text, no code braces.
     */
   def c4Keep(text: Column, minSentences: Int = 5): Column = {
-    val s = c4Signals(text)
-    s.getField("n_sentences") >= minSentences &&
-      !s.getField("has_lorem_ipsum") && !s.getField("has_curly_brace")
+    val k = c4Stats(text)
+    k.getField("n_sentences") >= minSentences &&
+      !k.getField("has_lorem_ipsum") && !k.getField("has_curly_brace")
   }
 
   /** The page rebuilt from only the lines that survive C4 line cleaning. */
   def c4CleanedText(text: Column): Column =
-    array_join(filter(split(coalesce(text, lit("")), "\n"), c4LineKept(_)), "\n")
+    c4Stats(text).getField("cleaned")
 
   /** Strip HTML/markup down to visible text: script/style blocks and
     * comments removed whole, remaining tags replaced by spaces (so adjacent
@@ -1254,6 +1257,11 @@ object StopwordLangIdOps {
   private val Langs: Array[String] = TextAnalysis.LanguageStopwords.map(_._1).toArray
   // word -> bitmask of languages containing it (7 langs, fits an Int)
   private val WordMask: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    // the Int bitmask below silently wraps past 32 languages (ADVICE r14):
+    // fail loudly at init if the registry ever grows that far
+    require(Langs.length <= 32,
+      s"StopwordLangId packs language membership into an Int bitmask; " +
+        s"registry has ${Langs.length} languages (max 32) — widen to Long/Array")
     val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
     TextAnalysis.LanguageStopwords.zipWithIndex.foreach { case ((_, words), i) =>
       words.foreach { w =>
@@ -1337,4 +1345,141 @@ case class StopwordLangId(child: org.apache.spark.sql.catalyst.expressions.Expre
 
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression): StopwordLangId = copy(child = c)
+}
+
+/** Static kernel for [[C4Stats]]: every C4 signal plus the cleaned page in
+  * ONE pass over the lines — replaces the per-line interpreted lambdas
+  * (`filter(lines, c4LineKept)`, `exists(lines, ...)`) that re-walked the
+  * line array per signal (the last acknowledged CodegenFallback hot-path
+  * class, OPTIMIZATION_r14 "Not yet optimized" #2).
+  *
+  * Semantics replay the Column formulation exactly (pinned in
+  * TextQualitySpec's differential corpus):
+  * - lines = `split(t, "\n")` with limit -1 (trailing empties kept; "" is
+  *   one empty line);
+  * - a line is kept iff `rlike("[.!?][\"'”’)]*\\s*$")` (java.util.regex
+  *   `find`; `$` also matches before one final line terminator — CR, NEL,
+  *   LS, PS can survive inside a \n-split line), its space-trimmed form
+  *   (Spark `trim` strips 0x20 ONLY) has >= 3 `\s+`-split segments (leading/
+  *   trailing empty segments count, limit -1), and its default-locale
+  *   lowercase does not contain "javascript" (String.toLowerCase — the
+  *   exact primitive `lower()` rides);
+  * - cleaned = kept lines joined by "\n"; n_sentences = count of [.!?]
+  *   chars in cleaned;
+  * - has_lorem_ipsum / has_javascript_line on the lowercased text (a case
+  *   mapping never spans a newline, so whole-text search == per-line).
+  */
+object C4StatsOps {
+  private def isJavaWs(c: Char): Boolean = // java regex \s = [ \t\n\x0B\f\r]
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+  private def isCloser(c: Char): Boolean =
+    c == '"' || c == '\'' || c == '”' || c == '’' || c == ')'
+  private def isTerminator(c: Char): Boolean = // java regex line terminators sans \n (the split char)
+    c == '\r' || c == '\u0085' || c == '\u2028' || c == '\u2029'
+
+  /** `rlike("[.!?][\"'”’)]*\\s*$")`: the char classes are disjoint, so the
+    * suffix decomposition from the end is unique — scan backwards.
+    */
+  private def endsInSentencePunct(line: String, from: Int, until: Int): Boolean = {
+    var e = until
+    if (e > from && isTerminator(line.charAt(e - 1))) e -= 1 // `$` before one final terminator
+    while (e > from && isJavaWs(line.charAt(e - 1))) e -= 1
+    while (e > from && isCloser(line.charAt(e - 1))) e -= 1
+    if (e == from) return false
+    val c = line.charAt(e - 1)
+    c == '.' || c == '!' || c == '?'
+  }
+
+  /** `size(split(trim(l), "\\s+")) >= 3` — token count = (\s+ runs) + 1. */
+  private def hasThreeWords(line: String, from: Int, until: Int): Boolean = {
+    var lo = from
+    var hi = until
+    while (lo < hi && line.charAt(lo) == ' ') lo += 1   // Spark trim: 0x20 only
+    while (hi > lo && line.charAt(hi - 1) == ' ') hi -= 1
+    var runs = 0
+    var inWs = false
+    var i = lo
+    while (i < hi) {
+      if (isJavaWs(line.charAt(i))) { if (!inWs) { runs += 1; inWs = true } }
+      else inWs = false
+      i += 1
+    }
+    runs + 1 >= 3
+  }
+
+  def stats(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val t = u.toString
+    val lowerT = t.toLowerCase // same default-locale call lower() makes
+    var nLines = 0
+    var nKept = 0
+    var nSentences = 0
+    val cleaned = new java.lang.StringBuilder
+    var start = 0
+    val n = t.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || t.charAt(i) == '\n') {
+        nLines += 1
+        // per-line lowercase would be correct too, but contains() on the
+        // whole-text lowercase is offset-unsafe (1->many case mappings
+        // shift positions), so the javascript test lowercases the line
+        val line = t.substring(start, i)
+        val kept = endsInSentencePunct(t, start, i) &&
+          hasThreeWords(t, start, i) &&
+          !line.toLowerCase.contains("javascript")
+        if (kept) {
+          if (nKept > 0) cleaned.append('\n')
+          cleaned.append(t, start, i)
+          nKept += 1
+          var j = start
+          while (j < i) {
+            val c = t.charAt(j)
+            if (c == '.' || c == '!' || c == '?') nSentences += 1
+            j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nLines, nKept, nSentences,
+      lowerT.contains("lorem ipsum"),
+      t.contains("{"),
+      lowerT.contains("javascript"),
+      org.apache.spark.unsafe.types.UTF8String.fromString(cleaned.toString)))
+  }
+}
+
+/** One-pass C4 page signals + cleaned text — see [[TextAnalysis.c4Signals]]. */
+case class C4Stats(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_kept_lines", IntegerType, nullable = false),
+    StructField("n_sentences", IntegerType, nullable = false),
+    StructField("has_lorem_ipsum", BooleanType, nullable = false),
+    StructField("has_curly_brace", BooleanType, nullable = false),
+    StructField("has_javascript_line", BooleanType, nullable = false),
+    StructField("cleaned", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"c4_stats requires a STRING argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    C4StatsOps.stats(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.C4StatsOps.stats($c)")
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): C4Stats = copy(child = c)
 }

@@ -164,9 +164,22 @@ object Profiler {
         df
       } else sampleInput(df, opts)
     if (opts.limit == Int.MaxValue) sampled
-    else sampled.limit(opts.limit)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else {
+      val limited = sampled.limit(opts.limit)
+      // re-parallelize only when the capped frame is big enough that a
+      // single-task aggregation would actually hurt (ADVICE r14 #4): below
+      // the bound, the repartition's full shuffle of the capped rows costs
+      // more than the one-task aggregation it avoids. 512k rows ~ the same
+      // order as the engine's proven small-frame window bound (<= 640k).
+      if (opts.limit <= SmallCapRows) limited
+      else limited.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    }
   }
+
+  /** Binding-cap size under which the single-task aggregation above a
+    * GlobalLimit is cheaper than re-parallelizing the capped rows.
+    */
+  private[graft] val SmallCapRows: Int = 512 * 1024
 
   /** Per-column stats from one aggregation pass. */
   def summarize(df: DataFrame, columns: Seq[String] = Seq.empty,

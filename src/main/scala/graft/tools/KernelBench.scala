@@ -37,7 +37,19 @@ object KernelBench {
       "dsir_train_4k" -> (() => { Dsir.train(evalSet, docs, col("text"), features = 4096); () }),
       "lm_train_8k" -> (() => {
         NgramLm.train(docs, col("text"), vocabSize = 8192, maxBigrams = 262144); () }),
-      "corpus_stats" -> (() => { TextAnalysis.corpusStats(docs, col("text")).collect(); () })
+      "corpus_stats" -> (() => { TextAnalysis.corpusStats(docs, col("text")).collect(); () }),
+      // r15 cells (VERDICT r14 next #4/#3): the r14 quality-signal and
+      // langid kernel swaps, plus the r15 c4 kernel — run on HEAD vs the
+      // pre-change worktree (be3fa0c for quality/langid, r14 HEAD for c4)
+      "quality_signals_scan" -> (() =>
+        docs.agg(sum(TextAnalysis.qualitysignals(col("text"))
+          .getField("stopword_ratio"))).collect()),
+      "langid_scan" -> (() =>
+        docs.groupBy(TextAnalysis.languageId(col("text")).as("lang"))
+          .count().collect()),
+      "c4_scan" -> (() =>
+        docs.agg(sum(TextAnalysis.c4Signals(col("text")).getField("n_kept_lines")),
+          sum(length(TextAnalysis.c4CleanedText(col("text"))))).collect())
     )
     val out = cells.map { case (name, f) =>
       f() // warmup

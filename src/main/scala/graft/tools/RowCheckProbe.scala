@@ -21,6 +21,14 @@ object RowCheckProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // hypothesis knobs for the suite-overhead attribution (default = the
+      // engine's real config): whole-stage codegen on/off
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_WSCG", "true"))
+      // ...and the JIT-boundary fallback (65535 = Spark default, 8000 =
+      // HotSpot HugeMethodLimit: larger methods never JIT-compile)
+      .config("spark.sql.codegen.hugeMethodLimit",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_HUGE", "65535"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -57,18 +65,68 @@ object RowCheckProbe {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // Interleaved attribution (VERDICT r14 next #1): the r14 probe timed each
+    // rule once, consecutively — a multi-second host burst landed entirely on
+    // whichever rule was running and per-rule deltas swung 17x between runs.
+    // Now every rep cycles ALL cells in fixed order and the report is the
+    // per-cell MEDIAN across reps, so ambient drift (which spans many cells)
+    // cancels instead of compounding on one rule.
+    val reps = sys.env.get("SPARK_GRAFT_PROBE_REPS").map(_.toInt).getOrElse(5)
     // baseline: the honest action over a frame with empty result columns
-    val base = time { BenchRef.touch(df
-      .withColumn("_errors", lit(null).cast("string"))
-      .withColumn("_warnings", lit(null).cast("string"))); () }
-    val results = rules.map { case (name, rule) =>
+    val baseCell: (String, () => Unit) = "baseline_touch" -> (() => {
+      BenchRef.touch(df
+        .withColumn("_errors", lit(null).cast("string"))
+        .withColumn("_warnings", lit(null).cast("string"))); () })
+    val ruleCells: Seq[(String, () => Unit)] = rules.map { case (name, rule) =>
       val checked = DQEngine.applyChecks(df, Seq(rule))
-      checked.count() // warmup (count-parity pass, also JITs)
-      name -> time { BenchRef.touch(checked); () }
+      name -> (() => { BenchRef.touch(checked); () })
     }
-    println(f"""{"baseline_touch":$base%.2f,${
-      results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString(",")
-    },"rows":$rows}""")
+    // whole-suite cell over the same checkpointed frame: per-rule medians
+    // should roughly sum to this (CSE across rules makes it slightly less)
+    val suiteCell: (String, () => Unit) = "suite_all" -> (() => {
+      BenchRef.touch(DQEngine.applyChecks(df, rules.map(_._2))); () })
+    val cells = (baseCell +: ruleCells) :+ suiteCell
+    cells.foreach(_._2()) // warmup every plan once (JIT + codegen cache)
+    val samples: Map[String, Seq[Double]] = {
+      val acc = scala.collection.mutable.Map.empty[String, List[Double]]
+      for (_ <- 0 until reps; (name, f) <- cells)
+        acc(name) = time(f()) :: acc.getOrElse(name, Nil)
+      acc.view.mapValues(_.reverse).toMap
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val report = cells.map { case (name, _) =>
+      val xs = samples(name)
+      "\"" + name + "\":{\"med\":" + f"${median(xs)}%.3f" +
+        ",\"reps\":" + xs.map(v => f"$v%.3f").mkString("[", ",", "]") + "}"
+    }
+    println(s"""{"rows":$rows,"reps":$reps,${report.mkString(",")}}""")
+
+    // plan/codegen shape of the full suite: whole-stage codegen can silently
+    // abandon a projection whose generated method exceeds hugeMethodLimit —
+    // invisible in explain(), decisive for a 24-rule fused projection
+    if (sys.env.get("SPARK_GRAFT_PROBE_PLAN").contains("1")) {
+      val checked = DQEngine.applyChecks(df, rules.map(_._2))
+      val agg = checked.select(
+        sum(when(col("_errors").isNotNull || col("_warnings").isNotNull, 1L)
+          .otherwise(0L)).as("n"))
+      agg.collect() // materialize AQE final stages on THIS QueryExecution
+      // (first() would plan a separate Limit query, leaving this one initial)
+      val plan = agg.queryExecution.executedPlan.toString
+      println(plan.split("\n").map(_.take(150)).take(25).mkString("\n"))
+      val code = org.apache.spark.sql.execution.debug.codegenString(agg.queryExecution.executedPlan)
+      println(code.split("\n").take(25).mkString("\n"))
+      code.split("\n").filter(l => l.contains("WholeStageCodegen") ||
+        l.contains("Found") || l.contains("too long") || l.contains("bytecode")).take(20)
+        .foreach(println)
+      // generated-code size per subtree: the JIT refuses methods > 8 KB
+      // bytecode and HotSpot's inlining gives up far earlier — report sizes
+      code.split("\n").zipWithIndex.filter(_._1.contains("maxMethodCodeSize"))
+        .take(10).foreach { case (l, _) => println(l.take(200)) }
+    }
 
     // CSE probe: do paired checks over the same expensive parse (two WKT
     // checks; two JSON checks) cost ~one parse (codegen subexpression

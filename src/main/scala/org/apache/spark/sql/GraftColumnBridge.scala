@@ -11,6 +11,15 @@ object GraftColumnBridge {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
 
+/** Bridge to Observation's package-private non-blocking read: `getOrEmpty`
+  * returns the observed metrics row if the action's listener has delivered
+  * it, else an empty map — the public `get` blocks forever if metrics never
+  * land, which an engine loop must not risk.
+  */
+object GraftObservationBridge {
+  def getOrEmpty(o: Observation): Map[String, Any] = o.getOrEmpty
+}
+
 /** Bridge to the package-private internalCreateDataFrame — lets partition-local
   * operators (e.g. multimodal decode) rebuild a DataFrame from an
   * RDD[InternalRow] without a Row conversion round-trip.

@@ -48,11 +48,19 @@ class ProfSpec extends SparkSpec {
     val planStr = noop.queryExecution.optimizedPlan.toString
     assert(!planStr.contains("GlobalLimit") && !planStr.contains("Sample"), planStr)
     assert(noop.count() == 1000)
-    // binding limit: caps to n rows and spreads them over >1 partition
+    // small binding limit: caps to n rows WITHOUT a repartition shuffle —
+    // below SmallCapRows the one-task aggregation is cheaper than shuffling
+    // the capped rows (ADVICE r14 #4)
     val capped = P.profileInput(df, graft.profiler.ProfilerOptions(
       sampleFraction = 1.0, limit = 500))
     assert(capped.count() == 500)
-    assert(capped.rdd.getNumPartitions > 1)
+    assert(!capped.queryExecution.optimizedPlan.toString.contains("Repartition"),
+      "small caps must not pay a repartition shuffle")
+    // large binding limit: still re-parallelized across the cluster
+    val bigCap = P.profileInput(df, graft.profiler.ProfilerOptions(
+      sampleFraction = 1.0, limit = P.SmallCapRows + 1))
+    assert(bigCap.queryExecution.optimizedPlan.toString.contains("Repartition"),
+      "binding caps above SmallCapRows must re-parallelize")
     // binding sample still samples
     val sampled = P.profileInput(df, graft.profiler.ProfilerOptions(
       sampleFraction = 0.5, limit = Int.MaxValue))

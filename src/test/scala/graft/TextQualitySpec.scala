@@ -121,6 +121,64 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("c4 kernel is value-identical to the per-line lambda formulation") {
+    val fixtures = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      (1L, "A good sentence here.\nshort.\nno punctuation at all\nAnother fine sentence!"),
+      (2L, "Enable JavaScript to view this page.\nA real sentence stays here."),
+      (3L, "lorem ipsum dolor sit amet.\nfunction() { return 1; }"),
+      (4L, ""),                                  // one empty line
+      (5L, null: String),                        // coalesce -> ""
+      (6L, "Ends with closers.\"'”’)\nEnds with spaces.   \nTab\tsplit still three words."),
+      (7L, "Trailing newline keeps an empty line.\n"),
+      (8L, "Carriage return line.\r\nNext line here too."), // \r survives the \n split
+      (9L, "  leading spaces trim.\nuntrimmed\ttab words here."),
+      (10L, "One? Two! Three. Four... and more sentences on one line."),
+      (11L, "JAVASCRIPT uppercase warning sentence here.\nclean line stays put."),
+      (12L, "quick brown fox.\nquick brown fox.\nquick brown fox.")
+    ), 2)).toDF("id", "text")
+    // the formulation C4Stats replaced — kept inline as semantic reference
+    val t = coalesce(col("text"), lit(""))
+    def lineKept(l: org.apache.spark.sql.Column) =
+      l.rlike("[.!?][\"'”’)]*\\s*$") &&
+        size(split(trim(l), "\\s+")) >= 3 &&
+        !lower(l).contains("javascript")
+    val lines = split(t, "\n")
+    val kept = filter(lines, lineKept(_))
+    val cleaned = array_join(kept, "\n")
+    val hof = struct(
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept_lines"),
+      size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0))).as("n_sentences"),
+      lower(t).contains("lorem ipsum").as("has_lorem_ipsum"),
+      t.contains("{").as("has_curly_brace"),
+      exists(lines, l => lower(l).contains("javascript")).as("has_javascript_line"))
+    val rows = fixtures.select(col("id"),
+      TextAnalysis.c4Signals(col("text")).as("k"), hof.as("h"),
+      TextAnalysis.c4CleanedText(col("text")).as("kc"), cleaned.as("hc"),
+      TextAnalysis.c4Keep(col("text")).as("kk"),
+      (size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0))) >= 5 &&
+        !lower(t).contains("lorem ipsum") && !t.contains("{")).as("hk")).collect()
+    rows.foreach { r =>
+      val k = r.getStruct(1); val h = r.getStruct(2)
+      (0 until 6).foreach { i =>
+        assert(k.get(i) == h.get(i),
+          s"id=${r.getLong(0)} field=$i kernel=${k.get(i)} hof=${h.get(i)}")
+      }
+      assert(r.getString(3) == r.getString(4), s"id=${r.getLong(0)} cleaned text differs")
+      assert(r.getBoolean(5) == r.getBoolean(6), s"id=${r.getLong(0)} keep differs")
+    }
+  }
+
+  test("c4 projection stays inside whole-stage codegen") {
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Tuple1("A sentence that stays.\nshort")), 1)).toDF("text")
+      .select(TextAnalysis.c4Signals(col("text")).as("s"),
+        TextAnalysis.c4CleanedText(col("text")).as("c"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected whole-stage codegen:\n$plan")
+  }
+
   test("gopherSignals: closed-form counts on a hand-built page") {
     // 3 lines: prose / bullet / ellipsis-ended with symbols
     val text = "the cat and dog sat\n- item one\nto be continued... #tag …"
