@@ -183,7 +183,8 @@ object Bench {
       // Spark's default (65535) only guards the compiler's hard limit; 8000
       // is the JIT boundary on every JVM, local or cluster — not a
       // local-mode tune. Small plans stay fully whole-stage-codegen'd.
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.codegen.hugeMethodLimit",
+        sys.env.getOrElse("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
